@@ -1,0 +1,465 @@
+"""Blob container: the Spark-era analog of the reference's stripe.
+
+One Spark partition/group produces one blob: a self-describing byte string
+holding every column's encoded streams, the per-column codec choice, and
+null masks. Mirrors the reference's stripe + StripeFooter bookkeeping
+(src/writer/stripe.rs:13-36, 55-111) re-shaped for a DataFrame world:
+instead of a byte-offset stream directory inside an ORC file, the blob is
+a value in a `binary` DataFrame column and the "footer" is its header.
+
+Layout:
+  b'OFS1' | u8 version=1 | u16 n_column_entries
+  per entry:
+    u8 name_len | name | u8 type_len | type | u8 codec_len | codec |
+    u8 comp_len | compression | u8 flags(bit0 has_null) |
+    varint n_rows | varint n_present | u8 n_streams |
+    per stream: u8 kind | varint compressed_len
+  all stream payloads, in entry/stream order
+
+Stream kinds follow the reference's enum (orc_proto.proto:108-125):
+0=PRESENT 1=DATA 2=LENGTH 3=SECONDARY. Nested lists flatten into multiple
+entries (parent LENGTH entry + child entry named ``parent.item``), the
+same LENGTH-stream + child-column decomposition as
+src/writer/data/list.rs:59-80. The PRESENT stream is omitted when a column
+has no nulls (the reference's has_null gate, e.g. long.rs:136-145).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import dictionary, raw, rle_v1, rle_v2, timestamp as ts_codec
+from .bitpack import decode_for_bitpack, encode_for_bitpack
+from .blocks import compress_stream, decompress_stream
+from .fsst import fsst_decode, fsst_encode
+from .selector import select_int_codec, select_str_codec
+from .varint import decode_varint_one, encode_varint_one
+
+MAGIC = b"OFS1"
+VERSION = 1
+
+PRESENT, DATA, LENGTH, SECONDARY = 0, 1, 2, 3
+
+_INT_TYPES = {
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "date32[day]": pa.date32(),
+}
+_FLOAT_TYPES = {"float": pa.float32(), "double": pa.float64()}
+
+
+class ColumnEntry:
+    __slots__ = ("name", "type", "codec", "comp", "has_null", "n_rows", "n_present", "streams")
+
+    def __init__(self, name, type_, codec, comp, has_null, n_rows, n_present, streams):
+        self.name = name
+        self.type = type_
+        self.codec = codec
+        self.comp = comp
+        self.has_null = has_null
+        self.n_rows = n_rows
+        self.n_present = n_present
+        self.streams = streams  # list[(kind, bytes)]
+
+
+def _encode_int_values(codec: str, v: np.ndarray, signed: bool = True) -> bytes:
+    if codec == "rle_v1":
+        return rle_v1.encode_int_rle_v1(v, signed)
+    if codec == "rle_v2":
+        return rle_v2.encode_int_rle_v2(v, signed)
+    if codec == "for_bitpack":
+        return encode_for_bitpack(v, signed)
+    if codec == "dict_int":
+        return dictionary.encode_dict_int(v, signed)
+    raise ValueError(f"int codec {codec}")
+
+
+def _decode_int_values(codec: str, buf: bytes, signed: bool = True) -> np.ndarray:
+    if codec == "rle_v1":
+        return rle_v1.decode_int_rle_v1(buf, signed)
+    if codec == "rle_v2":
+        return rle_v2.decode_int_rle_v2(buf, signed)
+    if codec == "for_bitpack":
+        return decode_for_bitpack(buf, signed)
+    if codec == "dict_int":
+        return dictionary.decode_dict_int(buf, signed)
+    raise ValueError(f"int codec {codec}")
+
+
+def _encode_str_values(codec: str, data: np.ndarray, offsets: np.ndarray) -> bytes:
+    if codec == "raw_str":
+        return raw.encode_bytes_raw(data, offsets)
+    if codec == "dict_str":
+        return dictionary.encode_dict_bytes(data, offsets)
+    if codec == "fsst":
+        lens = (offsets[1:] - offsets[:-1]).astype(np.uint64)
+        lstream = rle_v1.encode_int_rle_v1(lens, signed=False)
+        return (
+            encode_varint_one(len(lens))
+            + encode_varint_one(len(lstream))
+            + lstream
+            + fsst_encode(data)
+        )
+    raise ValueError(f"str codec {codec}")
+
+
+def _decode_str_values(codec: str, buf: bytes) -> tuple[np.ndarray, np.ndarray]:
+    if codec == "raw_str":
+        return raw.decode_bytes_raw(buf)
+    if codec == "dict_str":
+        return dictionary.decode_dict_bytes(buf)
+    if codec == "fsst":
+        n, pos = decode_varint_one(buf, 0)
+        llen, pos = decode_varint_one(buf, pos)
+        lens = rle_v1.decode_int_rle_v1(buf[pos : pos + llen], signed=False).astype(np.int64)
+        data = fsst_decode(buf[pos + llen :])
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        return data, off
+    raise ValueError(f"str codec {codec}")
+
+
+def _combine(a):
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
+def _flat_binary(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Non-null string/binary array -> (data_u8, offsets_i64)."""
+    a = _combine(arr.cast(pa.large_binary()))
+    n = len(a)
+    if n == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    bufs = a.buffers()
+    off = np.frombuffer(bufs[1], np.int64, n + 1, a.offset * 8)
+    data = np.frombuffer(bufs[2], np.uint8)[off[0] : off[-1]]
+    return data, (off - off[0]).astype(np.int64)
+
+
+def _present_info(arr: pa.Array) -> tuple[bool, np.ndarray | None, bytes]:
+    """(has_null, valid_mask, PRESENT stream bytes or b'')."""
+    if arr.null_count == 0:
+        return False, None, b""
+    mask = arr.is_valid().to_numpy(zero_copy_only=False)
+    return True, mask, rle_v1.encode_boolean_rle(mask)
+
+
+def encode_column(
+    name: str,
+    arr: pa.Array,
+    codec: str = "auto",
+    compression: str = "zstd",
+    entries: list | None = None,
+    lineage: list | None = None,
+) -> list[ColumnEntry]:
+    """Encode one arrow array into container entries (recursive for lists)."""
+    if entries is None:
+        entries = []
+    if lineage is None:
+        lineage = []
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    n_rows = len(arr)
+    has_null, mask, present_stream = _present_info(arr)
+    vals = arr.drop_null() if has_null else arr
+    n_present = len(vals)
+    streams: list[tuple[int, bytes]] = []
+    if has_null:
+        streams.append((PRESENT, present_stream))
+    est: dict[str, float] = {}
+
+    if pa.types.is_integer(t) or pa.types.is_date32(t):
+        v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+        use = codec
+        if codec not in ("rle_v1", "rle_v2", "for_bitpack", "dict_int"):
+            use, est = select_int_codec(v, signed=True)
+        streams.append((DATA, _encode_int_values(use, v, True)))
+    elif pa.types.is_boolean(t):
+        use = "bool_rle"
+        v = vals.to_numpy(zero_copy_only=False)
+        streams.append((DATA, rle_v1.encode_boolean_rle(v)))
+    elif pa.types.is_float32(t) or pa.types.is_float64(t):
+        use = "raw_double" if pa.types.is_float64(t) else "raw_float"
+        v = vals.to_numpy(zero_copy_only=False)
+        streams.append((DATA, raw.encode_float_raw(v, double=pa.types.is_float64(t))))
+    elif pa.types.is_timestamp(t):
+        use = "timestamp"
+        v = vals.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        streams.append((DATA, ts_codec.encode_timestamp_us(v)))
+    elif pa.types.is_decimal(t):
+        # unscaled int64 (precision <= 18), reference decimal.rs:108-122;
+        # codec-selectable like any int column (superset of the reference's
+        # fixed zigzag-varint DATA stream). Unscaled values are read
+        # directly from the decimal128 buffer's low limb (valid because
+        # precision <= 18 fits int64).
+        if t.precision > 18:
+            raise NotImplementedError("decimal precision > 18")
+        v = _decimal_unscaled_i64(vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals)
+        use = codec
+        if codec not in ("rle_v1", "rle_v2", "for_bitpack", "dict_int"):
+            use, est = select_int_codec(v, signed=True)
+        streams.append((DATA, _encode_int_values(use, v, True)))
+    elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        data, off = _flat_binary(vals)
+        use = codec
+        if codec not in ("raw_str", "dict_str", "fsst"):
+            use, est = select_str_codec(data, off)
+        streams.append((DATA, _encode_str_values(use, data, off)))
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        use = "list"
+        lv = _combine(vals.cast(pa.large_list(t.value_type)))
+        loff = np.frombuffer(lv.buffers()[1], np.int64, len(lv) + 1, lv.offset * 8)
+        lengths = (loff[1:] - loff[:-1]).astype(np.uint64)
+        streams.append((LENGTH, rle_v1.encode_int_rle_v1(lengths, signed=False)))
+        child = lv.flatten()
+        entry = _finish_entry(name, str(t), use, compression, has_null, n_rows, n_present, streams)
+        entries.append(entry)
+        lineage.append(_lineage_row(name, entry, arr, est))
+        encode_column(name + ".item", child, codec, compression, entries, lineage)
+        return entries
+    else:
+        raise NotImplementedError(f"type {t} not supported yet")
+
+    entry = _finish_entry(name, str(t), use, compression, has_null, n_rows, n_present, streams)
+    entries.append(entry)
+    lineage.append(_lineage_row(name, entry, arr, est))
+    return entries
+
+
+def _finish_entry(name, type_str, codec, compression, has_null, n_rows, n_present, streams):
+    comp_streams = [(k, compress_stream(s, compression)) for k, s in streams]
+    return ColumnEntry(name, type_str, codec, compression, has_null, n_rows, n_present, comp_streams)
+
+
+def _lineage_row(name, entry: ColumnEntry, arr: pa.Array, est: dict) -> dict:
+    return {
+        "column": name,
+        "codec": entry.codec,
+        "n_rows": entry.n_rows,
+        "n_present": entry.n_present,
+        "input_bytes": arr.nbytes,
+        "output_bytes": sum(len(s) for _, s in entry.streams),
+        "candidates": est,
+    }
+
+
+def serialize_blob(entries: list[ColumnEntry]) -> bytes:
+    parts = [MAGIC, bytes((VERSION,)), len(entries).to_bytes(2, "little")]
+    payloads = []
+    for e in entries:
+        for s in (e.name, e.type, e.codec, e.comp):
+            b = s.encode()
+            parts.append(bytes((len(b),)))
+            parts.append(b)
+        parts.append(bytes((1 if e.has_null else 0,)))
+        parts.append(encode_varint_one(e.n_rows))
+        parts.append(encode_varint_one(e.n_present))
+        parts.append(bytes((len(e.streams),)))
+        for kind, payload in e.streams:
+            parts.append(bytes((kind,)))
+            parts.append(encode_varint_one(len(payload)))
+            payloads.append(payload)
+    parts.extend(payloads)
+    return b"".join(parts)
+
+
+def deserialize_blob(blob: bytes) -> list[ColumnEntry]:
+    if blob[:4] != MAGIC:
+        raise ValueError("bad blob magic")
+    pos = 5
+    n_entries = int.from_bytes(blob[5:7], "little")
+    pos = 7
+    metas = []
+    for _ in range(n_entries):
+        fields = []
+        for _ in range(4):
+            ln = blob[pos]
+            pos += 1
+            fields.append(blob[pos : pos + ln].decode())
+            pos += ln
+        has_null = bool(blob[pos])
+        pos += 1
+        n_rows, pos = decode_varint_one(blob, pos)
+        n_present, pos = decode_varint_one(blob, pos)
+        n_streams = blob[pos]
+        pos += 1
+        skinds = []
+        for _ in range(n_streams):
+            kind = blob[pos]
+            pos += 1
+            slen, pos = decode_varint_one(blob, pos)
+            skinds.append((kind, slen))
+        metas.append((fields, has_null, n_rows, n_present, skinds))
+    entries = []
+    for (fields, has_null, n_rows, n_present, skinds) in metas:
+        streams = []
+        for kind, slen in skinds:
+            streams.append((kind, blob[pos : pos + slen]))
+            pos += slen
+        entries.append(ColumnEntry(fields[0], fields[1], fields[2], fields[3], has_null, n_rows, n_present, streams))
+    return entries
+
+
+def _parse_type(s: str) -> pa.DataType:
+    if s in _INT_TYPES:
+        return _INT_TYPES[s]
+    if s in _FLOAT_TYPES:
+        return _FLOAT_TYPES[s]
+    if s == "bool":
+        return pa.bool_()
+    if s in ("string", "large_string"):
+        return pa.large_string() if s == "large_string" else pa.string()
+    if s in ("binary", "large_binary"):
+        return pa.large_binary() if s == "large_binary" else pa.binary()
+    if s.startswith("timestamp"):
+        tz = None
+        if "tz=" in s:
+            tz = s.split("tz=")[1].rstrip("]")
+        return pa.timestamp("us", tz)
+    if s.startswith("decimal128"):
+        p, sc = s[s.index("(") + 1 : s.index(")")].split(",")
+        return pa.decimal128(int(p), int(sc))
+    if s.startswith("list<") or s.startswith("large_list<"):
+        inner = s[s.index("<") + 1 : -1]
+        # arrow prints "list<item: int32>"
+        if ": " in inner:
+            inner = inner.split(": ", 1)[1]
+        child = _parse_type(inner)
+        return pa.large_list(child) if s.startswith("large_list") else pa.list_(child)
+    raise NotImplementedError(f"type string {s}")
+
+
+def _decimal_unscaled_i64(arr: pa.Array) -> np.ndarray:
+    """Unscaled int64 values of a (non-null) decimal128 array, vectorized."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.int64)
+    buf = arr.buffers()[1]
+    limbs = np.frombuffer(buf, np.uint64, 2 * (arr.offset + n))[2 * arr.offset :]
+    return limbs[0::2].view(np.int64).copy()  # low limb == value for p<=18
+
+
+def _rebuild_with_nulls(values: pa.Array, has_null, n_rows, present_stream) -> pa.Array:
+    if not has_null:
+        return values
+    mask = rle_v1.decode_boolean_rle(present_stream, n_rows)
+    idx = np.zeros(n_rows, np.int64)
+    idx[mask] = np.arange(len(values), dtype=np.int64)
+    take = pc.if_else(pa.array(mask), pa.array(idx, pa.int64()), pa.scalar(None, pa.int64()))
+    return values.take(take)
+
+
+def decode_entries(entries: list[ColumnEntry], start: int = 0) -> tuple[str, pa.Array, int]:
+    """Decode the column at ``entries[start]`` (consuming child entries)."""
+    e = entries[start]
+    t = _parse_type(e.type)
+    raw_streams = {k: decompress_stream(s, e.comp) for k, s in e.streams}
+    present = raw_streams.get(PRESENT, b"")
+    nxt = start + 1
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        lengths = rle_v1.decode_int_rle_v1(raw_streams[LENGTH], signed=False).astype(np.int64)
+        child_name, child, nxt = decode_entries(entries, start + 1)
+        off = np.zeros(e.n_present + 1, np.int64)
+        np.cumsum(lengths, out=off[1:])
+        values = pa.LargeListArray.from_arrays(pa.array(off, pa.int64()), child).cast(t)
+    elif pa.types.is_integer(t) or pa.types.is_date32(t):
+        v = _decode_int_values(e.codec, raw_streams[DATA], True)
+        if pa.types.is_date32(t):
+            values = pa.array(v.astype(np.int32)).cast(t)
+        else:
+            values = pa.array(v, pa.int64()).cast(t)
+    elif pa.types.is_boolean(t):
+        v = rle_v1.decode_boolean_rle(raw_streams[DATA], e.n_present)
+        values = pa.array(v, pa.bool_())
+    elif pa.types.is_float32(t) or pa.types.is_float64(t):
+        v = raw.decode_float_raw(raw_streams[DATA], double=pa.types.is_float64(t))
+        values = pa.array(v, t)
+    elif pa.types.is_timestamp(t):
+        v = ts_codec.decode_timestamp_us(raw_streams[DATA])
+        values = pa.array(v.view("datetime64[us]")).cast(t)
+    elif pa.types.is_decimal(t):
+        v = _decode_int_values(e.codec, raw_streams[DATA], True)
+        # unscaled int64 -> decimal128: write the low limb, sign-extend high
+        limbs = np.zeros(2 * len(v), np.uint64)
+        limbs[0::2] = v.view(np.uint64)
+        limbs[1::2] = np.where(v < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0))
+        values = pa.Array.from_buffers(
+            pa.decimal128(t.precision, t.scale), len(v), [None, pa.py_buffer(limbs)]
+        )
+    elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        data, off = _decode_str_values(e.codec, raw_streams[DATA])
+        values = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), e.n_present, [None, pa.py_buffer(off), pa.py_buffer(np.ascontiguousarray(data))]
+        ).cast(t)
+    else:
+        raise NotImplementedError(e.type)
+    return e.name, _rebuild_with_nulls(values, e.has_null, e.n_rows, present), nxt
+
+
+def encode_table(
+    tbl: pa.Table, codec: str = "auto", compression: str = "zstd"
+) -> tuple[bytes, list[dict]]:
+    """Encode a pyarrow table -> (blob, per-column lineage rows)."""
+    entries: list[ColumnEntry] = []
+    lineage: list[dict] = []
+    for name, col in zip(tbl.column_names, tbl.columns):
+        encode_column(name, col.combine_chunks(), codec, compression, entries, lineage)
+    return serialize_blob(entries), lineage
+
+
+def decode_table(blob: bytes) -> pa.Table:
+    entries = deserialize_blob(blob)
+    cols = []
+    names = []
+    i = 0
+    while i < len(entries):
+        name, arr, i = decode_entries(entries, i)
+        names.append(name)
+        cols.append(arr)
+    return pa.table(cols, names=names)
+
+
+def table_checksum(tbl: pa.Table) -> str:
+    """Deterministic sha256 over the table's logical content."""
+    h = hashlib.sha256()
+    for name in tbl.column_names:
+        h.update(name.encode())
+        col = tbl.column(name).combine_chunks()
+        for buf in _canonical_buffers(col):
+            h.update(buf)
+    return h.hexdigest()
+
+
+def _canonical_buffers(arr):
+    """Canonical byte view of an array (type-normalized)."""
+    t = arr.type
+    out = [arr.is_valid().to_numpy(zero_copy_only=False).tobytes()]
+    va = arr.drop_null()
+    if pa.types.is_integer(t) or pa.types.is_date32(t):
+        out.append(va.to_numpy(zero_copy_only=False).astype(np.int64).tobytes())
+    elif pa.types.is_floating(t):
+        out.append(va.to_numpy(zero_copy_only=False).tobytes())
+    elif pa.types.is_boolean(t):
+        out.append(va.to_numpy(zero_copy_only=False).tobytes())
+    elif pa.types.is_timestamp(t):
+        out.append(va.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64).tobytes())
+    elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        data, off = _flat_binary(va)
+        out.append(off.tobytes())
+        out.append(data.tobytes())
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        lv = _combine(va.cast(pa.large_list(t.value_type)))
+        loff = np.frombuffer(lv.buffers()[1], np.int64, len(lv) + 1, lv.offset * 8)
+        out.append((loff - loff[0]).tobytes())
+        out.extend(_canonical_buffers(lv.flatten()))
+    elif pa.types.is_decimal(t):
+        out.append(str(va.to_pylist()).encode())
+    else:
+        raise NotImplementedError(str(t))
+    return out

@@ -1,0 +1,100 @@
+"""Per-partition codec auto-selection.
+
+The reference never selects codecs: every column is hardcoded to DIRECT
+encoding (string.rs:173-177; SURVEY.md section 4.2). This module is the
+Spark-era replacement mandated by BASELINE.json's north rule: sampled
+cardinality / run-length / value-range statistics drive the choice.
+
+Strategy: honesty over modeling — each candidate codec is actually run on
+a bounded contiguous sample (default 16Ki values) and the cheapest
+extrapolated size wins. Sampling cost is O(sample) per partition and the
+measured bytes/value feed the codec-lineage metrics row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import dictionary, fsst, raw, rle_v1, rle_v2
+from .bitpack import encode_for_bitpack
+
+SAMPLE_VALUES = 1 << 14
+
+INT_CANDIDATES = ("rle_v1", "rle_v2", "for_bitpack", "dict_int")
+STR_CANDIDATES = ("raw_str", "dict_str", "fsst")
+
+
+def _encode_int(codec: str, v: np.ndarray, signed: bool) -> bytes:
+    if codec == "rle_v1":
+        return rle_v1.encode_int_rle_v1(v, signed)
+    if codec == "rle_v2":
+        return rle_v2.encode_int_rle_v2(v, signed)
+    if codec == "for_bitpack":
+        return encode_for_bitpack(v, signed)
+    if codec == "dict_int":
+        return dictionary.encode_dict_int(v, signed)
+    raise ValueError(codec)
+
+
+def _encode_str(codec: str, data: np.ndarray, offsets: np.ndarray) -> bytes:
+    if codec == "raw_str":
+        return raw.encode_bytes_raw(data, offsets)
+    if codec == "dict_str":
+        return dictionary.encode_dict_bytes(data, offsets)
+    if codec == "fsst":
+        # fsst payload plus a length stream so values can be re-split
+        lens = (offsets[1:] - offsets[:-1]).astype(np.uint64)
+        lstream = rle_v1.encode_int_rle_v1(lens, signed=False)
+        from .varint import encode_varint_one
+
+        return (
+            encode_varint_one(len(lens))
+            + encode_varint_one(len(lstream))
+            + lstream
+            + fsst.fsst_encode(data)
+        )
+    raise ValueError(codec)
+
+
+def select_int_codec(
+    v: np.ndarray, signed: bool = True, sample: int = SAMPLE_VALUES
+) -> tuple[str, dict[str, float]]:
+    """Returns (codec, {codec: est_bytes_per_value}) for an int column."""
+    n = v.size
+    if n == 0:
+        return "rle_v1", {}
+    s = v[: min(n, sample)]
+    # cheap stats to prune candidates
+    uniq = np.unique(s[: 4096])
+    card_ratio = uniq.size / min(len(s), 4096)
+    cands = ["rle_v1", "rle_v2", "for_bitpack"]
+    if card_ratio < 0.5:
+        cands.append("dict_int")
+    est: dict[str, float] = {}
+    for c in cands:
+        try:
+            est[c] = len(_encode_int(c, s, signed)) / len(s)
+        except Exception:
+            continue
+    best = min(est, key=est.get)
+    return best, est
+
+
+def select_str_codec(
+    data: np.ndarray, offsets: np.ndarray, sample: int = 2048
+) -> tuple[str, dict[str, float]]:
+    n = offsets.size - 1
+    if n == 0:
+        return "raw_str", {}
+    k = min(n, sample)
+    sdata = data[: int(offsets[k])]
+    soff = offsets[: k + 1]
+    est: dict[str, float] = {}
+    nbytes = max(1, sdata.size)
+    for c in STR_CANDIDATES:
+        try:
+            est[c] = len(_encode_str(c, sdata, soff)) / nbytes
+        except Exception:
+            continue
+    best = min(est, key=est.get)
+    return best, est

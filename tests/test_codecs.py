@@ -1,0 +1,254 @@
+"""Roundtrip + property tests for RLEv2, FoR/bitpack, dictionary, FSST,
+timestamp compaction, and the blob container (SURVEY.md section 5.2)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_format_spark.codecs.bitpack import (
+    bitpack,
+    bitunpack,
+    decode_for_bitpack,
+    encode_for_bitpack,
+)
+from orc_format_spark.codecs.container import (
+    decode_table,
+    encode_table,
+    table_checksum,
+)
+from orc_format_spark.codecs.dictionary import (
+    decode_dict_bytes,
+    decode_dict_int,
+    encode_dict_bytes,
+    encode_dict_int,
+)
+from orc_format_spark.codecs.fsst import fsst_decode, fsst_encode
+from orc_format_spark.codecs.rle_v2 import decode_int_rle_v2, encode_int_rle_v2
+from orc_format_spark.codecs.selector import select_int_codec, select_str_codec
+from orc_format_spark.codecs.timestamp import (
+    compact_nanos,
+    decode_timestamp_us,
+    encode_timestamp_us,
+    expand_nanos,
+)
+
+RNG = np.random.default_rng(7)
+
+
+def _int_cases(signed=True):
+    lo, hi = (-(2**31), 2**31) if signed else (0, 2**32)
+    dt = np.int64 if signed else np.uint64
+    yield np.array([], dt)
+    yield np.array([42], dt)
+    yield np.array([7] * 5, dt)  # short repeat
+    yield np.array([7] * 600, dt)  # long fixed-delta run
+    yield np.arange(0, 100000, 7, dtype=dt)  # monotonic
+    yield np.arange(100000, 0, -3, dtype=dt)[:5000]  # decreasing
+    yield RNG.integers(lo, hi, 10000).astype(dt)  # direct
+    # patched-base shape: mostly small with a few huge outliers
+    base = RNG.integers(0, 1 << 10, 2000).astype(dt)
+    out_idx = RNG.choice(2000, 10, replace=False)
+    base[out_idx] = RNG.integers(1 << 40, 1 << 44, 10).astype(dt)
+    yield base
+    yield RNG.zipf(1.5, 5000).astype(dt)
+    if signed:
+        yield np.array([2**62, -(2**62), 2**63 - 1, -(2**63), 0, 1, -1], np.int64)
+    else:
+        yield np.array([2**64 - 1, 0, 2**63, 1], np.uint64)
+
+
+@pytest.mark.parametrize("signed", [True, False])
+def test_rle_v2_roundtrip(signed):
+    for case in _int_cases(signed):
+        enc = encode_int_rle_v2(case, signed)
+        dec = decode_int_rle_v2(enc, signed)
+        assert np.array_equal(dec, case.astype(dec.dtype)), f"len={len(case)}"
+
+
+def test_rle_v2_compresses_runs_and_ramps():
+    run = np.full(10000, 123, np.int64)
+    assert len(encode_int_rle_v2(run, True)) < 200
+    ramp = np.arange(10000, dtype=np.int64)
+    assert len(encode_int_rle_v2(ramp, True)) < 400
+
+
+@pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 13, 24, 33, 63, 64])
+def test_bitpack_roundtrip(width):
+    n = 1000
+    if width == 64:
+        v = RNG.integers(0, 2**63, n).astype(np.uint64) * 2 + 1
+    else:
+        v = RNG.integers(0, 2**width if width else 1, n).astype(np.uint64)
+    packed = bitpack(v, width)
+    assert len(packed) == (n * width + 7) // 8
+    assert np.array_equal(bitunpack(packed, width, n), v)
+
+
+@pytest.mark.parametrize("signed", [True, False])
+def test_for_bitpack_roundtrip(signed):
+    for case in _int_cases(signed):
+        if signed and case.size and (case.max() > 2**62 or case.min() < -(2**62)):
+            continue  # FoR range must fit u64; selector guards this
+        enc = encode_for_bitpack(case, signed)
+        dec = decode_for_bitpack(enc, signed)
+        assert np.array_equal(dec, case.astype(dec.dtype))
+
+
+def test_dict_int_roundtrip():
+    v = RNG.integers(0, 50, 20000).astype(np.int64) * 1000 - 25000
+    enc = encode_dict_int(v, True)
+    assert np.array_equal(decode_dict_int(enc, True), v)
+    assert len(enc) < v.nbytes / 5
+
+
+def _flat(strings):
+    data = np.frombuffer(b"".join(strings), np.uint8)
+    off = np.zeros(len(strings) + 1, np.int64)
+    np.cumsum([len(s) for s in strings], out=off[1:])
+    return data, off
+
+
+def test_dict_bytes_roundtrip():
+    words = [b"alpha", b"beta", b"gamma", b"", b"delta-delta"]
+    strings = [words[i] for i in RNG.integers(0, 5, 5000)]
+    data, off = _flat(strings)
+    enc = encode_dict_bytes(data, off)
+    ddata, doff = decode_dict_bytes(enc)
+    assert np.array_equal(doff, off)
+    assert np.array_equal(ddata, data)
+    assert len(enc) < data.nbytes / 3
+
+
+def test_fsst_roundtrip_text():
+    text = (
+        b"the quick brown fox jumps over the lazy dog; "
+        b"pack my box with five dozen liquor jugs. " * 500
+    )
+    data = np.frombuffer(text, np.uint8)
+    enc = fsst_encode(data)
+    assert np.array_equal(fsst_decode(enc), data)
+    assert len(enc) < len(text) / 2  # real compression on repetitive text
+
+
+def test_fsst_roundtrip_binary_with_ff():
+    data = RNG.integers(0, 256, 5000).astype(np.uint8)
+    data[100:200] = 255  # escape storms
+    enc = fsst_encode(data)
+    assert np.array_equal(fsst_decode(enc), data)
+
+
+def test_fsst_empty():
+    enc = fsst_encode(np.empty(0, np.uint8))
+    assert fsst_decode(enc).size == 0
+
+
+def test_compact_nanos_golden():
+    nanos = np.array([0, 1, 100, 1000, 100000000, 999999999, 123456700], np.int64)
+    enc = compact_nanos(nanos)
+    #  z<2 -> nanos<<3 ; z>=2 -> (nanos/10^z)<<3 | (z-1)  (timestamp.rs:107-133)
+    assert enc[0] == 0
+    assert enc[1] == 1 << 3
+    assert enc[2] == (1 << 3) | 1  # 100 = 1e2 -> val 1, tz 1
+    assert enc[3] == (1 << 3) | 2  # 1000 -> val 1, tz 2
+    assert enc[4] == (1 << 3) | 7  # 1e8 -> val 1, tz 7
+    assert enc[5] == 999999999 << 3
+    assert enc[6] == (1234567 << 3) | 1
+    assert np.array_equal(expand_nanos(enc), nanos)
+
+
+def test_timestamp_roundtrip():
+    ts = RNG.integers(-2**40, 2**43, 10000).astype(np.int64)  # us, ~1938-2248
+    ts = np.append(ts, [0, 1420070400_000000, -1])
+    enc = encode_timestamp_us(ts)
+    assert np.array_equal(decode_timestamp_us(enc), ts)
+
+
+def test_selector_picks_sensible_codecs():
+    run_heavy = np.repeat(np.arange(50, dtype=np.int64), 200)
+    c, est = select_int_codec(run_heavy)
+    assert c in ("rle_v1", "rle_v2", "dict_int")
+    small_range = RNG.integers(1000, 1032, 10000).astype(np.int64)
+    c2, est2 = select_int_codec(small_range)
+    assert est2[c2] <= min(est2.values())
+    strings = [b"GET", b"PUT", b"POST"] * 2000
+    data, off = _flat(strings)
+    c3, _ = select_str_codec(data, off)
+    assert c3 == "dict_str"
+
+
+# ------------------------------------------------------------- container
+
+
+def _sample_table(n=3000):
+    rng = np.random.default_rng(11)
+    ints = rng.integers(-(2**40), 2**40, n)
+    ints32 = rng.integers(0, 100, n).astype(np.int32)
+    flags = rng.integers(0, 2, n).astype(bool)
+    floats = rng.normal(size=n).astype(np.float32)
+    doubles = rng.normal(size=n) * 1e6
+    words = np.array(["alpha", "beta", "gamma", "delta"], object)
+    strs = words[rng.integers(0, 4, n)]
+    ts = rng.integers(0, 2**44, n).view("datetime64[us]")
+    lists = pa.array(
+        [rng.integers(0, 1000, rng.integers(0, 20)).astype(np.int32) for _ in range(n)],
+        pa.list_(pa.int32()),
+    )
+    dec = pa.array([round(float(x), 2) for x in rng.normal(size=n) * 1000]).cast(
+        pa.decimal128(12, 2)
+    )
+    cols = {
+        "k": pa.array(ints),
+        "small": pa.array(ints32),
+        "flag": pa.array(flags),
+        "f": pa.array(floats),
+        "d": pa.array(doubles),
+        "s": pa.array(strs),
+        "ts": pa.array(ts),
+        "toks": lists,
+        "dec": dec,
+    }
+    return pa.table(cols)
+
+
+@pytest.mark.parametrize("compression", ["none", "zstd", "snappy"])
+@pytest.mark.parametrize("codec", ["auto", "rle_v1", "rle_v2"])
+def test_container_roundtrip(codec, compression):
+    tbl = _sample_table(1200)
+    blob, lineage = encode_table(tbl, codec=codec, compression=compression)
+    back = decode_table(blob)
+    assert back.schema.names == tbl.schema.names
+    for name in tbl.column_names:
+        a, b = tbl.column(name).combine_chunks(), back.column(name).combine_chunks()
+        assert a.cast(b.type).equals(b), name
+    assert table_checksum(tbl) == table_checksum(back)
+    assert {l["column"] for l in lineage} >= set(tbl.column_names)
+
+
+def test_container_roundtrip_with_nulls():
+    n = 2000
+    rng = np.random.default_rng(3)
+    mask = rng.integers(0, 4, n) == 0
+    ints = pa.array(
+        [None if m else int(x) for m, x in zip(mask, rng.integers(0, 10**6, n))]
+    )
+    strs = pa.array(
+        [None if m else s for m, s in zip(mask[::-1], ["ab", "cdef", "ghi", ""] * 500)]
+    )
+    lists = pa.array(
+        [None if i % 7 == 0 else list(range(i % 5)) for i in range(n)],
+        pa.list_(pa.int32()),
+    )
+    tbl = pa.table({"i": ints, "s": strs, "l": lists})
+    blob, _ = encode_table(tbl)
+    back = decode_table(blob)
+    for name in tbl.column_names:
+        assert tbl.column(name).combine_chunks().cast(
+            back.column(name).type
+        ).equals(back.column(name).combine_chunks()), name
+
+
+def test_container_compression_beats_raw_on_compressible():
+    n = 50000
+    tbl = pa.table({"v": pa.array(np.arange(n, dtype=np.int64) // 13)})
+    blob, lineage = encode_table(tbl, codec="auto", compression="zstd")
+    assert len(blob) < n * 8 / 50
