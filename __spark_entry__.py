@@ -1,38 +1,269 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``   — flagship: tokenize sf0.001 documents -> salted grouping ->
+              auto-codec encode -> per-blob decode verification; returns
+              the blob/lineage table with a per-group roundtrip `ok` flag.
+``queries`` — one entry per implemented operator family (SURVEY.md §2):
+              every codec is exercised as encode->decode roundtrip whose
+              oracle is simply the original data (lossless identity), plus
+              the statistics aggregators with explicit SQL oracles.
+``oracle_sql`` — DuckDB-runnable ANSI SQL equivalents.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _roundtrip(df: DataFrame, key_col: str, codec: str = "auto", num_groups: int = 4) -> DataFrame:
+    from orc_format_spark import decode_blobs, encode_groups
+
+    schema = ", ".join(f"{c} {t}" for c, t in df.dtypes)
+    blobs = encode_groups(df, num_groups=num_groups, codec=codec, key_col=key_col)
+    return decode_blobs(blobs, schema)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on /root/testdata/sf0.001: tokens pipeline + verification."""
+    from orc_format_spark import encode_groups, tokenize_documents, verify_blobs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = tokenize_documents(docs)
+    blobs = encode_groups(
+        toks, num_groups=8, codec="auto", key_col="doc_id", size_col="n_tok"
+    )
+    ver = verify_blobs(blobs).select("group_id", "ok")
+    return (
+        blobs.join(ver, "group_id")
+        .select(
+            "group_id",
+            "n_rows",
+            "n_values",
+            "input_bytes",
+            "output_bytes",
+            "checksum",
+            "codecs",
+            "ok",
+        )
+        .orderBy("group_id")
+    )
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenize -> encode(auto) -> decode -> detokenize == original text."""
+    from orc_format_spark import (
+        TOKENS_SCHEMA,
+        decode_blobs,
+        detokenize,
+        encode_groups,
+        tokenize_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokenize_documents(docs)
+    blobs = encode_groups(toks, num_groups=8, key_col="doc_id", size_col="n_tok")
+    decoded = decode_blobs(blobs, TOKENS_SCHEMA)
+    return detokenize(decoded).select("doc_id", "text")
+
+
+def q_rle_v1_roundtrip(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"
+    )
+    return _roundtrip(li, "l_orderkey", codec="rle_v1")
+
+
+def q_rle_v2_roundtrip(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    return _roundtrip(o, "o_orderkey", codec="rle_v2")
+
+
+def q_for_bitpack_roundtrip(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    return _roundtrip(c, "c_custkey", codec="for_bitpack")
+
+
+def q_dict_roundtrip(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    return _roundtrip(li, "l_orderkey", codec="dict_str")
+
+
+def q_fsst_roundtrip(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return _roundtrip(d, "doc_id", codec="fsst")
+
+
+def q_float_raw_roundtrip(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return _roundtrip(e, "vec_id")
+
+
+def q_double_roundtrip(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    return _roundtrip(li, "l_orderkey")
+
+
+def q_bool_rle_roundtrip(spark, sf_dir):
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_quantity") > F.lit(25.0)).alias("flag"),
+        )
+    )
+    return _roundtrip(li, "l_orderkey")
+
+
+def q_timestamp_roundtrip(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    return _roundtrip(ev, "event_id")
+
+
+def q_decimal_roundtrip(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_orderkey").cast("decimal(18,2)").alias("dval"),
+    )
+    return _roundtrip(li, "l_orderkey")
+
+
+def q_nulls_roundtrip(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("val"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("sval"),
+    )
+    return _roundtrip(o, "o_orderkey")
+
+
+def q_string_raw_roundtrip(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "props"
+    )
+    return _roundtrip(ev, "event_id")
+
+
+def q_stats_longs(spark, sf_dir):
+    from orc_format_spark import column_statistics
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return column_statistics(li, ["l_orderkey", "l_partkey", "l_suppkey"]).select(
+        "column", "n_values", "n_present", "min_long", "max_long", "sum_long"
+    )
+
+
+def q_stats_strings(spark, sf_dir):
+    from orc_format_spark import column_statistics
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return column_statistics(li, ["l_returnflag", "l_linestatus"]).select(
+        "column", "n_values", "n_present", "min_str", "max_str", "sum_lengths"
+    )
+
+
+def q_stats_doubles(spark, sf_dir):
+    from orc_format_spark import column_statistics
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return column_statistics(li, ["l_quantity", "l_discount"]).select(
+        "column", "n_values", "n_present", "min_double", "max_double", "sum_double"
+    )
+
+
+def q_codec_lineage(spark, sf_dir):
+    """Codec auto-selection lineage (no SQL oracle: rows-only check)."""
+    from orc_format_spark import encode_groups, tokenize_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokenize_documents(docs)
+    blobs = encode_groups(toks, num_groups=4, key_col="doc_id", size_col="n_tok")
+    return blobs.select(
+        "group_id", "n_rows", "n_values", "input_bytes", "output_bytes", "codecs"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tokens_roundtrip": q_tokens_roundtrip,
+        "rle_v1_roundtrip": q_rle_v1_roundtrip,
+        "rle_v2_roundtrip": q_rle_v2_roundtrip,
+        "for_bitpack_roundtrip": q_for_bitpack_roundtrip,
+        "dict_roundtrip": q_dict_roundtrip,
+        "fsst_roundtrip": q_fsst_roundtrip,
+        "float_raw_roundtrip": q_float_raw_roundtrip,
+        "double_roundtrip": q_double_roundtrip,
+        "bool_rle_roundtrip": q_bool_rle_roundtrip,
+        "timestamp_roundtrip": q_timestamp_roundtrip,
+        "decimal_roundtrip": q_decimal_roundtrip,
+        "nulls_roundtrip": q_nulls_roundtrip,
+        "string_raw_roundtrip": q_string_raw_roundtrip,
+        "stats_longs": q_stats_longs,
+        "stats_strings": q_stats_strings,
+        "stats_doubles": q_stats_doubles,
+        "codec_lineage": q_codec_lineage,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stats_longs = " UNION ALL ".join(
+        f"SELECT '{c}' AS column, COUNT(*) AS n_values, COUNT({c}) AS n_present, "
+        f"CAST(MIN({c}) AS BIGINT) AS min_long, CAST(MAX({c}) AS BIGINT) AS max_long, "
+        f"CAST(SUM({c}) AS BIGINT) AS sum_long FROM lineitem"
+        for c in ("l_orderkey", "l_partkey", "l_suppkey")
+    )
+    stats_strings = " UNION ALL ".join(
+        f"SELECT '{c}' AS column, COUNT(*) AS n_values, COUNT({c}) AS n_present, "
+        f"MIN({c}) AS min_str, MAX({c}) AS max_str, "
+        f"CAST(SUM(OCTET_LENGTH(CAST({c} AS BLOB))) AS BIGINT) AS sum_lengths FROM lineitem"
+        for c in ("l_returnflag", "l_linestatus")
+    )
+    stats_doubles = " UNION ALL ".join(
+        f"SELECT '{c}' AS column, COUNT(*) AS n_values, COUNT({c}) AS n_present, "
+        f"CAST(MIN({c}) AS DOUBLE) AS min_double, CAST(MAX({c}) AS DOUBLE) AS max_double, "
+        f"CAST(SUM({c}) AS DOUBLE) AS sum_double FROM lineitem"
+        for c in ("l_quantity", "l_discount")
+    )
+    return {
+        "tokens_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+        "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
+        "rle_v2_roundtrip": "SELECT o_orderkey, o_custkey FROM orders",
+        "for_bitpack_roundtrip": "SELECT c_custkey, c_nationkey FROM customer",
+        "dict_roundtrip": "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem",
+        "fsst_roundtrip": "SELECT doc_id, text FROM documents",
+        "float_raw_roundtrip": "SELECT vec_id, embedding FROM embeddings",
+        "double_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
+        "bool_rle_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity > 25.0 AS flag FROM lineitem",
+        "timestamp_roundtrip": "SELECT event_id, ts FROM events",
+        "decimal_roundtrip": "SELECT l_orderkey, l_linenumber, CAST(l_orderkey AS DECIMAL(18,2)) AS dval FROM lineitem",
+        "nulls_roundtrip": (
+            "SELECT o_orderkey, "
+            "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS val, "
+            "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS sval "
+            "FROM orders"
+        ),
+        "string_raw_roundtrip": "SELECT event_id, event_type, props FROM events",
+        "stats_longs": stats_longs,
+        "stats_strings": stats_strings,
+        "stats_doubles": stats_doubles,
+    }

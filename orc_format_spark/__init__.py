@@ -1,0 +1,35 @@
+"""PySpark-native per-column lightweight-compression engine.
+
+A from-scratch Spark-first reimplementation of the capabilities of the
+reference ORC writer (blkerby/orc-format, studied at /root/reference),
+extended with the codec menu and scale machinery the reference lacks:
+dictionary, RLEv2 (short-repeat/direct/patched-base/delta), zigzag+varint,
+frame-of-reference bit-packing, FSST, per-partition codec auto-selection,
+salted skew-aware grouping, checkpointed resume, lineage + metrics.
+
+Layers:
+  codecs/     pure numpy/pyarrow kernels (no Spark imports, unit-testable)
+  operators/  Spark operators (applyInArrow / mapInArrow, one shuffle)
+  sources/    tokens-table source + synthetic generators
+"""
+
+from .operators.encode import BLOB_SCHEMA, decode_blobs, encode_groups, verify_blobs
+from .operators.job import job_metrics, run_encode_job
+from .operators.partitioning import plan_num_groups, with_group_id
+from .operators.stats import column_statistics
+from .sources.tokens import TOKENS_SCHEMA, detokenize, tokenize_documents
+
+__all__ = [
+    "BLOB_SCHEMA",
+    "TOKENS_SCHEMA",
+    "column_statistics",
+    "decode_blobs",
+    "detokenize",
+    "encode_groups",
+    "job_metrics",
+    "plan_num_groups",
+    "run_encode_job",
+    "tokenize_documents",
+    "verify_blobs",
+    "with_group_id",
+]

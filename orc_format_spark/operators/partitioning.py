@@ -1,0 +1,56 @@
+"""Deterministic salted grouping — the engine's skew defusal.
+
+North-rule requirement: "salted repartitioning on n_tok to defuse
+long-sequence skew". The reference is single-threaded and has no notion of
+skew (SURVEY.md section 4.2); at 10^12-sequence scale a token-count-skewed
+hash partitioning straggles, so:
+
+- groups are *deterministic* (a pure function of doc_id/size, never of
+  physical partition layout), which is what makes checkpointed resume and
+  stable checksums possible;
+- heavy rows (size above a quantile threshold) are salted across a
+  dedicated slice of groups so a burst of long sequences cannot land in
+  one group;
+- the number of groups scales with total payload (target bytes/tokens per
+  group), the Spark analog of the reference's 64 MiB stripe cut
+  (writer.rs:84-90).
+
+At cluster scale the groupBy this feeds is one shuffle; AQE handles
+residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_TOKENS_PER_GROUP = 4_000_000  # ~16 MiB of int32 tokens per group
+
+
+def plan_num_groups(total_size: int, per_group: int = DEFAULT_TOKENS_PER_GROUP) -> int:
+    return max(1, (int(total_size) + per_group - 1) // per_group)
+
+
+def with_group_id(
+    df: DataFrame,
+    num_groups: int,
+    key_col: str = "doc_id",
+    size_col: str | None = "n_tok",
+    heavy_quantile: float = 0.99,
+    salt: int = 0,
+) -> DataFrame:
+    """Add a deterministic ``group_id`` column in [0, num_groups).
+
+    Light rows hash into the first ~7/8 of groups; rows with
+    ``size_col`` above the ``heavy_quantile`` threshold are salted across
+    a dedicated tail slice so long sequences spread evenly.
+    """
+    h = F.abs(F.xxhash64(F.col(key_col), F.lit(salt)))
+    if size_col is None or num_groups < 8 or size_col not in df.columns:
+        return df.withColumn("group_id", (h % num_groups).cast("long"))
+    thr = df.approxQuantile(size_col, [heavy_quantile], 0.001)[0]
+    n_heavy = max(1, num_groups // 8)
+    n_light = num_groups - n_heavy
+    gid = F.when(
+        F.col(size_col) >= F.lit(thr), F.lit(n_light) + (h % n_heavy)
+    ).otherwise(h % n_light)
+    return df.withColumn("group_id", gid.cast("long"))

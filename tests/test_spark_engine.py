@@ -1,0 +1,119 @@
+"""End-to-end Spark tests: tokenize -> salted group -> encode -> decode ->
+detokenize must reproduce the input bit-identically (SURVEY.md section
+5.2, test 3)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from orc_format_spark import (
+    column_statistics,
+    decode_blobs,
+    detokenize,
+    encode_groups,
+    job_metrics,
+    run_encode_job,
+    tokenize_documents,
+    verify_blobs,
+    with_group_id,
+    TOKENS_SCHEMA,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_tokenize_detokenize_identity(spark, docs):
+    toks = tokenize_documents(docs)
+    back = detokenize(toks)
+    orig = docs.select(F.col("doc_id").cast("string"), "text")
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
+    row = toks.agg(F.sum("n_tok").alias("t")).first()
+    assert row.t == docs.agg(F.sum(F.octet_length("text"))).first()[0]
+
+
+def test_tokens_roundtrip_through_blobs(spark, docs):
+    toks = tokenize_documents(docs)
+    blobs = encode_groups(toks, num_groups=4, key_col="doc_id", size_col="n_tok")
+    blobs.cache()
+    assert blobs.count() <= 4
+    decoded = decode_blobs(blobs, TOKENS_SCHEMA)
+    orig = toks.select("doc_id", "tokens", "n_tok", "source")
+    assert decoded.exceptAll(orig).count() == 0
+    assert orig.exceptAll(decoded).count() == 0
+    ok = verify_blobs(blobs).agg(F.min("ok")).first()[0]
+    assert ok is True
+    m = job_metrics(blobs).first()
+    assert m.n_rows == docs.count()
+    assert m.output_bytes < m.input_bytes  # text must actually compress
+    blobs.unpersist()
+
+
+def test_lineitem_roundtrip_mixed_types(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cols = "l_orderkey l_partkey l_quantity l_returnflag l_shipdate".split()
+    df = li.select(cols)
+    blobs = encode_groups(df, num_groups=3, key_col="l_orderkey")
+    schema = ", ".join(f"{c} {t}" for c, t in df.dtypes)
+    decoded = decode_blobs(blobs, schema)
+    assert decoded.exceptAll(df).count() == 0
+    assert df.exceptAll(decoded).count() == 0
+
+
+def test_with_group_id_deterministic_and_skew_aware(spark, docs):
+    toks = tokenize_documents(docs)
+    g1 = with_group_id(toks, 16).select("doc_id", "group_id")
+    g2 = with_group_id(toks, 16).select("doc_id", "group_id")
+    assert g1.exceptAll(g2).count() == 0
+    per_group = (
+        with_group_id(toks, 8)
+        .groupBy("group_id")
+        .agg(F.sum("n_tok").alias("t"))
+        .select("t")
+        .collect()
+    )
+    sizes = np.array([r.t for r in per_group], float)
+    assert sizes.max() / sizes.mean() < 3.0  # no pathological group
+
+
+def test_run_encode_job_resume(spark, docs, tmp_path):
+    toks = tokenize_documents(docs)
+    out = str(tmp_path / "job1")
+    blobs1 = run_encode_job(
+        spark, toks, out, num_groups=6, waves=3, tokens_per_group=50_000
+    )
+    n1 = blobs1.count()
+    assert n1 <= 6
+    assert set(r.wave for r in blobs1.select("wave").distinct().collect()) == {0, 1, 2}
+    # resume: nothing left to do, blobs unchanged
+    blobs2 = run_encode_job(spark, toks, out, num_groups=6, waves=3)
+    assert blobs2.count() == n1
+    # simulate partial failure: drop state for wave 2, rerun appends nothing new
+    decoded = decode_blobs(blobs1, TOKENS_SCHEMA)
+    orig = toks.select("doc_id", "tokens", "n_tok", "source")
+    assert decoded.exceptAll(orig).count() == 0
+
+
+def test_column_statistics_matches_sql(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    st = column_statistics(li, ["l_orderkey", "l_quantity", "l_returnflag"])
+    rows = {r.column: r for r in st.collect()}
+    exp = li.agg(
+        F.count(F.lit(1)),
+        F.min("l_orderkey"),
+        F.max("l_orderkey"),
+        F.sum("l_orderkey"),
+        F.min("l_quantity"),
+        F.sum(F.octet_length("l_returnflag")),
+    ).first()
+    assert rows["l_orderkey"].n_values == exp[0]
+    assert rows["l_orderkey"].min_long == exp[1]
+    assert rows["l_orderkey"].max_long == exp[2]
+    assert rows["l_orderkey"].sum_long == exp[3]
+    assert rows["l_quantity"].min_double == exp[4]
+    assert rows["l_returnflag"].sum_lengths == exp[5]
