@@ -58,19 +58,36 @@ def bits_required(u: np.ndarray) -> int:
     return m.bit_length()
 
 
+def _lane_dtype(width: int):
+    if width <= 8:
+        return np.uint8
+    if width <= 16:
+        return np.uint16
+    if width <= 32:
+        return np.uint32
+    return np.uint64
+
+
 def bitpack(u: np.ndarray, width: int) -> bytes:
     """Pack uint64 values at ``width`` bits each, MSB-first big-endian."""
     u = np.ascontiguousarray(u, dtype=np.uint64)
     n = u.size
     if n == 0 or width == 0:
         return b""
-    shifts = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    if width % 8 == 0:
+        # byte-aligned: each value is the low width/8 bytes of its
+        # big-endian u64 representation
+        nb = width // 8
+        be = u.astype(">u8").view(np.uint8).reshape(n, 8)[:, 8 - nb :]
+        return np.ascontiguousarray(be).tobytes()
+    dt = _lane_dtype(width)
+    shifts = np.arange(width - 1, -1, -1, dtype=dt)
     out_parts = []
     # process in chunks whose bit counts are byte-aligned (chunk*width % 8
     # == 0 because _CHUNK is a multiple of 8)
     for s in range(0, n, _CHUNK):
-        chunk = u[s : s + _CHUNK]
-        bits = ((chunk[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        chunk = u[s : s + _CHUNK].astype(dt)
+        bits = ((chunk[:, None] >> shifts) & dt(1)).astype(np.uint8, copy=False)
         out_parts.append(np.packbits(bits.reshape(-1)))
     return b"".join(p.tobytes() for p in out_parts)
 
@@ -80,6 +97,12 @@ def bitunpack(buf, width: int, count: int) -> np.ndarray:
     if count == 0 or width == 0:
         return np.zeros(count, np.uint64)
     raw = np.frombuffer(buf, np.uint8)
+    if width % 8 == 0:
+        nb = width // 8
+        be = np.zeros((count, 8), np.uint8)
+        be[:, 8 - nb :] = raw[: count * nb].reshape(count, nb)
+        return be.reshape(-1).view(">u8").astype(np.uint64)
+    dt = _lane_dtype(width)
     out = np.empty(count, np.uint64)
     done = 0
     byte_pos = 0
@@ -87,10 +110,10 @@ def bitunpack(buf, width: int, count: int) -> np.ndarray:
         c = min(_CHUNK, count - done)
         nbytes = (c * width + 7) // 8
         bits = np.unpackbits(raw[byte_pos : byte_pos + nbytes])[: c * width]
-        m = bits.reshape(c, width)
-        acc = np.zeros(c, np.uint64)
+        m = bits.reshape(c, width).astype(dt)
+        acc = np.zeros(c, dt)
         for k in range(width):
-            acc |= m[:, k].astype(np.uint64) << np.uint64(width - 1 - k)
+            acc |= m[:, k] << dt(width - 1 - k)
         out[done : done + c] = acc
         done += c
         byte_pos += nbytes

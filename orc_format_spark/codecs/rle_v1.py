@@ -26,6 +26,8 @@ O(#groups) assembly loop, so cost scales with the number of emitted groups
 
 from __future__ import annotations
 
+from bisect import bisect_left
+
 import numpy as np
 
 from .varint import (
@@ -39,39 +41,69 @@ _LIT_CAP = 128  # max literal group (byte_rle.rs buf len / int_rle_v1 buf cap)
 _RUN_CAP = 130  # max run length (run_len cap at 130, header 127)
 
 
-def _greedy_groups(d_u64: np.ndarray, fits: np.ndarray) -> list[tuple[bool, int, int]]:
+def _range_gather_indices(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Index array covering [starts[i], starts[i]+lens[i]) concatenated."""
+    lens = np.asarray(lens, np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    ends = np.cumsum(lens)
+    outst = ends - lens
+    return (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(outst, lens)
+        + np.repeat(np.asarray(starts, np.int64), lens)
+    )
+
+
+def _greedy_groups(
+    d_u64: np.ndarray, fits: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Compute the exact group segmentation of the reference machine.
 
     ``d_u64[i] = v[i] - v[i-1]`` (wrapping, d_u64[0] unused); ``fits[i]``
     is whether d_u64[i] is an admissible run delta (|delta| i8 for ints,
-    delta==0 for bytes). Returns [(is_run, start, count), ...].
+    delta==0 for bytes). Returns (is_run, start, count) numpy arrays.
 
     A run starts at value index c (>= 2) when d[c] == d[c-1], fits[c], and
     the literal buffer at that moment holds >= 2 values (buffer restarts at
     every 128-literal cap flush). It extends while d stays constant,
     emitting groups of <=130; 1-2 leftover same-delta values fall back into
     the literal buffer.
+
+    The loop below is O(#candidate-stretches) pure-Python-int work; all
+    per-value analysis is vectorized up front.
     """
     n = d_u64.size
-    groups: list[tuple[bool, int, int]] = []
+    g_run: list[bool] = []
+    g_start: list[int] = []
+    g_cnt: list[int] = []
+    empty = (np.empty(0, bool), np.empty(0, np.int64), np.empty(0, np.int64))
     if n == 0:
-        return groups
+        return empty
     same = np.zeros(n, bool)
     if n >= 3:
         same[2:] = d_u64[2:] == d_u64[1:-1]
-    cand = np.flatnonzero(same & fits)
+    cand_np = np.flatnonzero(same & fits)
     not_same = np.flatnonzero(~same)  # positions where a stretch breaks
+    # stretch end for each candidate, precomputed vectorized
+    j = np.searchsorted(not_same, cand_np, side="right")
+    e_np = np.where(
+        j < len(not_same), not_same[np.minimum(j, len(not_same) - 1)] - 1, n - 1
+    )
+    cand = cand_np.tolist()
+    cend = e_np.tolist()
     nc = len(cand)
     i = 0  # next value index to account for
     ls = 0  # literal buffer start
     ci = 0  # candidate cursor
     while True:
-        while ci < nc and cand[ci] < i:
-            ci += 1
+        if ci < nc and cand[ci] < i:
+            ci = bisect_left(cand, i, ci)
         c = -1
         cj = ci
         while cj < nc:
-            cc = int(cand[cj])
+            cc = cand[cj]
             # effective buffer start after 128-cap flushes
             ls_eff = ls + _LIT_CAP * ((cc - ls) // _LIT_CAP)
             if cc - ls_eff >= 2:
@@ -82,28 +114,37 @@ def _greedy_groups(d_u64: np.ndarray, fits: np.ndarray) -> list[tuple[bool, int,
             # no more runs: flush literals ls..n-1 in cap-sized chunks
             p = ls
             while n - p > _LIT_CAP:
-                groups.append((False, p, _LIT_CAP))
+                g_run.append(False)
+                g_start.append(p)
+                g_cnt.append(_LIT_CAP)
                 p += _LIT_CAP
             if n - p > 0:
-                groups.append((False, p, n - p))
-            return groups
+                g_run.append(False)
+                g_start.append(p)
+                g_cnt.append(n - p)
+            break
         # literals before the run: full 128-groups up to ls_eff, then the
         # popped-to remainder ls_eff..c-3 as one group
         ls_eff = ls + _LIT_CAP * ((c - ls) // _LIT_CAP)
         p = ls
         while p < ls_eff:
-            groups.append((False, p, _LIT_CAP))
+            g_run.append(False)
+            g_start.append(p)
+            g_cnt.append(_LIT_CAP)
             p += _LIT_CAP
         if c - 2 - ls_eff > 0:
-            groups.append((False, ls_eff, c - 2 - ls_eff))
+            g_run.append(False)
+            g_start.append(ls_eff)
+            g_cnt.append(c - 2 - ls_eff)
         # run from c-2 through the end of the constant-delta stretch
-        j = int(np.searchsorted(not_same, c, side="right"))
-        e = int(not_same[j]) - 1 if j < len(not_same) else n - 1
+        e = cend[cj]
         pos = c - 2
         rem = e - pos + 1
         while rem >= 3:
-            r = min(rem, _RUN_CAP)
-            groups.append((True, pos, r))
+            r = rem if rem < _RUN_CAP else _RUN_CAP
+            g_run.append(True)
+            g_start.append(pos)
+            g_cnt.append(r)
             pos += r
             rem -= r
         ls = pos  # 0..2 leftover same-delta values re-enter the buffer
@@ -111,8 +152,15 @@ def _greedy_groups(d_u64: np.ndarray, fits: np.ndarray) -> list[tuple[bool, int,
         ci = cj + 1
         if i >= n:
             if n - ls > 0:  # flush leftovers (always < 3 here)
-                groups.append((False, ls, n - ls))
-            return groups
+                g_run.append(False)
+                g_start.append(ls)
+                g_cnt.append(n - ls)
+            break
+    return (
+        np.array(g_run, bool),
+        np.array(g_start, np.int64),
+        np.array(g_cnt, np.int64),
+    )
 
 
 # ---------------------------------------------------------------- ByteRLE
@@ -128,36 +176,56 @@ def encode_byte_rle(values: np.ndarray) -> bytes:
     u = v.astype(np.uint64)
     d[1:] = u[1:] - u[:-1]
     fits = d == 0  # byte runs require equal values
-    groups = _greedy_groups(d, fits)
-    parts: list[bytes] = []
-    vb = v.tobytes()
-    for is_run, s, cnt in groups:
-        if is_run:
-            parts.append(bytes((cnt - 3, v[s])))
-        else:
-            parts.append(bytes(((256 - cnt) & 0xFF,)))
-            parts.append(vb[s : s + cnt])
-    return b"".join(parts)
+    is_run, gs, gc = _greedy_groups(d, fits)
+    # payload values: the run's single value byte, or the literal bytes
+    vcnt = np.where(is_run, 1, gc)
+    payload = v[_range_gather_indices(gs, vcnt)]
+    cum_h = np.arange(1, gs.size + 1, dtype=np.int64)  # all headers 1 byte
+    out = np.empty(gs.size + payload.size, np.uint8)
+    gstart = np.concatenate(([0], np.cumsum(1 + vcnt)[:-1]))
+    out[gstart] = np.where(is_run, gc - 3, (256 - gc) & 0xFF).astype(np.uint8)
+    out[np.arange(payload.size, dtype=np.int64) + np.repeat(cum_h, vcnt)] = payload
+    return out.tobytes()
 
 
 def decode_byte_rle(buf) -> np.ndarray:
-    b = np.frombuffer(buf, np.uint8)
-    out: list[np.ndarray] = []
+    bb = buf if isinstance(buf, bytes) else bytes(buf)
+    b = np.frombuffer(bb, np.uint8)
+    L = len(bb)
+    kinds: list[bool] = []
+    cnts: list[int] = []
+    srcs: list[int] = []  # value byte position (run) / literal start
     i = 0
-    L = b.size
     while i < L:
-        h = int(b[i])
+        h = bb[i]
         if h < 128:
-            cnt = h + 3
-            out.append(np.full(cnt, b[i + 1], np.uint8))
+            kinds.append(True)
+            cnts.append(h + 3)
+            srcs.append(i + 1)
             i += 2
         else:
             cnt = 256 - h
-            out.append(b[i + 1 : i + 1 + cnt])
+            kinds.append(False)
+            cnts.append(cnt)
+            srcs.append(i + 1)
             i += 1 + cnt
-    if not out:
+    if not cnts:
         return np.empty(0, np.uint8)
-    return np.concatenate(out)
+    is_run = np.array(kinds, bool)
+    cnt_a = np.array(cnts, np.int64)
+    src_a = np.array(srcs, np.int64)
+    oends = np.cumsum(cnt_a)
+    ostarts = oends - cnt_a
+    out = np.empty(int(oends[-1]), np.uint8)
+    lit = ~is_run
+    if lit.any():
+        out[_range_gather_indices(ostarts[lit], cnt_a[lit])] = b[
+            _range_gather_indices(src_a[lit], cnt_a[lit])
+        ]
+    if is_run.any():
+        rc = cnt_a[is_run]
+        out[_range_gather_indices(ostarts[is_run], rc)] = np.repeat(b[src_a[is_run]], rc)
+    return out
 
 
 # -------------------------------------------------------------- BooleanRLE
@@ -200,56 +268,104 @@ def encode_int_rle_v1(values: np.ndarray, signed: bool = True) -> bytes:
     d[1:] = u[1:] - u[:-1]  # wrapping subtraction
     di = d.view(np.int64)
     fits = (di >= -128) & (di < 128)  # VarInt::fits_i8 (varint.rs:29-31)
-    groups = _greedy_groups(d, fits)
-    zz = zigzag_encode(u.view(np.int64)) if signed else u
+    is_run, gs, gc = _greedy_groups(d, fits)
+    # varint-encode only the needed values: run base or literal values,
+    # gathered in group order so payloads tile the varint stream exactly
+    vcnt = np.where(is_run, 1, gc)
+    ends = np.cumsum(vcnt)
+    vstarts = ends - vcnt
+    vals = u[_range_gather_indices(gs, vcnt)]
+    zz = zigzag_encode(vals.view(np.int64)) if signed else vals
     vbytes, voff = encode_varints(zz)
-    vb = vbytes.tobytes()
-    parts: list[bytes] = []
-    for is_run, s, cnt in groups:
-        if is_run:
-            delta_byte = int(d[s + 1]) & 0xFF  # two's-complement low byte
-            parts.append(bytes((cnt - 3, delta_byte)))
-            parts.append(vb[voff[s] : voff[s + 1]])
-        else:
-            parts.append(bytes(((256 - cnt) & 0xFF,)))
-            parts.append(vb[voff[s] : voff[s + cnt]])
-    return b"".join(parts)
+    plen = voff[ends] - voff[vstarts]
+    hlen = np.where(is_run, 2, 1)
+    cum_h = np.cumsum(hlen)
+    gstart = np.concatenate(([0], np.cumsum(hlen + plen)[:-1]))
+    out = np.empty(int(cum_h[-1]) + vbytes.size, np.uint8)
+    out[gstart] = np.where(is_run, gc - 3, (256 - gc) & 0xFF).astype(np.uint8)
+    run_pos = np.flatnonzero(is_run)
+    if run_pos.size:
+        # delta byte: two's-complement low byte of the run's constant delta
+        out[gstart[run_pos] + 1] = (d[gs[run_pos] + 1] & np.uint64(0xFF)).astype(
+            np.uint8
+        )
+    out[np.arange(vbytes.size, dtype=np.int64) + np.repeat(cum_h, plen)] = vbytes
+    return out.tobytes()
 
 
 def decode_int_rle_v1(buf, signed: bool = True) -> np.ndarray:
-    """Decode IntRLEv1 -> int64 (signed) or uint64 (unsigned) array."""
-    b = np.frombuffer(buf, np.uint8)
-    out: list[np.ndarray] = []
-    i = 0
-    L = b.size
-    while i < L:
-        h = int(b[i])
-        if h < 128:  # run group
-            cnt = h + 3
-            delta = int(b[i + 1])
-            if delta >= 128:
-                delta -= 256
-            j = i + 2
-            k = j
-            while b[k] & 0x80:
-                k += 1
-            base_u = 0
-            for t in range(j, k + 1):
-                base_u |= (int(b[t]) & 0x7F) << (7 * (t - j))
-            base_u &= 0xFFFFFFFFFFFFFFFF
-            steps = np.arange(cnt, dtype=np.uint64) * np.uint64(delta & 0xFFFFFFFFFFFFFFFF)
-            if signed:
-                base = int(zigzag_decode(np.array([base_u], np.uint64))[0])
-                vals = (np.uint64(base & 0xFFFFFFFFFFFFFFFF) + steps).view(np.int64)
-            else:
-                vals = np.uint64(base_u) + steps
-            out.append(vals)
-            i = k + 1
-        else:  # literal group
-            cnt = 256 - h
-            vals_u, consumed = decode_varints(b[i + 1 :], count=cnt)
-            out.append(zigzag_decode(vals_u) if signed else vals_u)
-            i += 1 + consumed
-    if not out:
+    """Decode IntRLEv1 -> int64 (signed) or uint64 (unsigned) array.
+
+    Group boundaries are found with O(1) Python-int work per group (varint
+    terminators are pre-indexed); all value reconstruction is vectorized.
+    """
+    bb = buf if isinstance(buf, bytes) else bytes(buf)
+    if not bb:
         return np.empty(0, np.int64 if signed else np.uint64)
-    return np.concatenate(out)
+    b = np.frombuffer(bb, np.uint8)
+    term = np.flatnonzero((b & 0x80) == 0).tolist()  # varint end positions
+    L = len(bb)
+    kinds: list[bool] = []
+    cnts: list[int] = []
+    deltas: list[int] = []
+    vr_start: list[int] = []  # varint byte-range per group
+    vr_len: list[int] = []
+    i = 0
+    ti = 0
+    nterm = len(term)
+    while i < L:
+        h = bb[i]
+        if h < 128:  # run group: header, delta byte, base varint
+            delta = bb[i + 1]
+            vs = i + 2
+            if ti < nterm and term[ti] < vs:
+                ti = bisect_left(term, vs, ti)
+            ve = term[ti]
+            ti += 1
+            kinds.append(True)
+            cnts.append(h + 3)
+            deltas.append(delta - 256 if delta >= 128 else delta)
+            vr_start.append(vs)
+            vr_len.append(ve + 1 - vs)
+            i = ve + 1
+        else:  # literal group: header + cnt varints
+            cnt = 256 - h
+            vs = i + 1
+            if ti < nterm and term[ti] < vs:
+                ti = bisect_left(term, vs, ti)
+            ve = term[ti + cnt - 1]
+            ti += cnt
+            kinds.append(False)
+            cnts.append(cnt)
+            deltas.append(0)
+            vr_start.append(vs)
+            vr_len.append(ve + 1 - vs)
+            i = ve + 1
+    is_run = np.array(kinds, bool)
+    cnt_a = np.array(cnts, np.int64)
+    vbytes = b[_range_gather_indices(np.array(vr_start, np.int64), np.array(vr_len, np.int64))]
+    vcnt = np.where(is_run, 1, cnt_a)
+    vals_u, _ = decode_varints(vbytes, count=int(vcnt.sum()))
+    vals = zigzag_decode(vals_u).view(np.uint64) if signed else vals_u
+    vends = np.cumsum(vcnt)
+    vstarts = vends - vcnt
+    oends = np.cumsum(cnt_a)
+    ostarts = oends - cnt_a
+    out = np.empty(int(oends[-1]), np.uint64)
+    lit = ~is_run
+    if lit.any():
+        out[_range_gather_indices(ostarts[lit], cnt_a[lit])] = vals[
+            _range_gather_indices(vstarts[lit], vcnt[lit])
+        ]
+    if is_run.any():
+        rc = cnt_a[is_run]
+        total_r = int(rc.sum())
+        rends = np.cumsum(rc)
+        # within-run step index 0..cnt-1 for every expanded position
+        off = np.arange(total_r, dtype=np.int64) - np.repeat(rends - rc, rc)
+        base = np.repeat(vals[vstarts[is_run]], rc)
+        dl = np.repeat(
+            np.array(deltas, np.int64)[is_run].view(np.uint64), rc
+        )
+        out[_range_gather_indices(ostarts[is_run], rc)] = base + off.view(np.uint64) * dl
+    return out.view(np.int64) if signed else out

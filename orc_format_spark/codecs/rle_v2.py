@@ -77,8 +77,11 @@ def _emit_short_repeat(out: list[bytes], value_u: int, count: int, signed: bool)
     out.append(v.to_bytes(nbytes, "big"))
 
 
-def _emit_direct(out: list[bytes], seg_u: np.ndarray, signed: bool):
-    zz = zigzag_encode(seg_u.view(np.int64)) if signed else seg_u
+def _emit_direct(
+    out: list[bytes], seg_u: np.ndarray, signed: bool, zz: np.ndarray | None = None
+):
+    if zz is None:
+        zz = zigzag_encode(seg_u.view(np.int64)) if signed else seg_u
     w = round_width(int(_bit_lengths(zz).max()) if zz.size else 1)
     c = width_code(w)
     n = seg_u.size
@@ -125,7 +128,10 @@ def _try_patched(seg_u: np.ndarray, signed: bool) -> bytes | None:
     residual = seg_u - np.uint64(base & _U64_MASK)
     bl = _bit_lengths(residual)
     max_w = int(bl.max())
-    w95 = int(np.percentile(bl, 95))
+    # 95th-percentile width via bincount (bl <= 64, far faster than
+    # np.percentile on small chunks)
+    counts = np.bincount(bl, minlength=65)
+    w95 = int(np.searchsorted(np.cumsum(counts), 0.95 * n))
     w = round_width(max(1, w95))
     if w >= max_w:
         return None  # no outliers to patch
@@ -173,11 +179,13 @@ def _try_patched(seg_u: np.ndarray, signed: bool) -> bytes | None:
     return header + bytes(base_bytes) + packed_main + packed_patch
 
 
-def _encode_literal_chunk(out: list[bytes], seg_u: np.ndarray, signed: bool):
+def _encode_literal_chunk(
+    out: list[bytes], seg_u: np.ndarray, signed: bool, zz: np.ndarray | None = None
+):
     """Pick the cheapest of delta/patched/direct for a <=512 chunk."""
     n = seg_u.size
     if n == 1:
-        _emit_direct(out, seg_u, signed)
+        _emit_direct(out, seg_u, signed, zz)
         return
     if 3 <= n <= 10 and bool((seg_u == seg_u[0]).all()):
         _emit_short_repeat(out, int(seg_u[0]), n, signed)
@@ -201,13 +209,13 @@ def _encode_literal_chunk(out: list[bytes], seg_u: np.ndarray, signed: bool):
             _emit_delta(buf, seg_u, d0, dabs[1:], signed)
             delta_bytes = b"".join(buf)
             direct_buf: list[bytes] = []
-            _emit_direct(direct_buf, seg_u, signed)
+            _emit_direct(direct_buf, seg_u, signed, zz)
             direct_bytes = b"".join(direct_buf)
             out.append(delta_bytes if len(delta_bytes) <= len(direct_bytes) else direct_bytes)
             return
     patched = _try_patched(seg_u, signed)
     direct_buf = []
-    _emit_direct(direct_buf, seg_u, signed)
+    _emit_direct(direct_buf, seg_u, signed, zz)
     direct_bytes = b"".join(direct_buf)
     if patched is not None and len(patched) < len(direct_bytes):
         out.append(patched)
@@ -224,6 +232,7 @@ def encode_int_rle_v2(values: np.ndarray, signed: bool = True) -> bytes:
     n = u.size
     if n == 0:
         return b""
+    zz_full = zigzag_encode(u.view(np.int64)) if signed else u
     out: list[bytes] = []
     # segment into equal-value runs (>=4) and literal stretches
     change = np.empty(n, bool)
@@ -262,7 +271,8 @@ def encode_int_rle_v2(values: np.ndarray, signed: bool = True) -> bytes:
                 sj += 1
             e = int(starts[sj]) if sj < nseg else n
             for cs in range(s, e, _MAX_CHUNK):
-                _encode_literal_chunk(out, u[cs : min(cs + _MAX_CHUNK, e)], signed)
+                ce = min(cs + _MAX_CHUNK, e)
+                _encode_literal_chunk(out, u[cs:ce], signed, zz_full[cs:ce])
             si = sj
     return b"".join(out)
 

@@ -46,7 +46,10 @@ def encode_varints(u: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         return np.empty(0, np.uint8), np.zeros(1, np.int64)
     # byte count per value: 1 + number of 7-bit thresholds exceeded
     nb = np.ones(n, np.int64)
+    mx = int(u.max())
     for k in range(1, 10):
+        if mx < (1 << (7 * k)):
+            break
         nb += (u >= np.uint64(1 << (7 * k))).astype(np.int64)
     offsets = np.zeros(n + 1, np.int64)
     np.cumsum(nb, out=offsets[1:])
