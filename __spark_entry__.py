@@ -191,6 +191,98 @@ def q_stats_doubles(spark, sf_dir):
     )
 
 
+def q_text_profile(spark, sf_dir):
+    """Text analysis: token counts, lang-ID, quality score, fingerprint."""
+    from orc_format_spark.functions.text import text_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return text_profile(docs)
+
+
+def _docs_with_dups(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return docs.union(dups)
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup groups over docs + synthetic duplicates."""
+    from orc_format_spark.functions.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_docs_with_dups(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact char-4-gram Jaccard near-dup pairs (first 80 docs)."""
+    from orc_format_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, n=4, threshold=0.5, max_doc_id=80)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (no SQL oracle: xxhash64-based)."""
+    from orc_format_spark.functions.dedup import lsh_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    return lsh_candidate_pairs(docs, n=4, num_perm=32, bands=8)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (no SQL oracle: xxhash64-based)."""
+    from orc_format_spark.functions.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    return simhash_near_pairs(docs, n=4, max_hamming=10)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (int-quantized, exact)."""
+    from orc_format_spark.functions.similarity import near_duplicate_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return near_duplicate_pairs(emb, threshold_e6=500000, max_id=300)
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 neighbors for the first 10 vectors."""
+    from orc_format_spark.functions.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, k=5, n_queries=10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Sign-bit-bucketed approximate top-k (no SQL oracle: approximate)."""
+    from orc_format_spark.functions.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_bucketed_topk(emb, k=5, n_queries=10, sign_dims=6)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary payload -> feature vectors via Arrow-batched mapInArrow."""
+    from orc_format_spark.functions.multimodal import extract_features, with_payload
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(with_payload(docs))
+
+
+def q_frame_sample(spark, sf_dir):
+    """Every-16th-byte payload sampling (video frame-sample shape;
+    rows-only check)."""
+    from orc_format_spark.functions.multimodal import frame_sample, with_payload
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return frame_sample(with_payload(docs), stride=16)
+
+
 def q_codec_lineage(spark, sf_dir):
     """Codec auto-selection lineage (no SQL oracle: rows-only check)."""
     from orc_format_spark import encode_groups, tokenize_documents
@@ -222,10 +314,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_strings": q_stats_strings,
         "stats_doubles": q_stats_doubles,
         "codec_lineage": q_codec_lineage,
+        "text_profile": q_text_profile,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from orc_format_spark.functions.dedup import ngram_jaccard_pairs_sql
+    from orc_format_spark.functions.multimodal import extract_features_sql
+    from orc_format_spark.functions.similarity import (
+        brute_force_topk_sql,
+        near_duplicate_pairs_sql,
+    )
+    from orc_format_spark.functions.text import text_profile_sql
+
     stats_longs = " UNION ALL ".join(
         f"SELECT '{c}' AS column, COUNT(*) AS n_values, COUNT({c}) AS n_present, "
         f"CAST(MIN({c}) AS BIGINT) AS min_long, CAST(MAX({c}) AS BIGINT) AS max_long, "
@@ -266,4 +376,19 @@ def oracle_sql() -> dict[str, str]:
         "stats_longs": stats_longs,
         "stats_strings": stats_strings,
         "stats_doubles": stats_doubles,
+        "text_profile": text_profile_sql(),
+        "exact_dedup": (
+            "WITH alldocs AS ("
+            "SELECT doc_id, text FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+            "WHERE doc_id % 7 = 0) "
+            "SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint, "
+            "COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id "
+            "FROM alldocs GROUP BY 1"
+        ),
+        "ngram_jaccard": ngram_jaccard_pairs_sql(n=4, threshold=0.5, max_doc_id=80),
+        "embedding_neardup": near_duplicate_pairs_sql(threshold_e6=500000, max_id=300),
+        "ann_topk": brute_force_topk_sql(k=5, n_queries=10),
+        "multimodal_features": extract_features_sql(),
     }

@@ -17,6 +17,7 @@ from .operators.encode import BLOB_SCHEMA, decode_blobs, encode_groups, verify_b
 from .operators.job import job_metrics, run_encode_job
 from .operators.partitioning import plan_num_groups, with_group_id
 from .operators.stats import column_statistics
+from .sources.parquet_scan import encode_parquet_splits, list_parquet_splits
 from .sources.tokens import TOKENS_SCHEMA, detokenize, tokenize_documents
 
 __all__ = [
@@ -26,6 +27,8 @@ __all__ = [
     "decode_blobs",
     "detokenize",
     "encode_groups",
+    "encode_parquet_splits",
+    "list_parquet_splits",
     "job_metrics",
     "plan_num_groups",
     "run_encode_job",

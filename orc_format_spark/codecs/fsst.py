@@ -29,8 +29,8 @@ from .varint import decode_varint_one, encode_varint_one
 _MAX_SYMBOLS = 255
 _ESCAPE = 255
 _MAX_LEN = 8
-_SAMPLE_BYTES = 1 << 14
-_GENERATIONS = 4
+_SAMPLE_BYTES = 1 << 13
+_GENERATIONS = 3
 
 
 def _window_keys(data: np.ndarray, max_len: int) -> list[np.ndarray]:
@@ -48,44 +48,83 @@ def _sym_key(s: bytes) -> int:
     return int.from_bytes(s, "big")
 
 
+def _longest_match(
+    d: np.ndarray, keys: list[np.ndarray], table: "SymbolTable"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-position longest symbol match: (match_len, code) arrays."""
+    n = d.size
+    mlen = np.zeros(n, np.int8)
+    mcode = np.zeros(n, np.uint16)
+    for L in range(1, min(_MAX_LEN, n) + 1):
+        ent = table.by_len.get(L)
+        if ent is None:
+            continue
+        skeys, scodes = ent
+        kL = keys[L - 1]
+        pos_idx = np.searchsorted(skeys, kL)
+        pos_idx[pos_idx == len(skeys)] = 0
+        hit = skeys[pos_idx] == kL
+        hp = np.flatnonzero(hit)
+        mlen[hp] = L  # longer L overwrites (loop ascends)
+        mcode[hp] = scodes[pos_idx[hp]]
+    return mlen, mcode
+
+
 def train_symbol_table(sample: bytes) -> list[bytes]:
-    """Train an FSST symbol table on a (bounded) sample."""
+    """Train an FSST symbol table on a (bounded) sample.
+
+    Each generation greedy-encodes the sample with the current table
+    (vectorized longest-match + an O(#matches) jump loop), then
+    accumulates gain = frequency x length for every matched symbol and
+    every adjacent-pair concatenation <= 8 bytes, keeping the top 255.
+    Symbols are handled as (length, big-endian-key) integer pairs so the
+    gain accumulation is a lexsort + reduceat, not a dict loop.
+    """
     sample = sample[:_SAMPLE_BYTES]
     if not sample:
         return []
+    d = np.frombuffer(sample, np.uint8)
+    n = d.size
+    keys = _window_keys(d, min(_MAX_LEN, n))
     table: list[bytes] = []
     for _ in range(_GENERATIONS):
-        # greedy-encode the sample with the current table
-        symset = {s: None for s in table}
-        by_len: dict[int, set] = {}
-        for s in table:
-            by_len.setdefault(len(s), set()).add(s)
-        matches: list[bytes] = []
+        mlen, _ = _longest_match(d, keys, SymbolTable(table))
+        ml = mlen.tolist()
+        starts: list[int] = []
         i = 0
-        n = len(sample)
         while i < n:
-            m = None
-            for L in range(min(_MAX_LEN, n - i), 0, -1):
-                if L in by_len and sample[i : i + L] in by_len[L]:
-                    m = sample[i : i + L]
-                    break
-            if m is None:
-                m = sample[i : i + 1]
-            matches.append(m)
-            i += len(m)
-        # gains: current matches and pairwise concatenations
-        gain: dict[bytes, int] = {}
-        for m in matches:
-            gain[m] = gain.get(m, 0) + len(m)
-        for a, b in zip(matches, matches[1:]):
-            cat = a + b
-            if len(cat) <= _MAX_LEN:
-                gain[cat] = gain.get(cat, 0) + len(cat)
+            starts.append(i)
+            l = ml[i]
+            i += l if l else 1
+        s_arr = np.array(starts, np.int64)
+        l_arr = np.maximum(mlen[s_arr].astype(np.int64), 1)
+        k_arr = np.empty(s_arr.size, np.uint64)
+        for L in range(1, min(_MAX_LEN, n) + 1):
+            m = l_arr == L
+            if m.any():
+                k_arr[m] = keys[L - 1][s_arr[m]]
+        # adjacent-pair concatenations (<= 8 bytes)
+        la, lb = l_arr[:-1], l_arr[1:]
+        lc = la + lb
+        pm = lc <= _MAX_LEN
+        kc = (k_arr[:-1][pm] << (np.uint64(8) * lb[pm].astype(np.uint64))) | k_arr[1:][
+            pm
+        ]
+        all_k = np.concatenate((k_arr, kc))
+        all_l = np.concatenate((l_arr, lc[pm]))
+        order = np.lexsort((all_k, all_l))
+        sk, sl = all_k[order], all_l[order]
+        new_grp = np.ones(sk.size, bool)
+        new_grp[1:] = (sk[1:] != sk[:-1]) | (sl[1:] != sl[:-1])
+        gstart = np.flatnonzero(new_grp)
+        counts = np.diff(np.append(gstart, sk.size))
+        g_l = sl[gstart]
+        g_k = sk[gstart]
+        gain = g_l * counts
+        # deterministic top-255: by (-gain, len, key)
+        top = np.lexsort((g_k, g_l, -gain))[:_MAX_SYMBOLS]
         table = [
-            s
-            for s, _ in sorted(gain.items(), key=lambda kv: (-kv[1], kv[0]))[
-                :_MAX_SYMBOLS
-            ]
+            int(g_k[t]).to_bytes(int(g_l[t]), "big") for t in top
         ]
     return sorted(table)
 
@@ -131,22 +170,12 @@ def fsst_encode(data: np.ndarray, table: SymbolTable | None = None) -> bytes:
     if n == 0:
         return header + encode_varint_one(0)
     # longest-match precompute
-    mlen = np.zeros(n, np.int8)
-    mcode = np.zeros(n, np.uint16)
     if table.symbols:
         keys = _window_keys(d, min(_MAX_LEN, n))
-        for L in range(1, min(_MAX_LEN, n) + 1):
-            ent = table.by_len.get(L)
-            if ent is None:
-                continue
-            skeys, scodes = ent
-            kL = keys[L - 1]
-            pos_idx = np.searchsorted(skeys, kL)
-            pos_idx[pos_idx == len(skeys)] = 0
-            hit = skeys[pos_idx] == kL
-            hp = np.flatnonzero(hit)
-            mlen[hp] = L  # longer L overwrites (loop ascends)
-            mcode[hp] = scodes[pos_idx[hp]]
+        mlen, mcode = _longest_match(d, keys, table)
+    else:
+        mlen = np.zeros(n, np.int8)
+        mcode = np.zeros(n, np.uint16)
     # jump loop over output symbols (plain ints for speed)
     ml = mlen.tolist()
     mc = mcode.tolist()

@@ -1,0 +1,263 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact dedup (content-hash groupBy), n-gram Jaccard near-dup pairs,
+MinHash+LSH candidate generation, and SimHash — the dedup ladder a
+10^12-document ingest runs before encoding. Not in the reference repo
+(SURVEY.md §2.7); first-class additions per the task brief.
+
+Scale shapes:
+- exact dedup: one hash-shuffle on the 16-byte fingerprint (not the
+  payload); at 100 TB this is the cheapest possible global pass.
+- n-gram Jaccard is exact but quadratic in colliding docs — it is the
+  *verification* stage. The *candidate* stage at scale is MinHash/LSH
+  (band-bucket join: shuffle ~num_bands small keys per doc, never all
+  pairs) or SimHash band matching; both below.
+- Everything uses JVM-side built-ins (higher-order functions, xxhash64)
+  — no Python in any hot path.
+
+Oracle parity: exact-dedup and Jaccard use only constructs DuckDB
+reproduces bit-for-bit (md5, integer counts, int/int double division with
+matching operand order). MinHash/SimHash rely on Spark's xxhash64, which
+DuckDB lacks -> those queries are rows-only checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import fingerprint
+
+
+def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
+    """One row per distinct content: copies count + the doc kept."""
+    return (
+        docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def dedup_keep_first(docs: DataFrame) -> DataFrame:
+    """Drop exact duplicates, keeping the lowest doc_id of each group."""
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        docs.withColumn("fingerprint", fingerprint(F.col("text")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fingerprint")
+    )
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Distinct character n-grams of ``text`` (empty array if too short)."""
+    return F.when(
+        F.length(text) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(text) - F.lit(n - 1)),
+                lambda i: F.substring(text, i, F.lit(n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 4, threshold: float = 0.5, max_doc_id: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Inverted-index join on the shared gram (never a cross join): shuffle
+    keys are grams, pair counts aggregate map-side first.
+    """
+    d = docs
+    if max_doc_id is not None:
+        d = d.filter(F.col("doc_id") < max_doc_id)
+    grams = d.select(
+        "doc_id", F.explode(char_ngrams(F.col("text"), n)).alias("g")
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    common = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_e6", F.floor(jac * F.lit(1000000.0)).cast("long"))
+        .filter(jac >= F.lit(threshold))
+        .select("doc_a", "doc_b", "common", "na", "nb", "jaccard_e6")
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    n: int = 4, threshold: float = 0.5, max_doc_id: int | None = None,
+    table: str = "documents",
+) -> str:
+    where = f"WHERE length(text) >= {n}"
+    if max_doc_id is not None:
+        where += f" AND doc_id < {max_doc_id}"
+    return f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, length(text) - {n} + 2),
+                   i -> substr(text, CAST(i AS INT), {n})))) AS g
+  FROM {table} {where}
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.n_grams AS na, sb.n_grams AS nb,
+       CAST(floor(common / (sa.n_grams + sb.n_grams - common) * 1000000.0)
+            AS BIGINT) AS jaccard_e6
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common / (sa.n_grams + sb.n_grams - common) >= {threshold}
+"""
+
+
+# ------------------------------------------------------------ MinHash/LSH
+
+
+def minhash_signatures(docs: DataFrame, n: int = 4, num_perm: int = 32) -> DataFrame:
+    """num_perm-wide MinHash signature per doc (xxhash64-seeded perms)."""
+    seeds = F.array(*[F.lit(s) for s in range(num_perm)])
+    grams = char_ngrams(F.col("text"), n)
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(grams, lambda g: F.xxhash64(g, s))),
+    )
+    return docs.select("doc_id", sig.alias("signature")).filter(
+        F.size("signature") > 0
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, n: int = 4, num_perm: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH banding over MinHash signatures -> candidate near-dup pairs.
+
+    Docs agreeing on all rows of any band land in one bucket; the join is
+    on (band, bucket-hash) — at 100 TB this shuffles ``bands`` small keys
+    per doc instead of comparing pairs.
+    """
+    rows = num_perm // bands
+    sigs = minhash_signatures(docs, n, num_perm)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("signature"), b * rows + 1, rows).cast("string")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------- SimHash
+
+
+def simhash64(docs: DataFrame, n: int = 4) -> DataFrame:
+    """64-bit SimHash per doc, computed entirely JVM-side.
+
+    Each gram votes +-1 on every bit of its xxhash64; the sign of each
+    bit-sum forms the fingerprint. Implemented as explode -> 64
+    conditional sums in ONE aggregation (partial aggregation map-side, no
+    Python).
+    """
+    grams = docs.select(
+        "doc_id", F.explode(char_ngrams(F.col("text"), n)).alias("g")
+    ).withColumn("h", F.xxhash64("g"))
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1)
+        ).alias(f"b{k}")
+        for k in range(63)  # bit 63 is the sign bit; keep hashes positive-stable
+    ]
+    agg = grams.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for k in range(63):
+        term = F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, n: int = 4, max_hamming: int = 8) -> DataFrame:
+    """Candidate pairs whose SimHashes agree on >= 1 of four 16-bit bands,
+    verified by exact Hamming distance <= max_hamming."""
+    sh = simhash64(docs, n)
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bits"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bits")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.withColumn("hamming", ham).filter(ham <= max_hamming).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+def exact_duplicate_groups_sql(table: str = "documents") -> str:
+    fp = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return (
+        f"SELECT {fp} AS fingerprint, COUNT(*) AS n_copies, "
+        f"MIN(doc_id) AS keep_doc_id FROM {table} GROUP BY 1"
+    )

@@ -1,0 +1,225 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus an LSH/IVF-style
+bucketed variant as the scale path. Not in the reference repo (SURVEY.md
+§2.7); first-class additions per the task brief.
+
+Determinism: cosine is computed over integer-quantized vectors
+(floor(x * 1000) per dimension). Dot products and norms are then exact
+integer sums, and the final double division/sqrt chain is written with
+identical operand order on both engines, so the DuckDB oracle reproduces
+scores (and hence rankings) bit-for-bit — no float-tie flakiness.
+
+Scale shapes:
+- brute-force top-k: broadcast the (small) query set, one pass over the
+  corpus, per-query top-k via window rank — shuffles only (queries x k)
+  rows after map-side partial filtering.
+- bucketed ANN: sign-bit LSH over d' leading dimensions buckets the
+  corpus once; probes touch a single bucket. The bucket id is a pure
+  function of the vector -> deterministic, resume-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+QUANT = 1000.0
+
+
+def quantized(vec: Column) -> Column:
+    """array<float> -> array<bigint>: floor(x * 1000) per dimension."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(QUANT)).cast("long")
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_e6(qa: Column, qb: Column, na: Column, nb: Column) -> Column:
+    """floor(1e6 * cos) from pre-quantized vectors + precomputed norms."""
+    cos = dot(qa, qb) / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double")))
+    return F.floor(cos * F.lit(1000000.0)).cast("long")
+
+
+def _with_quant(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    q = quantized(F.col(vec_col))
+    return df.select(
+        F.col(id_col), q.alias("q"), dot(q, q).alias("norm2")
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for the first ``n_queries`` vectors."""
+    corpus = _with_quant(emb, id_col, vec_col)
+    queries = corpus.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qnorm2"),
+    )
+    scored = (
+        corpus.filter(F.col("norm2") > 0)
+        .crossJoin(F.broadcast(queries.filter(F.col("qnorm2") > 0)))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_e6(
+                F.col("qq"), F.col("q"), F.col("qnorm2"), F.col("norm2")
+            ).alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_e6")
+    )
+
+
+def brute_force_topk_sql(
+    k: int = 5, n_queries: int = 10, table: str = "embeddings"
+) -> str:
+    quant = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, {quant} AS qv FROM {table}
+), n AS (
+  SELECT vec_id, qv,
+         list_sum(list_transform(qv, x -> x * x)) AS norm2
+  FROM q
+), scored AS (
+  SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+         CAST(floor(
+           list_sum(list_transform(range(1, len(qs.qv) + 1),
+                    i -> qs.qv[CAST(i AS INT)] * cs.qv[CAST(i AS INT)]))
+           / (sqrt(CAST(qs.norm2 AS DOUBLE)) * sqrt(CAST(cs.norm2 AS DOUBLE)))
+           * 1000000.0) AS BIGINT) AS cos_e6
+  FROM n qs JOIN n cs
+    ON qs.vec_id < {n_queries} AND qs.norm2 > 0 AND cs.norm2 > 0
+   AND cs.vec_id != qs.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_e6 DESC, neighbor_id) AS INT) AS rank, cos_e6
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+def near_duplicate_pairs(
+    emb: DataFrame,
+    threshold_e6: int = 950000,
+    max_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (exact, quadratic — the
+    verification stage; LSH buckets below are the candidate stage)."""
+    d = emb if max_id is None else emb.filter(F.col(id_col) < max_id)
+    corpus = _with_quant(d, id_col, vec_col).filter(F.col("norm2") > 0)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_e6(
+                F.col("a.q"), F.col("b.q"), F.col("a.norm2"), F.col("b.norm2")
+            ).alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= threshold_e6)
+    )
+
+
+def near_duplicate_pairs_sql(
+    threshold_e6: int = 950000, max_id: int | None = None, table: str = "embeddings"
+) -> str:
+    quant = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+    )
+    lim = f"WHERE vec_id < {max_id}" if max_id is not None else ""
+    return f"""
+WITH n AS (
+  SELECT vec_id, {quant} AS qv,
+         list_sum(list_transform({quant}, x -> x * x)) AS norm2
+  FROM {table} {lim}
+)
+SELECT * FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(floor(
+           list_sum(list_transform(range(1, len(a.qv) + 1),
+                    i -> a.qv[CAST(i AS INT)] * b.qv[CAST(i AS INT)]))
+           / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))
+           * 1000000.0) AS BIGINT) AS cos_e6
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  WHERE a.norm2 > 0 AND b.norm2 > 0
+) WHERE cos_e6 >= {threshold_e6}
+"""
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    sign_dims: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the sign-bit bucket of the
+    leading ``sign_dims`` dimensions (the IVF/LSH scale path — probes one
+    bucket instead of the corpus). Rows-only correctness check (it is
+    approximate by construction)."""
+    corpus = _with_quant(emb, id_col, vec_col).filter(F.col("norm2") > 0)
+    bucket = F.aggregate(
+        F.transform(
+            F.slice(F.col("q"), 1, sign_dims),
+            lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, bit: acc * 2 + bit,
+    )
+    bucketed = corpus.withColumn("bucket", bucket)
+    queries = bucketed.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qnorm2"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        bucketed.join(
+            F.broadcast(queries), F.col("bucket") == F.col("qbucket")
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_e6(
+                F.col("qq"), F.col("q"), F.col("qnorm2"), F.col("norm2")
+            ).alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_e6")
+    )

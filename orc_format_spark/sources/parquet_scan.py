@@ -1,0 +1,118 @@
+"""Split-level parquet source: encode without moving the payload.
+
+The reference writer consumes its input stream in place and cuts stripes
+by size (src/writer.rs:84-90); nothing ever crosses a process boundary.
+The Spark analog of that zero-movement property is: one *input split*
+(parquet file row-group) == one stripe. Spark distributes only the split
+metadata (file path + row-group index — a few hundred bytes); each task
+opens its split with pyarrow directly, so the token payload goes straight
+from columnar parquet into the numpy encode kernels without the JVM->
+Python Arrow row conversion or a payload shuffle.
+
+Why this is the 100 TB path: measured on local[32], pushing an
+array<int32> column through Spark's JVM->Python Arrow converter moves
+~45 MB/s/core, while pyarrow reads the same bytes from parquet at
+GB/s. At cluster scale the split list comes from the Iceberg manifest
+(immutable snapshot => deterministic split ids => exact resume); here we
+enumerate fragments with pyarrow.dataset, sorted by (path, row_group) for
+the same determinism.
+
+Skew: splits are bounded by the writer's row-group size (the same
+argument as the reference's 64 MiB stripe cut), so no salting is needed
+on this path; the shuffle-based ``encode_groups`` remains the re-cluster
+path when grouping by key matters.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+
+SPLIT_SCHEMA = "split_id long, file string, row_group int"
+
+
+def list_parquet_splits(path: str) -> list[tuple[int, str, int]]:
+    """Deterministic (split_id, file, row_group) list for a parquet dir."""
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(path, format="parquet")
+    files = sorted(dataset.files)
+    out: list[tuple[int, str, int]] = []
+    sid = 0
+    import pyarrow.parquet as pq
+
+    for f in files:
+        n_rg = pq.ParquetFile(f).metadata.num_row_groups
+        for rg in range(n_rg):
+            out.append((sid, f, rg))
+            sid += 1
+    return out
+
+
+def encode_parquet_splits(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    codec: str = "auto",
+    compression: str = "zstd",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Encode every row-group split of ``path`` into one blob row each.
+
+    Returns the same blob/lineage schema as ``encode_groups`` with
+    ``group_id`` = deterministic split id.
+    """
+    import json
+
+    from ..codecs.container import encode_table, table_checksum
+    from ..operators.encode import BLOB_SCHEMA
+
+    splits = list_parquet_splits(path)
+    if parallelism is None:
+        parallelism = max(len(splits), spark.sparkContext.defaultParallelism)
+    sdf = spark.createDataFrame(splits, SPLIT_SCHEMA).repartition(
+        min(parallelism, len(splits)) or 1
+    )
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for batch in batches:
+            for sid, f, rg in zip(
+                batch.column("split_id").to_pylist(),
+                batch.column("file").to_pylist(),
+                batch.column("row_group").to_pylist(),
+            ):
+                data = pq.ParquetFile(f).read_row_group(rg, columns=columns)
+                blob, lineage = encode_table(data, codec=codec, compression=compression)
+                leaf = [l for l in lineage if l["codec"] != "list"]
+                codecs = {l["column"]: l["codec"] for l in lineage}
+                yield pa.record_batch(
+                    [
+                        pa.array([sid], pa.int64()),
+                        pa.array([data.num_rows], pa.int64()),
+                        pa.array([sum(l["n_present"] for l in leaf)], pa.int64()),
+                        pa.array([sum(l["input_bytes"] for l in lineage)], pa.int64()),
+                        pa.array([len(blob)], pa.int64()),
+                        pa.array([table_checksum(data)], pa.string()),
+                        pa.array([json.dumps(codecs, sort_keys=True)], pa.string()),
+                        pa.array([json.dumps(lineage, sort_keys=True)], pa.string()),
+                        pa.array([blob], pa.binary()),
+                    ],
+                    names=[
+                        "group_id",
+                        "n_rows",
+                        "n_values",
+                        "input_bytes",
+                        "output_bytes",
+                        "checksum",
+                        "codecs",
+                        "lineage",
+                        "blob",
+                    ],
+                )
+
+    return sdf.mapInArrow(fn, BLOB_SCHEMA)
