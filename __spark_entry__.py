@@ -191,6 +191,17 @@ def q_stats_doubles(spark, sf_dir):
     )
 
 
+def q_struct_map_roundtrip(spark, sf_dir):
+    """Struct + map columns through the blob container (W9/W11 parity;
+    rows-only check: SQL engines disagree on struct/map hashing)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.struct("event_type", "value").alias("s"),
+        F.create_map(F.lit("type"), F.col("event_type")).alias("m"),
+    )
+    return _roundtrip(ev, "event_id")
+
+
 def q_text_profile(spark, sf_dir):
     """Text analysis: token counts, lang-ID, quality score, fingerprint."""
     from orc_format_spark.functions.text import text_profile
@@ -283,6 +294,38 @@ def q_frame_sample(spark, sf_dir):
     return frame_sample(with_payload(docs), stride=16)
 
 
+def q_stream_encode_roundtrip(spark, sf_dir):
+    """Structured Streaming encode (availableNow) -> decode -> detokenize;
+    oracle: the original documents table."""
+    import shutil
+    import tempfile
+
+    from orc_format_spark import (
+        TOKENS_SCHEMA,
+        decode_blobs,
+        detokenize,
+        tokenize_documents,
+    )
+    from orc_format_spark.streaming import encode_stream
+
+    work = tempfile.mkdtemp(prefix="ofs_stream_")
+    try:
+        src = f"{work}/tokens"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tokenize_documents(docs).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = encode_stream(stream, f"{work}/blobs", f"{work}/ckpt", num_groups=4)
+        q.awaitTermination(300)
+        blobs = spark.read.parquet(f"{work}/blobs")
+        out = detokenize(decode_blobs(blobs, TOKENS_SCHEMA)).select("doc_id", "text")
+        out = out.cache()
+        out.count()  # materialize before the scratch dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_codec_lineage(spark, sf_dir):
     """Codec auto-selection lineage (no SQL oracle: rows-only check)."""
     from orc_format_spark import encode_groups, tokenize_documents
@@ -314,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_strings": q_stats_strings,
         "stats_doubles": q_stats_doubles,
         "codec_lineage": q_codec_lineage,
+        "stream_encode_roundtrip": q_stream_encode_roundtrip,
+        "struct_map_roundtrip": q_struct_map_roundtrip,
         "text_profile": q_text_profile,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -376,6 +421,9 @@ def oracle_sql() -> dict[str, str]:
         "stats_longs": stats_longs,
         "stats_strings": stats_strings,
         "stats_doubles": stats_doubles,
+        "stream_encode_roundtrip": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
+        ),
         "text_profile": text_profile_sql(),
         "exact_dedup": (
             "WITH alldocs AS ("

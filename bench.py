@@ -48,6 +48,13 @@ HEADLINE = [
     "nulls_roundtrip",
     "stats_longs",
     "codec_lineage",
+    "struct_map_roundtrip",
+    "text_profile",
+    "exact_dedup",
+    "ngram_jaccard",
+    "ann_topk",
+    "embedding_neardup",
+    "multimodal_features",
 ]
 
 
@@ -148,6 +155,10 @@ def run_encode(spark, sf_dir: str):
         )
     )
     dt_g = time.monotonic() - t1
+
+    # reference mode: the reference writer's fixed encodings (RLEv1 ints,
+    # raw strings, zstd-3) — the compressed-size baseline auto must beat
+    agg_r = _agg_blobs(encode_parquet_splits(spark, path, codec="reference"))
     return dt, {
         "encode_sec": round(dt, 3),
         "n_tokens": n_tok,
@@ -159,6 +170,11 @@ def run_encode(spark, sf_dir: str):
         "compression_ratio": round(int(agg["output_bytes"]) / int(agg["input_bytes"]), 4),
         "grouped_encode_sec": round(dt_g, 3),
         "grouped_tokens_per_sec": round(int(agg_g["n_values"]) / dt_g),
+        "reference_output_bytes": int(agg_r["output_bytes"]),
+        "reference_bytes_per_token": round(int(agg_r["output_bytes"]) / n_tok, 4),
+        "auto_le_reference": bool(
+            int(agg["output_bytes"]) <= int(agg_r["output_bytes"])
+        ),
     }
 
 

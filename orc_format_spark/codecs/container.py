@@ -173,11 +173,22 @@ def encode_column(
     if has_null:
         streams.append((PRESENT, present_stream))
     est: dict[str, float] = {}
+    # "reference" mode pins every column to the reference writer's fixed
+    # encodings (SignedIntRLEv1 DATA for ints — long.rs:24-27; raw DATA +
+    # LENGTH for strings — string.rs:24-28); used as the compressed-size
+    # baseline the auto-selector must beat
+    if codec == "reference":
+        codec = "__reference__"
+
+    def _pick(cands: tuple, ref: str) -> str:
+        if codec == "__reference__":
+            return ref
+        return codec if codec in cands else ""
 
     if pa.types.is_integer(t) or pa.types.is_date32(t):
         v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
-        use = codec
-        if codec not in ("rle_v1", "rle_v2", "for_bitpack", "dict_int"):
+        use = _pick(("rle_v1", "rle_v2", "for_bitpack", "dict_int"), "rle_v1")
+        if not use:
             use, est = select_int_codec(v, signed=True)
         streams.append((DATA, _encode_int_values(use, v, True)))
     elif pa.types.is_boolean(t):
@@ -201,14 +212,14 @@ def encode_column(
         if t.precision > 18:
             raise NotImplementedError("decimal precision > 18")
         v = _decimal_unscaled_i64(vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals)
-        use = codec
-        if codec not in ("rle_v1", "rle_v2", "for_bitpack", "dict_int"):
+        use = _pick(("rle_v1", "rle_v2", "for_bitpack", "dict_int"), "rle_v1")
+        if not use:
             use, est = select_int_codec(v, signed=True)
         streams.append((DATA, _encode_int_values(use, v, True)))
     elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
         data, off = _flat_binary(vals)
-        use = codec
-        if codec not in ("raw_str", "dict_str", "fsst"):
+        use = _pick(("raw_str", "dict_str", "fsst"), "raw_str")
+        if not use:
             use, est = select_str_codec(data, off)
         streams.append((DATA, _encode_str_values(use, data, off)))
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -222,6 +233,39 @@ def encode_column(
         entries.append(entry)
         lineage.append(_lineage_row(name, entry, arr, est))
         encode_column(name + ".item", child, codec, compression, entries, lineage)
+        return entries
+    elif pa.types.is_struct(t):
+        # struct column: PRESENT only; one child entry per field, exactly
+        # the reference's StructData decomposition (struct_.rs:26-28,
+        # children recursive at struct_.rs:57-85); child count recovered
+        # from the type string at decode time
+        use = "struct"
+        sv = _combine(vals)
+        entry = _finish_entry(name, str(t), use, compression, has_null, n_rows, n_present, streams)
+        entries.append(entry)
+        lineage.append(_lineage_row(name, entry, arr, est))
+        for i in range(t.num_fields):
+            encode_column(
+                f"{name}.{t.field(i).name}", sv.field(i), codec, compression,
+                entries, lineage,
+            )
+        return entries
+    elif pa.types.is_map(t):
+        # map column: PRESENT + LENGTH + keys/values child entries
+        # (map.rs:61-83: LENGTH stream + two child columns)
+        use = "map"
+        mv = _combine(vals)
+        moff = np.asarray(mv.offsets, np.int64)
+        start, end = int(moff[0]), int(moff[-1])
+        lengths = (moff[1:] - moff[:-1]).astype(np.uint64)
+        streams.append((LENGTH, rle_v1.encode_int_rle_v1(lengths, signed=False)))
+        keys = mv.keys.slice(start, end - start)
+        items = mv.items.slice(start, end - start)
+        entry = _finish_entry(name, str(t), use, compression, has_null, n_rows, n_present, streams)
+        entries.append(entry)
+        lineage.append(_lineage_row(name, entry, arr, est))
+        encode_column(f"{name}.key", keys, codec, compression, entries, lineage)
+        encode_column(f"{name}.value", items, codec, compression, entries, lineage)
         return entries
     else:
         raise NotImplementedError(f"type {t} not supported yet")
@@ -306,6 +350,25 @@ def deserialize_blob(blob: bytes) -> list[ColumnEntry]:
     return entries
 
 
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at angle-bracket depth 0."""
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return [p.strip() for p in parts]
+
+
 def _parse_type(s: str) -> pa.DataType:
     if s in _INT_TYPES:
         return _INT_TYPES[s]
@@ -332,6 +395,17 @@ def _parse_type(s: str) -> pa.DataType:
             inner = inner.split(": ", 1)[1]
         child = _parse_type(inner)
         return pa.large_list(child) if s.startswith("large_list") else pa.list_(child)
+    if s.startswith("struct<"):
+        fields = []
+        inner = s[7:-1]
+        if inner:
+            for part in _split_top_level(inner):
+                fname, ftype = part.split(": ", 1)
+                fields.append(pa.field(fname, _parse_type(ftype)))
+        return pa.struct(fields)
+    if s.startswith("map<"):
+        kt, vt = _split_top_level(s[4:-1])
+        return pa.map_(_parse_type(kt), _parse_type(vt))
     raise NotImplementedError(f"type string {s}")
 
 
@@ -368,6 +442,24 @@ def decode_entries(entries: list[ColumnEntry], start: int = 0) -> tuple[str, pa.
         off = np.zeros(e.n_present + 1, np.int64)
         np.cumsum(lengths, out=off[1:])
         values = pa.LargeListArray.from_arrays(pa.array(off, pa.int64()), child).cast(t)
+    elif pa.types.is_struct(t):
+        children = []
+        nxt = start + 1
+        for _ in range(t.num_fields):
+            _, child, nxt = decode_entries(entries, nxt)
+            children.append(child)
+        values = pa.StructArray.from_arrays(
+            children, names=[t.field(i).name for i in range(t.num_fields)]
+        )
+    elif pa.types.is_map(t):
+        lengths = rle_v1.decode_int_rle_v1(raw_streams[LENGTH], signed=False).astype(np.int64)
+        _, keys, nxt = decode_entries(entries, start + 1)
+        _, items, nxt = decode_entries(entries, nxt)
+        off = np.zeros(e.n_present + 1, np.int64)
+        np.cumsum(lengths, out=off[1:])
+        values = pa.MapArray.from_arrays(
+            pa.array(off.astype(np.int32), pa.int32()), keys, items
+        ).cast(t)
     elif pa.types.is_integer(t) or pa.types.is_date32(t):
         v = _decode_int_values(e.codec, raw_streams[DATA], True)
         if pa.types.is_date32(t):
@@ -458,6 +550,17 @@ def _canonical_buffers(arr):
         loff = np.frombuffer(lv.buffers()[1], np.int64, len(lv) + 1, lv.offset * 8)
         out.append((loff - loff[0]).tobytes())
         out.extend(_canonical_buffers(lv.flatten()))
+    elif pa.types.is_struct(t):
+        for i in range(t.num_fields):
+            out.append(t.field(i).name.encode())
+            out.extend(_canonical_buffers(va.field(i) if not isinstance(va, pa.ChunkedArray) else va.combine_chunks().field(i)))
+    elif pa.types.is_map(t):
+        mv = _combine(va)
+        moff = np.asarray(mv.offsets, np.int64)
+        out.append((moff - moff[0]).tobytes())
+        start, end = int(moff[0]), int(moff[-1])
+        out.extend(_canonical_buffers(mv.keys.slice(start, end - start)))
+        out.extend(_canonical_buffers(mv.items.slice(start, end - start)))
     elif pa.types.is_decimal(t):
         out.append(str(va.to_pylist()).encode())
     else:

@@ -1,0 +1,65 @@
+"""Structured Streaming encode: continuous ingestion of a tokens stream
+into encoded blobs.
+
+The reference is a batch, push-based writer with no streaming construct
+(SURVEY.md §2.7). The Spark-first equivalent of "keep appending stripes
+as data arrives" is a streaming query: every micro-batch is encoded with
+the same deterministic grouping + codec machinery as the batch path, so
+a given set of rows produces identical blobs whether it arrived via
+batch or stream. Exactly-once comes from the streaming checkpoint
+(offsets + batch id) stacked on our content-addressed lineage rows.
+
+At scale this runs against a Kafka/Iceberg-CDC source with a processing-
+time trigger; here the file source + availableNow trigger covers the
+same code path hermetically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.encode import encode_groups
+
+
+def encode_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    num_groups: int = 8,
+    codec: str = "auto",
+    compression: str = "zstd",
+    key_col: str = "doc_id",
+    size_col: str | None = "n_tok",
+    available_now: bool = True,
+):
+    """Start a streaming query encoding each micro-batch into blob rows.
+
+    Returns the StreamingQuery; blobs land under ``out_dir`` tagged with
+    the micro-batch id (the streaming analog of the wave id in
+    ``run_encode_job``).
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        blobs = encode_groups(
+            batch_df,
+            num_groups=num_groups,
+            codec=codec,
+            compression=compression,
+            key_col=key_col,
+            size_col=size_col,
+        )
+        (
+            blobs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

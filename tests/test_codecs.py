@@ -252,3 +252,72 @@ def test_container_compression_beats_raw_on_compressible():
     tbl = pa.table({"v": pa.array(np.arange(n, dtype=np.int64) // 13)})
     blob, lineage = encode_table(tbl, codec="auto", compression="zstd")
     assert len(blob) < n * 8 / 50
+
+
+def test_struct_map_roundtrip():
+    """W9/W11 parity: struct (PRESENT only + recursive children,
+    struct_.rs:26-28) and map (LENGTH + key/value children, map.rs:61-83)
+    columns survive the blob container bit-identically."""
+    import pyarrow as pa
+
+    from orc_format_spark.codecs.container import (
+        decode_table,
+        encode_table,
+        table_checksum,
+    )
+
+    struct_arr = pa.array(
+        [
+            {"a": 1, "b": "x", "c": [1, 2]},
+            None,
+            {"a": None, "b": "yy", "c": []},
+            {"a": 3, "b": None, "c": [7]},
+        ]
+        * 50,
+        pa.struct(
+            [("a", pa.int64()), ("b", pa.string()), ("c", pa.list_(pa.int32()))]
+        ),
+    )
+    map_arr = pa.array(
+        [[("k1", 1), ("k2", 2)], None, [], [("k3", None)]] * 50,
+        pa.map_(pa.string(), pa.int64()),
+    )
+    tbl = pa.table(
+        {"id": pa.array(range(200), pa.int64()), "s": struct_arr, "m": map_arr}
+    )
+    blob, lineage = encode_table(tbl, codec="auto", compression="zstd")
+    dec = decode_table(blob)
+    assert dec.schema == tbl.schema
+    for c in tbl.column_names:
+        assert dec.column(c).to_pylist() == tbl.column(c).to_pylist()
+    assert table_checksum(dec) == table_checksum(tbl)
+    codecs = {l["column"]: l["codec"] for l in lineage}
+    assert codecs["s"] == "struct" and codecs["m"] == "map"
+
+
+def test_auto_beats_reference_mode():
+    """North-rule size gate: auto codec selection must compress at least
+    as well as 'reference mode' — the reference writer's fixed encodings
+    (SignedIntRLEv1 ints per long.rs:24-27, raw strings per
+    string.rs:24-28, zstd level 3 / 256 KiB blocks per zstd.rs:15-19) —
+    on the same partitions."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from orc_format_spark.codecs.container import decode_table, encode_table
+
+    for table in ("documents", "lineitem", "orders"):
+        f = glob.glob(f"/root/testdata/sf0.001/{table}.parquet")[0]
+        tbl = pq.read_table(f)
+        auto_blob, _ = encode_table(tbl, codec="auto", compression="zstd")
+        ref_blob, ref_lin = encode_table(tbl, codec="reference", compression="zstd")
+        assert {l["codec"] for l in ref_lin if l["codec"] not in ("list", "struct", "map")} <= {
+            "rle_v1", "raw_str", "bool_rle", "raw_float", "raw_double", "timestamp"
+        }
+        assert len(auto_blob) <= len(ref_blob), (table, len(auto_blob), len(ref_blob))
+        # both modes stay lossless
+        for blob in (auto_blob, ref_blob):
+            dec = decode_table(blob)
+            for c in tbl.column_names:
+                assert dec.column(c).to_pylist() == tbl.column(c).to_pylist()
