@@ -210,12 +210,17 @@ def encode_column(
         # directly from the decimal128 buffer's low limb (valid because
         # precision <= 18 fits int64).
         if t.precision > 18:
-            raise NotImplementedError("decimal precision > 18")
-        v = _decimal_unscaled_i64(vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals)
-        use = _pick(("rle_v1", "rle_v2", "for_bitpack", "dict_int"), "rle_v1")
-        if not use:
-            use, est = select_int_codec(v, signed=True)
-        streams.append((DATA, _encode_int_values(use, v, True)))
+            # i128 path (reference varint.rs:60-108): zigzag + <=19-byte
+            # varints over python ints — cold path, decimals only
+            use = "varint128"
+            cv = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+            streams.append((DATA, _encode_varint128(_decimal_unscaled_i128(cv))))
+        else:
+            v = _decimal_unscaled_i64(vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals)
+            use = _pick(("rle_v1", "rle_v2", "for_bitpack", "dict_int"), "rle_v1")
+            if not use:
+                use, est = select_int_codec(v, signed=True)
+            streams.append((DATA, _encode_int_values(use, v, True)))
     elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
         data, off = _flat_binary(vals)
         use = _pick(("raw_str", "dict_str", "fsst"), "raw_str")
@@ -409,6 +414,49 @@ def _parse_type(s: str) -> pa.DataType:
     raise NotImplementedError(f"type string {s}")
 
 
+def _decimal_unscaled_i128(arr: pa.Array) -> list[int]:
+    """Unscaled python ints of a (non-null) decimal128 array."""
+    n = len(arr)
+    if n == 0:
+        return []
+    limbs = np.frombuffer(arr.buffers()[1], np.uint64, 2 * (arr.offset + n))[
+        2 * arr.offset :
+    ]
+    lo = limbs[0::2]
+    hi = limbs[1::2].view(np.int64)
+    return [int(l) + (int(h) << 64) for l, h in zip(lo.tolist(), hi.tolist())]
+
+
+def _encode_varint128(vals: list[int]) -> bytes:
+    """zigzag + LEB128 for i128 (reference varint.rs:60-108)."""
+    out = bytearray()
+    mask = (1 << 128) - 1
+    for x in vals:
+        z = ((x << 1) ^ (x >> 127)) & mask
+        while True:
+            if z < 0x80:
+                out.append(z)
+                break
+            out.append(0x80 | (z & 0x7F))
+            z >>= 7
+    return bytes(out)
+
+
+def _decode_varint128(buf: bytes) -> list[int]:
+    vals: list[int] = []
+    z = 0
+    shift = 0
+    for b in buf:
+        z |= (b & 0x7F) << shift
+        if b < 0x80:
+            vals.append((z >> 1) ^ -(z & 1))
+            z = 0
+            shift = 0
+        else:
+            shift += 7
+    return vals
+
+
 def _decimal_unscaled_i64(arr: pa.Array) -> np.ndarray:
     """Unscaled int64 values of a (non-null) decimal128 array, vectorized."""
     n = len(arr)
@@ -476,14 +524,26 @@ def decode_entries(entries: list[ColumnEntry], start: int = 0) -> tuple[str, pa.
         v = ts_codec.decode_timestamp_us(raw_streams[DATA])
         values = pa.array(v.view("datetime64[us]")).cast(t)
     elif pa.types.is_decimal(t):
-        v = _decode_int_values(e.codec, raw_streams[DATA], True)
-        # unscaled int64 -> decimal128: write the low limb, sign-extend high
-        limbs = np.zeros(2 * len(v), np.uint64)
-        limbs[0::2] = v.view(np.uint64)
-        limbs[1::2] = np.where(v < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0))
-        values = pa.Array.from_buffers(
-            pa.decimal128(t.precision, t.scale), len(v), [None, pa.py_buffer(limbs)]
-        )
+        if e.codec == "varint128":
+            ints = _decode_varint128(raw_streams[DATA])
+            limbs = np.zeros(2 * len(ints), np.uint64)
+            m64 = (1 << 64) - 1
+            limbs[0::2] = np.array([x & m64 for x in ints], np.uint64)
+            limbs[1::2] = np.array([(x >> 64) & m64 for x in ints], np.uint64)
+            values = pa.Array.from_buffers(
+                pa.decimal128(t.precision, t.scale),
+                len(ints),
+                [None, pa.py_buffer(limbs)],
+            )
+        else:
+            v = _decode_int_values(e.codec, raw_streams[DATA], True)
+            # unscaled int64 -> decimal128: low limb + sign-extended high
+            limbs = np.zeros(2 * len(v), np.uint64)
+            limbs[0::2] = v.view(np.uint64)
+            limbs[1::2] = np.where(v < 0, np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64(0))
+            values = pa.Array.from_buffers(
+                pa.decimal128(t.precision, t.scale), len(v), [None, pa.py_buffer(limbs)]
+            )
     elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
         data, off = _decode_str_values(e.codec, raw_streams[DATA])
         values = pa.LargeBinaryArray.from_buffers(

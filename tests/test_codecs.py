@@ -321,3 +321,28 @@ def test_auto_beats_reference_mode():
             dec = decode_table(blob)
             for c in tbl.column_names:
                 assert dec.column(c).to_pylist() == tbl.column(c).to_pylist()
+
+
+def test_decimal128_high_precision_roundtrip():
+    """E8 parity: i128 zigzag varints (reference varint.rs:60-108) for
+    decimal precision > 18, including negatives, nulls, and values beyond
+    int64 range."""
+    from decimal import Decimal
+
+    import pyarrow as pa
+
+    from orc_format_spark.codecs.container import decode_table, encode_table
+
+    vals = [
+        Decimal("12345678901234567890123456.789"),
+        Decimal("-99999999999999999999999999.999"),
+        None,
+        Decimal("0.001"),
+        Decimal("-0.001"),
+        Decimal("17014118346046923173168730371588.410"),  # > int64 range
+    ] * 20
+    tbl = pa.table({"d": pa.array(vals, pa.decimal128(38, 3))})
+    blob, lineage = encode_table(tbl, codec="auto", compression="zstd")
+    assert lineage[0]["codec"] == "varint128"
+    dec = decode_table(blob)
+    assert dec.column("d").to_pylist() == vals

@@ -1,0 +1,118 @@
+"""Property-based roundtrip tests (SURVEY.md §5.2.2): decode(encode(x))
+must equal x exactly for every codec, over adversarial generated inputs —
+constants, ramps, alternation, boundary magnitudes, empty arrays."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from orc_format_spark.codecs import dictionary, fsst, rle_v1, rle_v2
+from orc_format_spark.codecs.bitpack import decode_for_bitpack, encode_for_bitpack
+from orc_format_spark.codecs.varint import (
+    decode_varints,
+    encode_varints,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+SMALL = st.integers(min_value=-300, max_value=300)
+
+
+def int_arrays():
+    """int64 arrays biased toward RLE-relevant shapes."""
+    random = st.lists(I64, max_size=400)
+    small = st.lists(SMALL, max_size=400)
+    run = st.builds(
+        lambda v, n: [v] * n, SMALL, st.integers(min_value=0, max_value=400)
+    )
+    ramp = st.builds(
+        lambda base, delta, n: [base + delta * i for i in range(n)],
+        SMALL,
+        st.integers(min_value=-128, max_value=127),
+        st.integers(min_value=0, max_value=300),
+    )
+    pair = st.builds(lambda a, b: a + b, run, ramp)
+    return st.one_of(random, small, run, ramp, pair).map(
+        lambda xs: np.array(xs, np.int64)
+    )
+
+
+@settings(max_examples=60, deadline=None)
+@given(int_arrays())
+def test_rle_v1_roundtrip(v):
+    out = rle_v1.encode_int_rle_v1(v, signed=True)
+    assert np.array_equal(rle_v1.decode_int_rle_v1(out, signed=True), v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(int_arrays())
+def test_rle_v2_roundtrip(v):
+    out = rle_v2.encode_int_rle_v2(v, signed=True)
+    assert np.array_equal(rle_v2.decode_int_rle_v2(out, signed=True), v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(int_arrays())
+def test_for_bitpack_roundtrip(v):
+    out = encode_for_bitpack(v, signed=True)
+    assert np.array_equal(decode_for_bitpack(out, signed=True), v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(int_arrays())
+def test_dict_int_roundtrip(v):
+    out = dictionary.encode_dict_int(v, signed=True)
+    assert np.array_equal(dictionary.decode_dict_int(out, signed=True), v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=200))
+def test_varint_roundtrip(xs):
+    u = np.array(xs, np.uint64)
+    b, off = encode_varints(u)
+    got, consumed = decode_varints(b, count=len(xs))
+    assert consumed == len(b)
+    assert np.array_equal(got, u)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(I64, max_size=200))
+def test_zigzag_roundtrip(xs):
+    v = np.array(xs, np.int64)
+    assert np.array_equal(zigzag_decode(zigzag_encode(v)), v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=1000))
+def test_byte_rle_roundtrip(b):
+    v = np.frombuffer(b, np.uint8)
+    out = rle_v1.encode_byte_rle(v)
+    assert np.array_equal(rle_v1.decode_byte_rle(out), v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.booleans(), max_size=1000))
+def test_boolean_rle_roundtrip(bits):
+    m = np.array(bits, bool)
+    out = rle_v1.encode_boolean_rle(m)
+    assert np.array_equal(rle_v1.decode_boolean_rle(out, m.size), m)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=4000))
+def test_fsst_roundtrip(b):
+    d = np.frombuffer(b, np.uint8)
+    out = fsst.fsst_encode(d)
+    assert np.array_equal(fsst.fsst_decode(out), d)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.binary(max_size=40), max_size=120))
+def test_dict_bytes_roundtrip(chunks):
+    data = np.frombuffer(b"".join(chunks), np.uint8)
+    off = np.zeros(len(chunks) + 1, np.int64)
+    np.cumsum([len(c) for c in chunks], out=off[1:])
+    out = dictionary.encode_dict_bytes(data, off)
+    d2, o2 = dictionary.decode_dict_bytes(out)
+    assert np.array_equal(d2, data)
+    assert np.array_equal(o2, off)
