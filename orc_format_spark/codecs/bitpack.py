@@ -69,16 +69,28 @@ def _lane_dtype(width: int):
 
 
 def bitpack(u: np.ndarray, width: int) -> bytes:
-    """Pack uint64 values at ``width`` bits each, MSB-first big-endian."""
-    u = np.ascontiguousarray(u, dtype=np.uint64)
+    """Pack unsigned values at ``width`` bits each, MSB-first big-endian.
+
+    Accepts any unsigned dtype — narrow inputs (uint8/16/32) are packed
+    without an uint64 upcast, halving/quartering memory traffic on the
+    hot token path.
+    """
+    u = np.ascontiguousarray(u)
+    if u.dtype.kind != "u":
+        u = u.astype(np.uint64)
     n = u.size
     if n == 0 or width == 0:
         return b""
     if width % 8 == 0:
         # byte-aligned: each value is the low width/8 bytes of its
-        # big-endian u64 representation
+        # big-endian representation
         nb = width // 8
-        be = u.astype(">u8").view(np.uint8).reshape(n, 8)[:, 8 - nb :]
+        lane = 1
+        while lane < nb or lane < u.dtype.itemsize:
+            lane *= 2
+        be = (
+            u.astype(f">u{lane}").view(np.uint8).reshape(n, lane)[:, lane - nb :]
+        )
         return np.ascontiguousarray(be).tobytes()
     dt = _lane_dtype(width)
     shifts = np.arange(width - 1, -1, -1, dtype=dt)
@@ -86,7 +98,7 @@ def bitpack(u: np.ndarray, width: int) -> bytes:
     # process in chunks whose bit counts are byte-aligned (chunk*width % 8
     # == 0 because _CHUNK is a multiple of 8)
     for s in range(0, n, _CHUNK):
-        chunk = u[s : s + _CHUNK].astype(dt)
+        chunk = u[s : s + _CHUNK].astype(dt, copy=False)
         bits = ((chunk[:, None] >> shifts) & dt(1)).astype(np.uint8, copy=False)
         out_parts.append(np.packbits(bits.reshape(-1)))
     return b"".join(p.tobytes() for p in out_parts)
@@ -123,20 +135,36 @@ def bitunpack(buf, width: int, count: int) -> np.ndarray:
 # ------------------------------------------------------- frame-of-reference
 
 
+_UNSIGNED_OF = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
 def encode_for_bitpack(values: np.ndarray, signed: bool = True) -> bytes:
-    v = np.asarray(values)
+    v = np.ascontiguousarray(values)
+    n = v.size
+    if n == 0:
+        return b""
+    if v.dtype.itemsize < 8 and (v.dtype.kind == "u" or (signed and v.dtype.kind == "i")):
+        # narrow fast path: residual = wrapping subtract in the native
+        # unsigned width (exact because the value range fits the width);
+        # avoids the int64 upcast -> half/quarter the memory traffic
+        udt = _UNSIGNED_OF[v.dtype.itemsize]
+        mn = int(v.min())
+        mask = (1 << (8 * v.dtype.itemsize)) - 1
+        residual = v.view(udt) - udt(mn & mask)
+        width = int(residual.max()).bit_length() if n else 0
+        header = (
+            encode_varint_one(int(zigzag_encode(np.array([mn], np.int64))[0]))
+            + bytes((width,))
+            + encode_varint_one(n)
+        )
+        return header + bitpack(residual, width)
     if signed:
         v64 = np.ascontiguousarray(v, dtype=np.int64)
         u = v64.view(np.uint64)
-    else:
-        u = np.ascontiguousarray(v, dtype=np.uint64)
-    n = u.size
-    if n == 0:
-        return b""
-    if signed:
         mn = int(v64.min())
         residual = (u - np.uint64(mn & 0xFFFFFFFFFFFFFFFF))  # wraps correctly
     else:
+        u = np.ascontiguousarray(v, dtype=np.uint64)
         mn = int(u.min())
         residual = u - np.uint64(mn)
     width = bits_required(residual)

@@ -186,7 +186,12 @@ def encode_column(
         return codec if codec in cands else ""
 
     if pa.types.is_integer(t) or pa.types.is_date32(t):
-        v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+        # keep the native width: the hot codecs (for_bitpack, dict_int)
+        # stay in int32 lanes for int32 data — half the memory traffic;
+        # RLEv1/v2 upcast internally where their semantics need i64
+        v = vals.to_numpy(zero_copy_only=False)
+        if v.dtype.kind not in "iu":
+            v = v.astype(np.int64)  # date32 -> days
         use = _pick(("rle_v1", "rle_v2", "for_bitpack", "dict_int"), "rle_v1")
         if not use:
             use, est = select_int_codec(v, signed=True)

@@ -35,11 +35,28 @@ def _index_width(card: int) -> int:
 
 
 def encode_dict_int(values: np.ndarray, signed: bool = True) -> bytes:
-    v = np.ascontiguousarray(values, dtype=np.int64 if signed else np.uint64)
-    uniq, inv = np.unique(v, return_inverse=True)
+    v = np.ascontiguousarray(values)
+    if v.dtype.kind not in "iu":
+        v = v.astype(np.int64 if signed else np.uint64)
+    if v.size and v.dtype.kind in "iu":
+        mn, mx = int(v.min()), int(v.max())
+    else:
+        mn, mx = 0, 1 << 20
+    if 0 <= mx - mn < (1 << 16) and v.size:
+        # small value range: O(n) bincount instead of the np.unique sort
+        # (identical sorted-unique output, byte-identical stream)
+        off = v.astype(np.int64) - mn  # upcast: narrow signed diff can wrap
+        counts = np.bincount(off, minlength=mx - mn + 1)
+        uniq_off = np.flatnonzero(counts)
+        lut = np.zeros(mx - mn + 1, np.uint32)
+        lut[uniq_off] = np.arange(uniq_off.size, dtype=np.uint32)
+        inv = lut[off]
+        uniq = (uniq_off + mn).astype(v.dtype)
+    else:
+        uniq, inv = np.unique(v, return_inverse=True)
     card = uniq.size
     dict_bytes = encode_for_bitpack(uniq, signed)
-    idx_bytes = bitpack(inv.astype(np.uint64), _index_width(card))
+    idx_bytes = bitpack(inv.astype(np.uint32 if card <= 0xFFFFFFFF else np.uint64), _index_width(card))
     return (
         encode_varint_one(card)
         + encode_varint_one(v.size)
