@@ -13,7 +13,13 @@ Layers:
   sources/    tokens-table source + synthetic generators
 """
 
-from .operators.encode import BLOB_SCHEMA, decode_blobs, encode_groups, verify_blobs
+from .operators.encode import (
+    BLOB_SCHEMA,
+    decode_blobs,
+    encode_groups,
+    encode_groups_staged,
+    verify_blobs,
+)
 from .operators.job import job_metrics, run_encode_job
 from .operators.partitioning import plan_num_groups, with_group_id
 from .operators.stats import column_statistics
@@ -27,6 +33,7 @@ __all__ = [
     "decode_blobs",
     "detokenize",
     "encode_groups",
+    "encode_groups_staged",
     "encode_parquet_splits",
     "list_parquet_splits",
     "job_metrics",

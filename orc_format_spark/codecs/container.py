@@ -570,16 +570,45 @@ def encode_table(
     return serialize_blob(entries), lineage
 
 
-def decode_table(blob: bytes) -> pa.Table:
+def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Decode a blob; with ``columns``, only the named top-level columns
+    are decompressed/decoded (the reader-side projection the ORC format
+    enables via its stream directory — stream lengths in the header let
+    us skip over unwanted payloads without touching them)."""
     entries = deserialize_blob(blob)
     cols = []
     names = []
     i = 0
     while i < len(entries):
+        top = entries[i].name
+        if columns is not None and top not in columns:
+            i = _skip_entries(entries, i)
+            continue
         name, arr, i = decode_entries(entries, i)
         names.append(name)
         cols.append(arr)
+    if columns is not None:
+        order = {c: k for k, c in enumerate(columns)}
+        pairs = sorted(zip(names, cols), key=lambda nc: order[nc[0]])
+        names = [n for n, _ in pairs]
+        cols = [c for _, c in pairs]
     return pa.table(cols, names=names)
+
+
+def _skip_entries(entries: list[ColumnEntry], start: int) -> int:
+    """Index just past entry ``start`` and all of its child entries."""
+    e = entries[start]
+    t = _parse_type(e.type)
+    nxt = start + 1
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        nxt = _skip_entries(entries, nxt)
+    elif pa.types.is_struct(t):
+        for _ in range(t.num_fields):
+            nxt = _skip_entries(entries, nxt)
+    elif pa.types.is_map(t):
+        nxt = _skip_entries(entries, nxt)
+        nxt = _skip_entries(entries, nxt)
+    return nxt
 
 
 def table_checksum(tbl: pa.Table) -> str:

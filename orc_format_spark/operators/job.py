@@ -67,7 +67,10 @@ def run_encode_job(
                 continue
             wave_df = grouped.filter(F.col("group_id") % waves == w)
             enc = encode_groups(wave_df, codec=codec, compression=compression, key_col=key_col)
-            enc.withColumn("wave", F.lit(w)).write.mode("append").parquet(blobs_path)
+            # idempotent wave commit: each wave owns its own directory and
+            # is OVERWRITTEN on re-run, so a crash after the blob write but
+            # before the state write cannot duplicate blobs on resume
+            enc.write.mode("overwrite").parquet(f"{blobs_path}/wave={w}")
             spark.createDataFrame([(w,)], "wave long").write.mode("append").parquet(
                 state_path
             )

@@ -346,3 +346,35 @@ def test_decimal128_high_precision_roundtrip():
     assert lineage[0]["codec"] == "varint128"
     dec = decode_table(blob)
     assert dec.column("d").to_pylist() == vals
+
+
+def test_decode_table_column_projection():
+    """Reader-side projection: decode only requested columns, skipping
+    (not decompressing) the rest — including nested children."""
+    import glob
+    import time
+
+    import pyarrow.parquet as pq
+
+    from orc_format_spark.codecs.container import decode_table, encode_table
+
+    tbl = pq.read_table(glob.glob("/root/testdata/sf0.001/lineitem.parquet")[0])
+    blob, _ = encode_table(tbl, codec="auto", compression="zstd")
+    proj = decode_table(blob, columns=["l_orderkey", "l_returnflag"])
+    assert proj.column_names == ["l_orderkey", "l_returnflag"]
+    assert proj.column("l_orderkey").to_pylist() == tbl.column("l_orderkey").to_pylist()
+    assert proj.column("l_returnflag").to_pylist() == tbl.column("l_returnflag").to_pylist()
+    # projection must also skip nested (list) columns correctly
+    import pyarrow as pa
+
+    t2 = pa.table(
+        {
+            "a": pa.array([1, 2], pa.int64()),
+            "lst": pa.array([[1, 2], [3]], pa.list_(pa.int32())),
+            "b": pa.array(["x", "y"], pa.string()),
+        }
+    )
+    b2, _ = encode_table(t2, codec="auto", compression="zstd")
+    p2 = decode_table(b2, columns=["b"])
+    assert p2.column_names == ["b"]
+    assert p2.column("b").to_pylist() == ["x", "y"]
