@@ -30,7 +30,22 @@ DEFAULT_ZSTD_LEVEL = 3  # reference zstd.rs:17
 _CODECS: dict[tuple[str, int], pa.Codec] = {}
 
 
-def _codec(kind: str, level: int) -> pa.Codec:
+class _ZlibCodec:
+    """stdlib-zlib block codec (the proto's ZLIB kind,
+    orc_proto.proto:217-224 — proto-only in the reference)."""
+
+    def compress(self, block, asbytes=True):
+        import zlib
+
+        return zlib.compress(block, 6)
+
+    def decompress(self, payload, decompressed_size=None, asbytes=True):
+        import zlib
+
+        return zlib.decompress(bytes(payload))
+
+
+def _codec(kind: str, level: int):
     key = (kind, level)
     c = _CODECS.get(key)
     if c is None:
@@ -38,6 +53,10 @@ def _codec(kind: str, level: int) -> pa.Codec:
             c = pa.Codec("zstd", compression_level=level)
         elif kind == "snappy":
             c = pa.Codec("snappy")
+        elif kind == "lz4":
+            c = pa.Codec("lz4_raw")
+        elif kind == "zlib":
+            c = _ZlibCodec()
         else:
             raise ValueError(f"unknown compression kind: {kind}")
         _CODECS[key] = c

@@ -260,6 +260,30 @@ def encode_column(
                 entries, lineage,
             )
         return entries
+    elif pa.types.is_union(t):
+        # union column (union.rs:25-28, 59-89): ByteRLE DATA stream of
+        # variant tags + one child entry per variant, each holding that
+        # variant's values in arrival order (the reference's model).
+        # Arrow dense-union offsets are re-gathered to arrival order, so
+        # arbitrary offsets round-trip to the canonical layout.
+        if t.mode != "dense":
+            raise NotImplementedError("sparse unions not supported")
+        uv = _combine(vals)
+        type_codes = np.asarray(uv.type_codes)
+        value_offsets = np.asarray(uv.offsets, np.int64)
+        codes = list(t.type_codes)
+        streams.append((DATA, rle_v1.encode_byte_rle(type_codes.view(np.uint8))))
+        entry = _finish_entry(name, str(t), "union", compression, has_null, n_rows, n_present, streams)
+        entries.append(entry)
+        lineage.append(_lineage_row(name, entry, arr, est))
+        for i in range(t.num_fields):
+            positions = np.flatnonzero(type_codes == codes[i])
+            child_vals = uv.field(i).take(pa.array(value_offsets[positions], pa.int64()))
+            encode_column(
+                f"{name}.{t.field(i).name}", child_vals, codec, compression,
+                entries, lineage,
+            )
+        return entries
     elif pa.types.is_map(t):
         # map column: PRESENT + LENGTH + keys/values child entries
         # (map.rs:61-83: LENGTH stream + two child columns)
@@ -416,6 +440,15 @@ def _parse_type(s: str) -> pa.DataType:
     if s.startswith("map<"):
         kt, vt = _split_top_level(s[4:-1])
         return pa.map_(_parse_type(kt), _parse_type(vt))
+    if s.startswith("dense_union<"):
+        fields = []
+        codes = []
+        for part in _split_top_level(s[len("dense_union<") : -1]):
+            fname, rest = part.split(": ", 1)
+            ftype, code = rest.rsplit("=", 1)
+            fields.append(pa.field(fname, _parse_type(ftype)))
+            codes.append(int(code))
+        return pa.union(fields, mode="dense", type_codes=codes)
     raise NotImplementedError(f"type string {s}")
 
 
@@ -503,6 +536,26 @@ def decode_entries(entries: list[ColumnEntry], start: int = 0) -> tuple[str, pa.
             children.append(child)
         values = pa.StructArray.from_arrays(
             children, names=[t.field(i).name for i in range(t.num_fields)]
+        )
+    elif pa.types.is_union(t):
+        tags = rle_v1.decode_byte_rle(raw_streams[DATA]).view(np.int8)
+        children = []
+        nxt = start + 1
+        for _ in range(t.num_fields):
+            _, child, nxt = decode_entries(entries, nxt)
+            children.append(child)
+        # canonical arrival-order offsets: the j-th occurrence of variant
+        # v points at child_v[j]
+        offsets = np.zeros(tags.size, np.int32)
+        for i in range(t.num_fields):
+            pos = np.flatnonzero(tags == t.type_codes[i])
+            offsets[pos] = np.arange(pos.size, dtype=np.int32)
+        values = pa.UnionArray.from_dense(
+            pa.array(tags, pa.int8()),
+            pa.array(offsets, pa.int32()),
+            children,
+            field_names=[t.field(i).name for i in range(t.num_fields)],
+            type_codes=list(t.type_codes),
         )
     elif pa.types.is_map(t):
         lengths = rle_v1.decode_int_rle_v1(raw_streams[LENGTH], signed=False).astype(np.int64)
@@ -602,7 +655,7 @@ def _skip_entries(entries: list[ColumnEntry], start: int) -> int:
     nxt = start + 1
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         nxt = _skip_entries(entries, nxt)
-    elif pa.types.is_struct(t):
+    elif pa.types.is_struct(t) or pa.types.is_union(t):
         for _ in range(t.num_fields):
             nxt = _skip_entries(entries, nxt)
     elif pa.types.is_map(t):
@@ -655,6 +708,15 @@ def _canonical_buffers(arr):
         start, end = int(moff[0]), int(moff[-1])
         out.extend(_canonical_buffers(mv.keys.slice(start, end - start)))
         out.extend(_canonical_buffers(mv.items.slice(start, end - start)))
+    elif pa.types.is_union(t):
+        uv = _combine(va)
+        tc = np.asarray(uv.type_codes)
+        vo = np.asarray(uv.offsets, np.int64)
+        out.append(tc.tobytes())
+        for i in range(t.num_fields):
+            pos = np.flatnonzero(tc == t.type_codes[i])
+            child = uv.field(i).take(pa.array(vo[pos], pa.int64()))
+            out.extend(_canonical_buffers(child))
     elif pa.types.is_decimal(t):
         out.append(str(va.to_pylist()).encode())
     else:

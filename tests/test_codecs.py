@@ -210,7 +210,7 @@ def _sample_table(n=3000):
     return pa.table(cols)
 
 
-@pytest.mark.parametrize("compression", ["none", "zstd", "snappy"])
+@pytest.mark.parametrize("compression", ["none", "zstd", "snappy", "zlib", "lz4"])
 @pytest.mark.parametrize("codec", ["auto", "rle_v1", "rle_v2"])
 def test_container_roundtrip(codec, compression):
     tbl = _sample_table(1200)
@@ -378,3 +378,40 @@ def test_decode_table_column_projection():
     p2 = decode_table(b2, columns=["b"])
     assert p2.column_names == ["b"]
     assert p2.column("b").to_pylist() == ["x", "y"]
+
+
+def test_union_roundtrip():
+    """W12 parity: dense union = ByteRLE tag stream + per-variant child
+    columns in arrival order (union.rs:25-28, 59-89)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_format_spark.codecs.container import (
+        decode_table,
+        encode_table,
+        table_checksum,
+    )
+
+    tags = pa.array(np.array([0, 1, 0, 2, 1, 0, 2, 0] * 30, np.int8), pa.int8())
+    tc = np.asarray(tags)
+    counts = [int((tc == v).sum()) for v in (0, 1, 2)]
+    offs = np.zeros(len(tags), np.int32)
+    for v in (0, 1, 2):
+        pos = np.flatnonzero(tc == v)
+        offs[pos] = np.arange(pos.size, dtype=np.int32)
+    children = [
+        pa.array(np.arange(counts[0], dtype=np.int64)),
+        pa.array([f"s{i}" for i in range(counts[1])], pa.string()),
+        pa.array(np.linspace(0, 1, counts[2]), pa.float64()),
+    ]
+    u = pa.UnionArray.from_dense(
+        tags, pa.array(offs, pa.int32()), children,
+        field_names=["i", "s", "f"], type_codes=[0, 1, 2],
+    )
+    tbl = pa.table({"id": pa.array(range(len(tags)), pa.int64()), "u": u})
+    blob, lineage = encode_table(tbl, codec="auto", compression="zstd")
+    dec = decode_table(blob)
+    assert dec.schema == tbl.schema
+    assert dec.column("u").to_pylist() == tbl.column("u").to_pylist()
+    assert table_checksum(dec) == table_checksum(tbl)
+    assert decode_table(blob, columns=["id"]).column_names == ["id"]
