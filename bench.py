@@ -241,19 +241,25 @@ def main_scaling():
     one memory bus across all 32 cores, so it additionally measures
     bandwidth contention that a multi-node cluster would not see.
     """
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
     results = {}
     for cpus in (2, 8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--encode-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-        print(f"local[{cpus}]: {results[cpus]['tokens_per_sec']:,} tokens/sec", file=sys.stderr)
+        best = None
+        for _ in range(reps):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--encode-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["tokens_per_sec"] > best["tokens_per_sec"]:
+                best = r
+        results[cpus] = best
+        print(f"local[{cpus}]: {best['tokens_per_sec']:,} tokens/sec", file=sys.stderr)
     thr = {c: results[c]["tokens_per_sec"] for c in results}
     eff28 = (thr[8] / thr[2]) / 4.0
     eff832 = (thr[32] / thr[8]) / 4.0
@@ -280,7 +286,9 @@ def main_scaling():
             "## Two-parallelism-level scaling (sandbox proxy for N vs 4N executors)\n\n"
             "Same deterministic input (sf0.1 documents x"
             f"{REPL} -> {results[32]['n_tokens']:,} tokens), same code, fresh JVM per\n"
-            "level, flagship auto-codec split-encode job, workers warmed before timing.\n\n"
+            "level, flagship auto-codec split-encode job, workers warmed before\n"
+            f"timing, best of {reps} independent sweeps per level (this sandbox VM's\n"
+            "lazy page backing makes single runs vary up to 2x).\n\n"
             "| parallelism | encode sec | tokens/sec | bytes/token |\n"
             "|---|---|---|---|\n"
             f"{rows}\n\n"

@@ -45,7 +45,12 @@ def encode_dict_int(values: np.ndarray, signed: bool = True) -> bytes:
     if 0 <= mx - mn < (1 << 16) and v.size:
         # small value range: O(n) bincount instead of the np.unique sort
         # (identical sorted-unique output, byte-identical stream)
-        off = v.astype(np.int64) - mn  # upcast: narrow signed diff can wrap
+        if v.dtype.itemsize >= 4:
+            # safe in-dtype subtract: 0 <= result < 2^16 fits any >=32-bit
+            # int, so no wrap is possible
+            off = v - v.dtype.type(mn)
+        else:
+            off = v.astype(np.int32) - mn  # int8/16 diff could wrap
         counts = np.bincount(off, minlength=mx - mn + 1)
         uniq_off = np.flatnonzero(counts)
         lut = np.zeros(mx - mn + 1, np.uint32)

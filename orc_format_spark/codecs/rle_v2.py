@@ -89,18 +89,27 @@ def _emit_direct(
     out.append(bitpack(zz, w))
 
 
+def _delta_width_field(d0: int, rest_abs: np.ndarray) -> int | None:
+    """The 5-bit width field for a delta chunk, or None if the residual
+    deltas need a width code that does not fit (code+1 > 31 -> the chunk
+    must use direct/patched instead)."""
+    if rest_abs.size and not bool((rest_abs == np.uint64(abs(d0))).all()):
+        w = round_width(int(_bit_lengths(rest_abs).max()))
+        dfield = width_code(w) + 1
+        return dfield if dfield <= 31 else None
+    return 0  # fixed delta: decoder replays |d0| with d0's sign
+
+
 def _emit_delta(
     out: list[bytes], seg_u: np.ndarray, d0: int, rest_abs: np.ndarray, signed: bool
 ):
     n = seg_u.size
-    if rest_abs.size and not bool(
-        (rest_abs == np.uint64(abs(d0))).all()
-    ):
-        w = round_width(int(_bit_lengths(rest_abs).max()))
-        dfield = width_code(w) + 1
+    dfield = _delta_width_field(d0, rest_abs)
+    assert dfield is not None, "caller must pre-check _delta_width_field"
+    if dfield:
+        w = code_width(dfield - 1)
     else:
         w = 0
-        dfield = 0  # fixed delta: decoder replays |d0| with d0's sign
     out.append(bytes(((3 << 6) | (dfield << 1) | ((n - 1) >> 8), (n - 1) & 0xFF)))
     base = int(seg_u[0])
     if signed:
@@ -203,8 +212,21 @@ def _encode_literal_chunk(
             dabs = seg_u[1:] - seg_u[:-1]
         else:
             dabs = seg_u[:-1] - seg_u[1:]
-        if dabs.size == 0 or int(dabs.max()) < 1 << 63:
-            d0 = int(dabs[0]) if nondec else -int(dabs[0])
+        # the decoder takes the run direction from sign(d0): a decreasing
+        # sequence whose FIRST delta is 0 would decode with the wrong sign
+        dir_ok = nondec or dabs.size == 0 or int(dabs[0]) != 0 or not dabs.any()
+        if (
+            dir_ok
+            and (dabs.size == 0 or int(dabs.max()) < 1 << 63)
+            and (
+                dabs.size == 0
+                or _delta_width_field(
+                    int(dabs[0]) if nondec else -int(dabs[0]), dabs[1:]
+                )
+                is not None
+            )
+        ):
+            d0 = int(dabs[0]) if nondec else (-int(dabs[0]) if dabs.size else 0)
             buf: list[bytes] = []
             _emit_delta(buf, seg_u, d0, dabs[1:], signed)
             delta_bytes = b"".join(buf)
