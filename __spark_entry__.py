@@ -326,6 +326,32 @@ def q_stream_encode_roundtrip(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation: quality-filter -> exact dedup
+    (keep lowest doc_id) -> tokenize -> auto-codec encode -> decode ->
+    detokenize. The oracle replays the same filter+dedup in SQL; the
+    encode/decode leg is lossless so the results must match exactly."""
+    from orc_format_spark import (
+        TOKENS_SCHEMA,
+        decode_blobs,
+        detokenize,
+        encode_groups,
+        tokenize_documents,
+    )
+    from orc_format_spark.functions.dedup import dedup_keep_first
+    from orc_format_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = docs.filter(
+        F.floor(quality_score(F.col("text")) * F.lit(1000000.0)).cast("long")
+        >= F.lit(400000)
+    )
+    deduped = dedup_keep_first(kept.select("doc_id", "text", "source"))
+    toks = tokenize_documents(deduped)
+    blobs = encode_groups(toks, num_groups=4, key_col="doc_id", size_col="n_tok")
+    return detokenize(decode_blobs(blobs, TOKENS_SCHEMA)).select("doc_id", "text")
+
+
 def q_codec_lineage(spark, sf_dir):
     """Codec auto-selection lineage (no SQL oracle: rows-only check)."""
     from orc_format_spark import encode_groups, tokenize_documents
@@ -357,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_strings": q_stats_strings,
         "stats_doubles": q_stats_doubles,
         "codec_lineage": q_codec_lineage,
+        "curation_pipeline": q_curation_pipeline,
         "stream_encode_roundtrip": q_stream_encode_roundtrip,
         "struct_map_roundtrip": q_struct_map_roundtrip,
         "text_profile": q_text_profile,
@@ -379,7 +406,7 @@ def oracle_sql() -> dict[str, str]:
         brute_force_topk_sql,
         near_duplicate_pairs_sql,
     )
-    from orc_format_spark.functions.text import text_profile_sql
+    from orc_format_spark.functions.text import quality_e6_sql, text_profile_sql
 
     stats_longs = " UNION ALL ".join(
         f"SELECT '{c}' AS column, COUNT(*) AS n_values, COUNT({c}) AS n_present, "
@@ -423,6 +450,15 @@ def oracle_sql() -> dict[str, str]:
         "stats_doubles": stats_doubles,
         "stream_encode_roundtrip": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
+        ),
+        "curation_pipeline": (
+            "WITH kept AS ("
+            f"SELECT doc_id, text FROM documents WHERE {quality_e6_sql()} >= 400000"
+            "), dd AS ("
+            "SELECT doc_id, text, row_number() OVER ("
+            "PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+            "ORDER BY doc_id) AS rn FROM kept) "
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM dd WHERE rn = 1"
         ),
         "text_profile": text_profile_sql(),
         "exact_dedup": (

@@ -116,3 +116,52 @@ def test_dict_bytes_roundtrip(chunks):
     d2, o2 = dictionary.decode_dict_bytes(out)
     assert np.array_equal(d2, data)
     assert np.array_equal(o2, off)
+
+
+# ---------------------------------------------------- container end-to-end
+
+import pyarrow as _pa
+
+_ELEMENTS = {
+    "i64": st.one_of(st.none(), I64),
+    "i32": st.one_of(st.none(), st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+    "f64": st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=True)),
+    "b": st.one_of(st.none(), st.booleans()),
+    "s": st.one_of(st.none(), st.text(max_size=20)),
+    "bin": st.one_of(st.none(), st.binary(max_size=20)),
+    "lst": st.one_of(st.none(), st.lists(SMALL, max_size=8)),
+}
+_TYPES = {
+    "i64": _pa.int64(),
+    "i32": _pa.int32(),
+    "f64": _pa.float64(),
+    "b": _pa.bool_(),
+    "s": _pa.string(),
+    "bin": _pa.binary(),
+    "lst": _pa.list_(_pa.int32()),
+}
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_container_roundtrip_fuzz(data):
+    """encode_table/decode_table over random mixed-type tables with nulls
+    must be lossless for every column class."""
+    from orc_format_spark.codecs.container import decode_table, encode_table
+
+    n = data.draw(st.integers(min_value=0, max_value=60))
+    names = data.draw(
+        st.lists(st.sampled_from(sorted(_ELEMENTS)), min_size=1, max_size=4, unique=True)
+    )
+    cols = {
+        key: _pa.array(
+            data.draw(st.lists(_ELEMENTS[key], min_size=n, max_size=n)), _TYPES[key]
+        )
+        for key in names
+    }
+    tbl = _pa.table(cols)
+    blob, _ = encode_table(tbl, codec="auto", compression="zstd")
+    dec = decode_table(blob)
+    assert dec.schema == tbl.schema
+    for c in tbl.column_names:
+        assert dec.column(c).to_pylist() == tbl.column(c).to_pylist(), c
