@@ -71,6 +71,12 @@ def run_encode_job(
             # is OVERWRITTEN on re-run, so a crash after the blob write but
             # before the state write cannot duplicate blobs on resume
             enc.write.mode("overwrite").parquet(f"{blobs_path}/wave={w}")
+            # codec-lineage/metrics table (north_star: "emits ... a
+            # codec-lineage row ... to a metrics table"): the blob rows
+            # minus the payload, one row per stripe
+            enc.drop("blob").write.mode("overwrite").parquet(
+                f"{out_dir}/metrics/wave={w}"
+            )
             spark.createDataFrame([(w,)], "wave long").write.mode("append").parquet(
                 state_path
             )
