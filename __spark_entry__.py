@@ -230,7 +230,7 @@ def q_ngram_jaccard(spark, sf_dir):
     from orc_format_spark.functions.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(docs, n=4, threshold=0.5, max_doc_id=80)
+    return ngram_jaccard_pairs(docs, n=4, threshold=0.35, max_doc_id=80)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -258,7 +258,7 @@ def q_embedding_neardup(spark, sf_dir):
     from orc_format_spark.functions.similarity import near_duplicate_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return near_duplicate_pairs(emb, threshold_e6=500000, max_id=300)
+    return near_duplicate_pairs(emb, threshold_e6=300000, max_id=300)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -471,8 +471,8 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id "
             "FROM alldocs GROUP BY 1"
         ),
-        "ngram_jaccard": ngram_jaccard_pairs_sql(n=4, threshold=0.5, max_doc_id=80),
-        "embedding_neardup": near_duplicate_pairs_sql(threshold_e6=500000, max_id=300),
+        "ngram_jaccard": ngram_jaccard_pairs_sql(n=4, threshold=0.35, max_doc_id=80),
+        "embedding_neardup": near_duplicate_pairs_sql(threshold_e6=300000, max_id=300),
         "ann_topk": brute_force_topk_sql(k=5, n_queries=10),
         "multimodal_features": extract_features_sql(),
     }
