@@ -130,6 +130,10 @@ _ELEMENTS = {
     "s": st.one_of(st.none(), st.text(max_size=20)),
     "bin": st.one_of(st.none(), st.binary(max_size=20)),
     "lst": st.one_of(st.none(), st.lists(SMALL, max_size=8)),
+    "ts": st.one_of(
+        st.none(), st.integers(min_value=-(2**50), max_value=2**50)
+    ),
+    "date": st.one_of(st.none(), st.integers(min_value=-100000, max_value=100000)),
 }
 _TYPES = {
     "i64": _pa.int64(),
@@ -139,6 +143,8 @@ _TYPES = {
     "s": _pa.string(),
     "bin": _pa.binary(),
     "lst": _pa.list_(_pa.int32()),
+    "ts": _pa.timestamp("us"),
+    "date": _pa.date32(),
 }
 
 
@@ -165,3 +171,19 @@ def test_container_roundtrip_fuzz(data):
     assert dec.schema == tbl.schema
     for c in tbl.column_names:
         assert dec.column(c).to_pylist() == tbl.column(c).to_pylist(), c
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=400))
+def test_rle_v1_unsigned_roundtrip(xs):
+    v = np.array(xs, np.uint64)
+    out = rle_v1.encode_int_rle_v1(v, signed=False)
+    assert np.array_equal(rle_v1.decode_int_rle_v1(out, signed=False), v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=400))
+def test_rle_v2_unsigned_roundtrip(xs):
+    v = np.array(xs, np.uint64)
+    out = rle_v2.encode_int_rle_v2(v, signed=False)
+    assert np.array_equal(rle_v2.decode_int_rle_v2(out, signed=False), v)
