@@ -105,10 +105,14 @@ def q_fsst_roundtrip(spark, sf_dir):
 
 
 def q_float_raw_roundtrip(spark, sf_dir):
+    """Float list column through the container; output exploded to scalar
+    (vec_id, dim, value) rows so the driver's canonicalizer can sort/hash
+    (pandas cannot sort list cells)."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
-    return _roundtrip(e, "vec_id")
+    rt = _roundtrip(e, "vec_id")
+    return rt.select("vec_id", F.posexplode("embedding").alias("dim", "value"))
 
 
 def q_double_roundtrip(spark, sf_dir):
@@ -136,12 +140,15 @@ def q_timestamp_roundtrip(spark, sf_dir):
 
 
 def q_decimal_roundtrip(spark, sf_dir):
+    """Decimal through the container; final cast to string on BOTH sides
+    (Spark Decimal vs DuckDB->pandas float64 hash differently otherwise)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey",
         "l_linenumber",
         F.col("l_orderkey").cast("decimal(18,2)").alias("dval"),
     )
-    return _roundtrip(li, "l_orderkey")
+    rt = _roundtrip(li, "l_orderkey")
+    return rt.withColumn("dval", F.col("dval").cast("string"))
 
 
 def q_nulls_roundtrip(spark, sf_dir):
@@ -192,14 +199,22 @@ def q_stats_doubles(spark, sf_dir):
 
 
 def q_struct_map_roundtrip(spark, sf_dir):
-    """Struct + map columns through the blob container (W9/W11 parity;
-    rows-only check: SQL engines disagree on struct/map hashing)."""
+    """Struct + map columns through the blob container (W9/W11 parity).
+    The container roundtrips the full nested values; the output is
+    flattened back to scalars so it is canon-hashable and a plain SQL
+    oracle can reproduce it."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id",
         F.struct("event_type", "value").alias("s"),
         F.create_map(F.lit("type"), F.col("event_type")).alias("m"),
     )
-    return _roundtrip(ev, "event_id")
+    rt = _roundtrip(ev, "event_id")
+    return rt.select(
+        "event_id",
+        F.col("s.event_type").alias("s_event_type"),
+        F.col("s.value").alias("s_value"),
+        F.col("m")[F.lit("type")].alias("m_type"),
+    )
 
 
 def q_text_profile(spark, sf_dir):
@@ -278,11 +293,19 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary payload -> feature vectors via Arrow-batched mapInArrow."""
+    """Binary payload -> feature vectors via Arrow-batched mapInArrow;
+    the feature array is serialized to a CSV string so the driver's
+    canonicalizer can sort/hash the frame."""
     from orc_format_spark.functions.multimodal import extract_features, with_payload
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return extract_features(with_payload(docs))
+    feats = extract_features(with_payload(docs))
+    return feats.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: x.cast("string"))
+        ).alias("features_csv"),
+    )
 
 
 def q_frame_sample(spark, sf_dir):
@@ -433,11 +456,17 @@ def oracle_sql() -> dict[str, str]:
         "for_bitpack_roundtrip": "SELECT c_custkey, c_nationkey FROM customer",
         "dict_roundtrip": "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem",
         "fsst_roundtrip": "SELECT doc_id, text FROM documents",
-        "float_raw_roundtrip": "SELECT vec_id, embedding FROM embeddings",
+        "float_raw_roundtrip": (
+            "SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) "
+            "AS dim, unnest(embedding) AS value FROM embeddings"
+        ),
         "double_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
         "bool_rle_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity > 25.0 AS flag FROM lineitem",
         "timestamp_roundtrip": "SELECT event_id, ts FROM events",
-        "decimal_roundtrip": "SELECT l_orderkey, l_linenumber, CAST(l_orderkey AS DECIMAL(18,2)) AS dval FROM lineitem",
+        "decimal_roundtrip": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(CAST(l_orderkey AS DECIMAL(18,2)) AS VARCHAR) AS dval FROM lineitem"
+        ),
         "nulls_roundtrip": (
             "SELECT o_orderkey, "
             "CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END AS val, "
@@ -470,6 +499,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint, "
             "COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id "
             "FROM alldocs GROUP BY 1"
+        ),
+        "struct_map_roundtrip": (
+            "SELECT event_id, event_type AS s_event_type, value AS s_value, "
+            "event_type AS m_type FROM events"
         ),
         "ngram_jaccard": ngram_jaccard_pairs_sql(n=4, threshold=0.35, max_doc_id=80),
         "embedding_neardup": near_duplicate_pairs_sql(threshold_e6=300000, max_id=300),

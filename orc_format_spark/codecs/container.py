@@ -348,9 +348,12 @@ def serialize_blob(entries: list[ColumnEntry]) -> bytes:
 
 
 def deserialize_blob(blob: bytes) -> list[ColumnEntry]:
+    if len(blob) < 7:
+        raise ValueError("truncated blob header")
     if blob[:4] != MAGIC:
         raise ValueError("bad blob magic")
-    pos = 5
+    if blob[4] != VERSION:
+        raise ValueError(f"unsupported blob version {blob[4]}")
     n_entries = int.from_bytes(blob[5:7], "little")
     pos = 7
     metas = []
@@ -378,9 +381,13 @@ def deserialize_blob(blob: bytes) -> list[ColumnEntry]:
     for (fields, has_null, n_rows, n_present, skinds) in metas:
         streams = []
         for kind, slen in skinds:
+            if pos + slen > len(blob):
+                raise ValueError("truncated blob payload")
             streams.append((kind, blob[pos : pos + slen]))
             pos += slen
         entries.append(ColumnEntry(fields[0], fields[1], fields[2], fields[3], has_null, n_rows, n_present, streams))
+    if pos != len(blob):
+        raise ValueError("trailing bytes after blob payload")
     return entries
 
 

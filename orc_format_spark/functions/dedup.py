@@ -139,8 +139,11 @@ def minhash_signatures(docs: DataFrame, n: int = 4, num_perm: int = 32) -> DataF
         seeds,
         lambda s: F.array_min(F.transform(grams, lambda g: F.xxhash64(g, s))),
     )
-    return docs.select("doc_id", sig.alias("signature")).filter(
-        F.size("signature") > 0
+    # docs shorter than n have no grams -> all-null signatures that would
+    # collide into one LSH bucket per band (O(m^2) spurious pairs); gate on
+    # gram availability, not signature width (which is always num_perm)
+    return docs.filter(F.length(F.col("text")) >= n).select(
+        "doc_id", sig.alias("signature")
     )
 
 

@@ -101,12 +101,13 @@ def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 
 def extract_features_sql(dim: int = FEATURE_DIM, table: str = "documents") -> str:
-    """DuckDB oracle for the deterministic stand-in featurizer."""
+    """DuckDB oracle for the deterministic stand-in featurizer (CSV string
+    output so the driver's pandas canonicalizer can sort/hash rows)."""
     return (
         f"SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
-        f"list_transform(range(1, {dim} + 1), "
-        f"k -> (CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * k) % {_MOD}) "
-        f"AS features "
+        f"array_to_string(list_transform(range(1, {dim} + 1), "
+        f"k -> (CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * k) % {_MOD}), ',') "
+        f"AS features_csv "
         f"FROM {table}"
     )
 

@@ -119,12 +119,16 @@ def encode_groups_staged(
         .parquet(stage_dir)
     )
 
-    import os
-
+    # enumerate staged group dirs via the Hadoop FileSystem API so the
+    # staged path works on cluster filesystems (hdfs://, s3a://, ...), not
+    # just a driver-local POSIX mount
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(stage_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     groups = sorted(
-        int(d.split("=")[1])
-        for d in os.listdir(stage_dir)
-        if d.startswith("group_id=")
+        int(st.getPath().getName().split("=")[1])
+        for st in fs.listStatus(jpath)
+        if st.isDirectory() and st.getPath().getName().startswith("group_id=")
     )
     gdf = spark.createDataFrame([(g,) for g in groups], "group_id long")
     gdf = gdf.repartition(max(1, min(len(groups), 4096)))
@@ -134,6 +138,9 @@ def encode_groups_staged(
 
         for batch in batches:
             for gid in batch.column("group_id").to_pylist():
+                # pq.read_table resolves URIs through pyarrow.fs (file://,
+                # s3://, gs://, hdfs:// with libhdfs); schemes pyarrow lacks
+                # fail loudly here rather than silently listing nothing
                 data = pq.read_table(f"{stage_dir}/group_id={gid}").sort_by(sort_key)
                 blob, lineage = encode_table(data, codec=codec, compression=compression)
                 leaf = [l for l in lineage if l["codec"] != "list"]

@@ -72,10 +72,15 @@ def run_encode_job(
             # before the state write cannot duplicate blobs on resume
             enc.write.mode("overwrite").parquet(f"{blobs_path}/wave={w}")
             # codec-lineage/metrics table (north_star: "emits ... a
-            # codec-lineage row ... to a metrics table"): the blob rows
-            # minus the payload, one row per stripe
-            enc.drop("blob").write.mode("overwrite").parquet(
-                f"{out_dir}/metrics/wave={w}"
+            # codec-lineage row ... to a metrics table"): derived from the
+            # just-written wave parquet, NOT from `enc` — re-materializing
+            # the uncached encode lineage would run the whole Python-side
+            # encode a second time per wave
+            (
+                spark.read.parquet(f"{blobs_path}/wave={w}")
+                .drop("blob")
+                .write.mode("overwrite")
+                .parquet(f"{out_dir}/metrics/wave={w}")
             )
             spark.createDataFrame([(w,)], "wave long").write.mode("append").parquet(
                 state_path

@@ -30,6 +30,33 @@ def plan_num_groups(total_size: int, per_group: int = DEFAULT_TOKENS_PER_GROUP) 
     return max(1, (int(total_size) + per_group - 1) // per_group)
 
 
+def heavy_threshold_estimate(
+    df: DataFrame,
+    size_col: str,
+    key_col: str,
+    heavy_quantile: float = 0.99,
+    sample_mod: int = 128,
+) -> float:
+    """Estimate the heavy-row size threshold from a *deterministic* hash
+    sample (rows where xxhash64(key) % sample_mod == 0).
+
+    Determinism matters twice: (a) group membership must be a pure
+    function of the data for checkpointed resume / stable checksums
+    (``df.sample`` depends on physical partition layout); (b) at 100 TB
+    the estimate touches ~1/sample_mod of a two-column pruned scan
+    instead of a full-table approxQuantile pass. Callers with a stats
+    pass already in hand should pass ``heavy_threshold`` directly to
+    ``with_group_id`` and skip this scan entirely.
+    """
+    sampled = df.select(size_col, key_col).filter(
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(97)), F.lit(sample_mod)) == 0
+    )
+    vals = sampled.approxQuantile(size_col, [heavy_quantile], 0.001)
+    if not vals or vals[0] is None:  # degenerate tiny sample
+        vals = df.approxQuantile(size_col, [heavy_quantile], 0.001)
+    return vals[0]
+
+
 def with_group_id(
     df: DataFrame,
     num_groups: int,
@@ -37,17 +64,24 @@ def with_group_id(
     size_col: str | None = "n_tok",
     heavy_quantile: float = 0.99,
     salt: int = 0,
+    heavy_threshold: float | None = None,
 ) -> DataFrame:
     """Add a deterministic ``group_id`` column in [0, num_groups).
 
     Light rows hash into the first ~7/8 of groups; rows with
     ``size_col`` above the ``heavy_quantile`` threshold are salted across
-    a dedicated tail slice so long sequences spread evenly.
+    a dedicated tail slice so long sequences spread evenly. Pass
+    ``heavy_threshold`` (e.g. from a prior stats pass) to skip the
+    deterministic-sample estimation scan.
     """
     h = F.abs(F.xxhash64(F.col(key_col), F.lit(salt)))
     if size_col is None or num_groups < 8 or size_col not in df.columns:
         return df.withColumn("group_id", (h % num_groups).cast("long"))
-    thr = df.approxQuantile(size_col, [heavy_quantile], 0.001)[0]
+    thr = (
+        heavy_threshold
+        if heavy_threshold is not None
+        else heavy_threshold_estimate(df, size_col, key_col, heavy_quantile)
+    )
     n_heavy = max(1, num_groups // 8)
     n_light = num_groups - n_heavy
     gid = F.when(

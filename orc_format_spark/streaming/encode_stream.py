@@ -7,7 +7,10 @@ as data arrives" is a streaming query: every micro-batch is encoded with
 the same deterministic grouping + codec machinery as the batch path, so
 a given set of rows produces identical blobs whether it arrived via
 batch or stream. Exactly-once comes from the streaming checkpoint
-(offsets + batch id) stacked on our content-addressed lineage rows.
+(offsets + batch id) *plus* idempotent per-batch output: each batch
+overwrites its own ``batch_id=N`` directory, so a batch replayed after a
+write-succeeded/commit-failed crash cannot duplicate blob rows (the same
+wave-directory pattern as operators/job.py).
 
 At scale this runs against a Kafka/Iceberg-CDC source with a processing-
 time trigger; here the file source + availableNow trigger covers the
@@ -50,11 +53,9 @@ def encode_stream(
             key_col=key_col,
             size_col=size_col,
         )
-        (
-            blobs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
-        )
+        # idempotent replay: a retried micro-batch overwrites its own
+        # directory instead of appending duplicate rows
+        blobs.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)
