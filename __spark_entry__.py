@@ -198,6 +198,189 @@ def q_stats_doubles(spark, sf_dir):
     )
 
 
+def q_binary_roundtrip(spark, sf_dir):
+    """Binary column (W8, data/binary.rs:23-27) through the container;
+    output hex-encoded so it is canon-hashable on both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("props").cast("binary").alias("bval")
+    )
+    rt = _roundtrip(ev, "event_id")
+    return rt.select("event_id", F.lower(F.hex("bval")).alias("bval_hex"))
+
+
+def q_date_roundtrip(spark, sf_dir):
+    """date32 column (W2 date path, data.rs:57-58) through the container;
+    final cast to string (pandas date vs timestamp repr differ)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("odate")
+    )
+    rt = _roundtrip(o, "o_orderkey")
+    return rt.withColumn("odate", F.col("odate").cast("string"))
+
+
+def q_union_roundtrip(spark, sf_dir):
+    """Dense union column (W12, union.rs:59-89) end-to-end: rows are
+    tagged event_id%2, variant 0 holds the double value, variant 1 the
+    event_type string; the union is built in Arrow, pushed through the
+    blob container, decoded, and flattened to (tag, dval, sval) scalars
+    the SQL oracle reproduces."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from orc_format_spark.codecs.container import decode_table, encode_table
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if tbl.num_rows == 0:
+                continue
+            eid = tbl.column("event_id").combine_chunks()
+            tags = (np.asarray(eid) % 2).astype(np.int8)
+            pos0 = np.flatnonzero(tags == 0)
+            pos1 = np.flatnonzero(tags == 1)
+            child0 = tbl.column("value").combine_chunks().take(pa.array(pos0))
+            child1 = tbl.column("event_type").combine_chunks().take(pa.array(pos1))
+            offsets = np.zeros(len(tags), np.int32)
+            offsets[pos0] = np.arange(len(pos0), dtype=np.int32)
+            offsets[pos1] = np.arange(len(pos1), dtype=np.int32)
+            union = pa.UnionArray.from_dense(
+                pa.array(tags, pa.int8()),
+                pa.array(offsets, pa.int32()),
+                [child0, child1],
+                field_names=["dval", "sval"],
+                type_codes=[0, 1],
+            )
+            blob, _ = encode_table(pa.table({"event_id": eid, "u": union}))
+            dec = decode_table(blob)
+            du = dec.column("u").combine_chunks()
+            dtags = np.asarray(du.type_codes)
+            doffs = np.asarray(du.offsets, np.int64)
+            ind0 = pa.array(np.where(dtags == 0, doffs, 0), pa.int64(), mask=dtags != 0)
+            ind1 = pa.array(np.where(dtags == 1, doffs, 0), pa.int64(), mask=dtags != 1)
+            yield pa.record_batch(
+                [
+                    dec.column("event_id").combine_chunks(),
+                    pa.array(dtags.astype(np.int32), pa.int32()),
+                    du.field(0).take(ind0),
+                    du.field(1).take(ind1).cast(pa.string()),
+                ],
+                names=["event_id", "tag", "dval", "sval"],
+            )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    return ev.mapInArrow(fn, "event_id long, tag int, dval double, sval string")
+
+
+def q_composite_roundtrip(spark, sf_dir):
+    """Composite 13-type schema through ONE container encode — the Spark
+    re-expression of the reference's full-schema writer demo
+    (src/bin/test_writer.rs:9-23, FIXTURES.md §4): bool, tinyint,
+    smallint, int, bigint, float, double, decimal(20,2) (the i128 varint
+    path), string, binary, date, timestamp, list, struct, map. Output
+    flattened/stringified per column so the driver canon + SQL oracle
+    can hash it."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("row_id"),
+        (F.col("event_id") % 3 == 0).alias("b"),
+        F.when(F.col("event_id") % 11 == 0, F.lit(None))
+        .otherwise((F.col("event_id") % 100).cast("tinyint"))
+        .alias("ti"),
+        ((F.col("event_id") % 1000) - 500).cast("smallint").alias("si"),
+        F.col("user_id").cast("int").alias("i"),
+        (F.col("event_id") * 1000003).alias("bi"),
+        F.col("value").cast("float").alias("f"),
+        F.col("value").alias("d"),
+        F.col("event_id").cast("decimal(20,2)").alias("dcm"),
+        F.col("event_type").alias("s"),
+        F.col("props").cast("binary").alias("bin"),
+        F.to_date("ts").alias("dt"),
+        F.col("ts").alias("tsv"),
+        F.sequence(F.lit(0), (F.col("event_id") % 5).cast("int")).alias("lst"),
+        F.struct(
+            F.col("event_type").alias("et"), F.col("user_id").alias("uid")
+        ).alias("st"),
+        F.create_map(F.lit("k"), F.col("value")).alias("mp"),
+    )
+    rt = _roundtrip(ev, "row_id")
+    return rt.select(
+        "row_id",
+        "b",
+        "ti",
+        "si",
+        "i",
+        "bi",
+        "f",
+        "d",
+        F.col("dcm").cast("string").alias("dcm"),
+        "s",
+        F.lower(F.hex("bin")).alias("bin_hex"),
+        F.col("dt").cast("string").alias("dt"),
+        "tsv",
+        F.concat_ws(",", F.transform("lst", lambda x: x.cast("string"))).alias(
+            "lst_csv"
+        ),
+        F.col("st.et").alias("st_et"),
+        F.col("st.uid").alias("st_uid"),
+        F.col("mp")[F.lit("k")].alias("mp_v"),
+    )
+
+
+def q_stats_bools(spark, sf_dir):
+    """BooleanStatistics (S4, statistics/boolean.rs): true-count."""
+    from orc_format_spark import column_statistics
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_quantity") > F.lit(25.0)).alias("flag"),
+        (F.col("l_discount") >= F.lit(0.05)).alias("disc_flag"),
+    )
+    return column_statistics(li, ["flag", "disc_flag"]).select(
+        "column", "n_values", "n_present", "n_true"
+    )
+
+
+def q_stats_timestamps(spark, sf_dir):
+    """TimestampStatistics (S6, statistics/timestamp.rs:131): min/max in
+    epoch milliseconds."""
+    from orc_format_spark import column_statistics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return column_statistics(ev, ["ts"]).select(
+        "column", "n_values", "n_present", "min_long", "max_long"
+    )
+
+
+def q_stats_decimals(spark, sf_dir):
+    """DecimalStatistics (S5, statistics/decimal.rs:70-84): EXACT
+    min/max/sum (surfaced as decimal strings, incl. a precision>18
+    column on the i128 path)."""
+    from orc_format_spark import column_statistics
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("decimal(10,2)").alias("d1"),
+        F.col("l_partkey").cast("decimal(38,4)").alias("d2"),
+    )
+    return column_statistics(li, ["d1", "d2"]).select(
+        "column", "n_values", "n_present", "min_decimal", "max_decimal", "sum_decimal"
+    )
+
+
+def q_stats_binary(spark, sf_dir):
+    """BinaryStatistics (S7, statistics/binary.rs:19-23): sum of byte
+    lengths (binary has no ordering stats)."""
+    from orc_format_spark import column_statistics
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("props").cast("binary").alias("payload")
+    )
+    return column_statistics(ev, ["payload"]).select(
+        "column", "n_values", "n_present", "sum_lengths"
+    )
+
+
 def q_struct_map_roundtrip(spark, sf_dir):
     """Struct + map columns through the blob container (W9/W11 parity).
     The container roundtrips the full nested values; the output is
@@ -249,23 +432,27 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (no SQL oracle: xxhash64-based)."""
+    """MinHash+LSH near-dup candidates, run with the DuckDB-reproducible
+    md5 hash so the full signature->band->bucket-join pipeline is checked
+    against a SQL oracle (production default stays xxhash64)."""
     from orc_format_spark.functions.dedup import lsh_candidate_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 200
     )
-    return lsh_candidate_pairs(docs, n=4, num_perm=32, bands=8)
+    return lsh_candidate_pairs(docs, n=4, num_perm=32, bands=8, hasher="md5")
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (no SQL oracle: xxhash64-based)."""
+    """SimHash near-dup pairs with the DuckDB-reproducible md5 hash
+    (60-bit fingerprint, 4x15-bit bands) so the bit-vote aggregation and
+    band join are oracle-checked."""
     from orc_format_spark.functions.dedup import simhash_near_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 200
     )
-    return simhash_near_pairs(docs, n=4, max_hamming=10)
+    return simhash_near_pairs(docs, n=4, max_hamming=10, hasher="md5")
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -309,12 +496,13 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_frame_sample(spark, sf_dir):
-    """Every-16th-byte payload sampling (video frame-sample shape;
-    rows-only check)."""
+    """Every-16th-byte payload sampling (video frame-sample shape);
+    hex-projected output so a byte-level SQL oracle can reproduce it."""
     from orc_format_spark.functions.multimodal import frame_sample, with_payload
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return frame_sample(with_payload(docs), stride=16)
+    fs = frame_sample(with_payload(docs), stride=16)
+    return fs.select("doc_id", F.lower(F.hex("frames")).alias("frames_hex"))
 
 
 def q_stream_encode_roundtrip(spark, sf_dir):
@@ -376,15 +564,19 @@ def q_curation_pipeline(spark, sf_dir):
 
 
 def q_codec_lineage(spark, sf_dir):
-    """Codec auto-selection lineage (no SQL oracle: rows-only check)."""
+    """Codec lineage rows: deterministic md5-based grouping so group
+    membership, row counts, and value counts (3 scalar leaves + the
+    tokens.item leaf) are SQL-reproducible. Compressed sizes / codec
+    choices are exercised by entry() and the bench (not SQL-expressible)."""
     from orc_format_spark import encode_groups, tokenize_documents
+    from orc_format_spark.functions.dedup import md5_hash60
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = tokenize_documents(docs)
-    blobs = encode_groups(toks, num_groups=4, key_col="doc_id", size_col="n_tok")
-    return blobs.select(
-        "group_id", "n_rows", "n_values", "input_bytes", "output_bytes", "codecs"
+    toks = tokenize_documents(docs).withColumn(
+        "group_id", (md5_hash60(F.col("doc_id"), 0) % 4).cast("long")
     )
+    blobs = encode_groups(toks, key_col="doc_id")
+    return blobs.select("group_id", "n_rows", "n_values")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -402,9 +594,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimal_roundtrip": q_decimal_roundtrip,
         "nulls_roundtrip": q_nulls_roundtrip,
         "string_raw_roundtrip": q_string_raw_roundtrip,
+        "binary_roundtrip": q_binary_roundtrip,
+        "date_roundtrip": q_date_roundtrip,
+        "union_roundtrip": q_union_roundtrip,
+        "composite_roundtrip": q_composite_roundtrip,
         "stats_longs": q_stats_longs,
         "stats_strings": q_stats_strings,
         "stats_doubles": q_stats_doubles,
+        "stats_bools": q_stats_bools,
+        "stats_timestamps": q_stats_timestamps,
+        "stats_decimals": q_stats_decimals,
+        "stats_binary": q_stats_binary,
         "codec_lineage": q_codec_lineage,
         "curation_pipeline": q_curation_pipeline,
         "stream_encode_roundtrip": q_stream_encode_roundtrip,
@@ -423,7 +623,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from orc_format_spark.functions.dedup import ngram_jaccard_pairs_sql
+    from orc_format_spark.functions.dedup import (
+        lsh_candidate_pairs_sql,
+        ngram_jaccard_pairs_sql,
+        simhash_near_pairs_sql,
+    )
     from orc_format_spark.functions.multimodal import extract_features_sql
     from orc_format_spark.functions.similarity import (
         brute_force_topk_sql,
@@ -474,9 +678,67 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders"
         ),
         "string_raw_roundtrip": "SELECT event_id, event_type, props FROM events",
+        "binary_roundtrip": (
+            "SELECT event_id, lower(hex(CAST(props AS BLOB))) AS bval_hex FROM events"
+        ),
+        "date_roundtrip": (
+            "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) "
+            "AS odate FROM orders"
+        ),
+        "union_roundtrip": (
+            "SELECT event_id, CAST(event_id % 2 AS INT) AS tag, "
+            "CASE WHEN event_id % 2 = 0 THEN value END AS dval, "
+            "CASE WHEN event_id % 2 = 1 THEN event_type END AS sval FROM events"
+        ),
+        "composite_roundtrip": (
+            "SELECT event_id AS row_id, event_id % 3 = 0 AS b, "
+            "CASE WHEN event_id % 11 = 0 THEN NULL "
+            "ELSE CAST(event_id % 100 AS TINYINT) END AS ti, "
+            "CAST(event_id % 1000 - 500 AS SMALLINT) AS si, "
+            "CAST(user_id AS INT) AS i, event_id * 1000003 AS bi, "
+            "CAST(value AS FLOAT) AS f, value AS d, "
+            "CAST(CAST(event_id AS DECIMAL(20,2)) AS VARCHAR) AS dcm, "
+            "event_type AS s, lower(hex(CAST(props AS BLOB))) AS bin_hex, "
+            "CAST(CAST(ts AS DATE) AS VARCHAR) AS dt, ts AS tsv, "
+            "array_to_string(list_transform(range(0, event_id % 5 + 1), "
+            "x -> CAST(x AS VARCHAR)), ',') AS lst_csv, "
+            "event_type AS st_et, user_id AS st_uid, value AS mp_v FROM events"
+        ),
         "stats_longs": stats_longs,
         "stats_strings": stats_strings,
         "stats_doubles": stats_doubles,
+        "stats_bools": (
+            "SELECT 'flag' AS column, COUNT(*) AS n_values, "
+            "COUNT(*) AS n_present, "
+            "CAST(SUM(CASE WHEN l_quantity > 25.0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_true FROM lineitem UNION ALL "
+            "SELECT 'disc_flag' AS column, COUNT(*) AS n_values, "
+            "COUNT(*) AS n_present, "
+            "CAST(SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_true FROM lineitem"
+        ),
+        "stats_timestamps": (
+            "SELECT 'ts' AS column, COUNT(*) AS n_values, COUNT(ts) AS n_present, "
+            "epoch_ms(MIN(ts)) AS min_long, epoch_ms(MAX(ts)) AS max_long FROM events"
+        ),
+        "stats_decimals": (
+            "SELECT 'd1' AS column, COUNT(*) AS n_values, COUNT(l_orderkey) AS n_present, "
+            "CAST(MIN(CAST(l_orderkey AS DECIMAL(10,2))) AS VARCHAR) AS min_decimal, "
+            "CAST(MAX(CAST(l_orderkey AS DECIMAL(10,2))) AS VARCHAR) AS max_decimal, "
+            "CAST(SUM(CAST(l_orderkey AS DECIMAL(10,2))) AS VARCHAR) AS sum_decimal "
+            "FROM lineitem UNION ALL "
+            "SELECT 'd2' AS column, COUNT(*) AS n_values, COUNT(l_partkey) AS n_present, "
+            "CAST(MIN(CAST(l_partkey AS DECIMAL(38,4))) AS VARCHAR) AS min_decimal, "
+            "CAST(MAX(CAST(l_partkey AS DECIMAL(38,4))) AS VARCHAR) AS max_decimal, "
+            "CAST(SUM(CAST(l_partkey AS DECIMAL(38,4))) AS VARCHAR) AS sum_decimal "
+            "FROM lineitem"
+        ),
+        "stats_binary": (
+            "SELECT 'payload' AS column, COUNT(*) AS n_values, "
+            "COUNT(props) AS n_present, "
+            "CAST(SUM(octet_length(CAST(props AS BLOB))) AS BIGINT) AS sum_lengths "
+            "FROM events"
+        ),
         "stream_encode_roundtrip": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
         ),
@@ -505,7 +767,24 @@ def oracle_sql() -> dict[str, str]:
             "event_type AS m_type FROM events"
         ),
         "ngram_jaccard": ngram_jaccard_pairs_sql(n=4, threshold=0.35, max_doc_id=80),
+        "minhash_lsh": lsh_candidate_pairs_sql(
+            n=4, num_perm=32, bands=8, max_doc_id=200
+        ),
+        "simhash": simhash_near_pairs_sql(n=4, max_hamming=10, max_doc_id=200),
         "embedding_neardup": near_duplicate_pairs_sql(threshold_e6=300000, max_id=300),
         "ann_topk": brute_force_topk_sql(k=5, n_queries=10),
         "multimodal_features": extract_features_sql(),
+        "frame_sample": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "lower(array_to_string(list_transform("
+            "range(0, (octet_length(CAST(text AS BLOB)) + 15) // 16), "
+            "k -> substr(hex(CAST(text AS BLOB)), CAST(32*k+1 AS INT), 2)), '')) "
+            "AS frames_hex FROM documents"
+        ),
+        "codec_lineage": (
+            "SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15) "
+            "AS BIGINT) % 4 AS group_id, COUNT(*) AS n_rows, "
+            "CAST(3 * COUNT(*) + SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) "
+            "AS n_values FROM documents GROUP BY 1"
+        ),
     }

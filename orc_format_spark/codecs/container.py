@@ -411,6 +411,10 @@ def _split_top_level(s: str) -> list[str]:
 
 
 def _parse_type(s: str) -> pa.DataType:
+    # arrow prints non-nullable child fields as "int32 not null"; the
+    # container tracks nullability via PRESENT streams, so strip it
+    if s.endswith(" not null"):
+        s = s[: -len(" not null")]
     if s in _INT_TYPES:
         return _INT_TYPES[s]
     if s in _FLOAT_TYPES:

@@ -17,8 +17,11 @@ Scale shapes:
 
 Oracle parity: exact-dedup and Jaccard use only constructs DuckDB
 reproduces bit-for-bit (md5, integer counts, int/int double division with
-matching operand order). MinHash/SimHash rely on Spark's xxhash64, which
-DuckDB lacks -> those queries are rows-only checked.
+matching operand order). MinHash/SimHash default to Spark's xxhash64 (the
+cheap JVM hash for the 100 TB path) but accept ``hasher="md5"``, a 60-bit
+integer drawn from the md5 hex both engines share — fully deterministic
+and SQL-reproducible, so the driver checks those operators against real
+DuckDB oracles instead of rows-only.
 """
 
 from __future__ import annotations
@@ -26,6 +29,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import fingerprint
+
+
+def md5_hash60(col: Column, seed: int | None = None) -> Column:
+    """60-bit non-negative integer hash that DuckDB reproduces exactly:
+    the first 15 hex chars of md5(value [|| '#' || seed]) read base-16.
+    DuckDB twin: CAST('0x' || substr(md5(x [|| '#seed']), 1, 15) AS BIGINT).
+    """
+    x = F.concat(col, F.lit(f"#{seed}")) if seed is not None else col
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+
+
+def _md5_hash60_sql(expr: str, seed: int | None = None) -> str:
+    x = f"{expr} || '#{seed}'" if seed is not None else expr
+    return f"CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
 
 def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
@@ -131,24 +148,52 @@ WHERE common / (sa.n_grams + sb.n_grams - common) >= {threshold}
 # ------------------------------------------------------------ MinHash/LSH
 
 
-def minhash_signatures(docs: DataFrame, n: int = 4, num_perm: int = 32) -> DataFrame:
-    """num_perm-wide MinHash signature per doc (xxhash64-seeded perms)."""
+def minhash_signatures(
+    docs: DataFrame, n: int = 4, num_perm: int = 32, hasher: str = "xxh"
+) -> DataFrame:
+    """num_perm-wide MinHash signature per doc.
+
+    ``hasher="xxh"`` (default) uses JVM xxhash64 — the cheap 100 TB path.
+    ``hasher="md5"`` uses the DuckDB-reproducible 60-bit md5 hash
+    (``md5_hash60``) so the whole pipeline can be checked against a SQL
+    oracle; both are pure JVM expressions.
+    """
     seeds = F.array(*[F.lit(s) for s in range(num_perm)])
-    grams = char_ngrams(F.col("text"), n)
+    if hasher == "md5":
+        def gram_hash(g, s):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(g, F.lit("#"), s.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+    else:
+        def gram_hash(g, s):
+            return F.xxhash64(g, s)
+
     sig = F.transform(
         seeds,
-        lambda s: F.array_min(F.transform(grams, lambda g: F.xxhash64(g, s))),
+        lambda s: F.array_min(
+            F.transform(F.col("grams"), lambda g: gram_hash(g, s))
+        ),
     )
     # docs shorter than n have no grams -> all-null signatures that would
     # collide into one LSH bucket per band (O(m^2) spurious pairs); gate on
     # gram availability, not signature width (which is always num_perm)
-    return docs.filter(F.length(F.col("text")) >= n).select(
-        "doc_id", sig.alias("signature")
+    return (
+        docs.filter(F.length(F.col("text")) >= n)
+        .select("doc_id", char_ngrams(F.col("text"), n).alias("grams"))
+        .select("doc_id", sig.alias("signature"))
     )
 
 
 def lsh_candidate_pairs(
-    docs: DataFrame, n: int = 4, num_perm: int = 32, bands: int = 8
+    docs: DataFrame,
+    n: int = 4,
+    num_perm: int = 32,
+    bands: int = 8,
+    hasher: str = "xxh",
 ) -> DataFrame:
     """LSH banding over MinHash signatures -> candidate near-dup pairs.
 
@@ -157,18 +202,22 @@ def lsh_candidate_pairs(
     per doc instead of comparing pairs.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, n, num_perm)
+    sigs = minhash_signatures(docs, n, num_perm, hasher)
+
+    def bucket_of(b):
+        sl = F.slice(F.col("signature"), b * rows + 1, rows)
+        csv = F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+        # md5-of-csv bucket: engine-agnostic and shuffle-narrow
+        return F.md5(csv)
+
     banded = sigs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("signature"), b * rows + 1, rows).cast("string")
-                    ).alias("bucket"),
-                ),
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
+                    for b in range(bands)
+                ]
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
@@ -186,38 +235,83 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_sql(
+    n: int = 4,
+    num_perm: int = 32,
+    bands: int = 8,
+    max_doc_id: int | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for ``lsh_candidate_pairs(..., hasher='md5')``."""
+    rows = num_perm // bands
+    where = f"WHERE length(text) >= {n}"
+    if max_doc_id is not None:
+        where += f" AND doc_id < {max_doc_id}"
+    h = _md5_hash60_sql("g", None).replace("md5(g)", "md5(g || '#' || s)")
+    return f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, length(text) - {n} + 2),
+                   i -> substr(text, CAST(i AS INT), {n})))) AS g
+  FROM {table} {where}
+), mh AS (
+  SELECT doc_id, s, MIN({h}) AS v
+  FROM grams CROSS JOIN range(0, {num_perm}) t(s)
+  GROUP BY doc_id, s
+), sigs AS (
+  SELECT doc_id, list(v ORDER BY s) AS signature FROM mh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, bb AS band,
+         md5(array_to_string(signature[bb*{rows}+1 : bb*{rows}+{rows}], ','))
+         AS bucket
+  FROM sigs CROSS JOIN range(0, {bands}) t(bb)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
 # --------------------------------------------------------------- SimHash
 
 
-def simhash64(docs: DataFrame, n: int = 4) -> DataFrame:
-    """64-bit SimHash per doc, computed entirely JVM-side.
+def simhash64(docs: DataFrame, n: int = 4, hasher: str = "xxh") -> DataFrame:
+    """SimHash per doc, computed entirely JVM-side (63 bits for the
+    default xxhash64; 60 bits for the DuckDB-reproducible md5 hash).
 
-    Each gram votes +-1 on every bit of its xxhash64; the sign of each
-    bit-sum forms the fingerprint. Implemented as explode -> 64
+    Each gram votes +-1 on every bit of its hash; the sign of each
+    bit-sum forms the fingerprint. Implemented as explode -> N
     conditional sums in ONE aggregation (partial aggregation map-side, no
     Python).
     """
+    nbits = 60 if hasher == "md5" else 63  # xxh bit 63 is the sign bit
     grams = docs.select(
         "doc_id", F.explode(char_ngrams(F.col("text"), n)).alias("g")
-    ).withColumn("h", F.xxhash64("g"))
+    )
+    h = md5_hash60(F.col("g")) if hasher == "md5" else F.xxhash64("g")
+    grams = grams.withColumn("h", h)
     bit_sums = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1)
         ).alias(f"b{k}")
-        for k in range(63)  # bit 63 is the sign bit; keep hashes positive-stable
+        for k in range(nbits)
     ]
     agg = grams.groupBy("doc_id").agg(*bit_sums)
     sim = None
-    for k in range(63):
+    for k in range(nbits):
         term = F.when(F.col(f"b{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return agg.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, n: int = 4, max_hamming: int = 8) -> DataFrame:
-    """Candidate pairs whose SimHashes agree on >= 1 of four 16-bit bands,
-    verified by exact Hamming distance <= max_hamming."""
-    sh = simhash64(docs, n)
+def simhash_near_pairs(
+    docs: DataFrame, n: int = 4, max_hamming: int = 8, hasher: str = "xxh"
+) -> DataFrame:
+    """Candidate pairs whose SimHashes agree on >= 1 of four bands
+    (16-bit for xxh, 15-bit for md5), verified by exact Hamming distance
+    <= max_hamming."""
+    band_bits = 15 if hasher == "md5" else 16
+    sh = simhash64(docs, n, hasher)
     banded = sh.select(
         "doc_id",
         "simhash",
@@ -226,8 +320,8 @@ def simhash_near_pairs(docs: DataFrame, n: int = 4, max_hamming: int = 8) -> Dat
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), band_bits * b)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .alias("bits"),
                     )
                     for b in range(4)
@@ -256,6 +350,51 @@ def simhash_near_pairs(docs: DataFrame, n: int = 4, max_hamming: int = 8) -> Dat
     return pairs.withColumn("hamming", ham).filter(ham <= max_hamming).select(
         "doc_a", "doc_b", "hamming"
     )
+
+
+def simhash_near_pairs_sql(
+    n: int = 4,
+    max_hamming: int = 8,
+    max_doc_id: int | None = None,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for ``simhash_near_pairs(..., hasher='md5')``."""
+    where = f"WHERE length(text) >= {n}"
+    if max_doc_id is not None:
+        where += f" AND doc_id < {max_doc_id}"
+    h = _md5_hash60_sql("g")
+    return f"""
+WITH grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, length(text) - {n} + 2),
+                   i -> substr(text, CAST(i AS INT), {n})))) AS g
+  FROM {table} {where}
+), hashed AS (
+  SELECT doc_id, {h} AS h FROM grams
+), bits AS (
+  SELECT doc_id, k,
+         SUM(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed CROSS JOIN range(0, 60) t(k)
+  GROUP BY doc_id, k
+), sims AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, simhash, bb AS band,
+         (simhash >> (15 * bb)) & 32767 AS bits
+  FROM sims CROSS JOIN range(0, 4) t(bb)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+"""
 
 
 def exact_duplicate_groups_sql(table: str = "documents") -> str:

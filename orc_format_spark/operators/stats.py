@@ -11,6 +11,11 @@ max / sum per column, typed per column class:
 - boolean columns  -> BooleanStatistics (boolean.rs: true/false counts)
 - timestamp columns-> TimestampStatistics (timestamp.rs:131 — min/max in
                       epoch *milliseconds*)
+- decimal columns  -> DecimalStatistics (decimal.rs:70-84 — exact i128
+                      min/max/sum; surfaced as canonical decimal strings,
+                      never lossy doubles)
+- binary columns   -> BinaryStatistics (binary.rs:19-23 — sum of byte
+                      lengths only, no min/max)
 
 The reference's three-level merge tree (row group -> stripe -> file,
 long.rs:84-94 / writer.rs:121-130) is exactly Spark's partial+final
@@ -37,6 +42,9 @@ STATS_SCHEMA = T.StructType(
         T.StructField("max_str", T.StringType()),
         T.StructField("sum_lengths", T.LongType()),
         T.StructField("n_true", T.LongType()),
+        T.StructField("min_decimal", T.StringType()),
+        T.StructField("max_decimal", T.StringType()),
+        T.StructField("sum_decimal", T.StringType()),
     ]
 )
 
@@ -76,17 +84,38 @@ def column_statistics(df: DataFrame, cols: list[str] | None = None) -> DataFrame
                 F.sum(F.col(c).cast("long")).cast("long").alias(f"{c}__n_true")
             )
         elif dt.startswith("timestamp"):
-            # reference stores timestamp min/max as epoch millis
-            exprs += [
-                F.unix_millis(F.min(c)).alias(f"{c}__min_long"),
-                F.unix_millis(F.max(c)).alias(f"{c}__max_long"),
-            ]
+            # reference stores timestamp min/max as epoch millis. For
+            # TIMESTAMP_NTZ use pure wall-clock arithmetic from the epoch
+            # (unix_millis only accepts LTZ, and an NTZ->LTZ cast would
+            # shift by the session timezone)
+            if dt == "timestamp_ntz":
+                ms = (
+                    "timestampdiff(MILLISECOND, "
+                    "timestamp_ntz'1970-01-01 00:00:00', {v})"
+                )
+                exprs += [
+                    F.expr(ms.format(v=f"min({c})")).alias(f"{c}__min_long"),
+                    F.expr(ms.format(v=f"max({c})")).alias(f"{c}__max_long"),
+                ]
+            else:
+                exprs += [
+                    F.unix_millis(F.min(c)).alias(f"{c}__min_long"),
+                    F.unix_millis(F.max(c)).alias(f"{c}__max_long"),
+                ]
         elif dt.startswith("decimal"):
+            # exact, like the reference's i128 accumulators
+            # (decimal.rs:70-84): Spark's decimal agg widens the sum to
+            # precision 38; strings keep full precision in the stats row
             exprs += [
-                F.min(c).cast("double").alias(f"{c}__min_double"),
-                F.max(c).cast("double").alias(f"{c}__max_double"),
-                F.sum(c).cast("double").alias(f"{c}__sum_double"),
+                F.min(c).cast("string").alias(f"{c}__min_decimal"),
+                F.max(c).cast("string").alias(f"{c}__max_decimal"),
+                F.sum(c).cast("string").alias(f"{c}__sum_decimal"),
             ]
+        elif dt == "binary":
+            # BinaryStatistics (binary.rs:19-23): sum of lengths, no order
+            exprs.append(
+                F.sum(F.octet_length(c)).cast("long").alias(f"{c}__sum_lengths")
+            )
     row = df.agg(*exprs).first().asDict()
     out = []
     for c in cols:
@@ -105,6 +134,9 @@ def column_statistics(df: DataFrame, cols: list[str] | None = None) -> DataFrame
             "max_str",
             "sum_lengths",
             "n_true",
+            "min_decimal",
+            "max_decimal",
+            "sum_decimal",
         ):
             key = f"{c}__{k}"
             if key in row:
