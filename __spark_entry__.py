@@ -424,11 +424,13 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact char-4-gram Jaccard near-dup pairs (first 80 docs)."""
+    """Char-4-gram Jaccard near-dup pairs (first 80 docs) with the
+    document-frequency ceiling active (the stop-gram safety valve the
+    100 TB join requires); the oracle applies the identical cap."""
     from orc_format_spark.functions.dedup import ngram_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_jaccard_pairs(docs, n=4, threshold=0.35, max_doc_id=80)
+    return ngram_jaccard_pairs(docs, n=4, threshold=0.35, max_doc_id=80, max_df=65)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -472,11 +474,12 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Sign-bit-bucketed approximate top-k (no SQL oracle: approximate)."""
+    """Multi-table sign-bit-bucketed approximate top-k (no SQL oracle:
+    approximate). 4 tables x 8 sign bits over the 32-dim vectors."""
     from orc_format_spark.functions.similarity import lsh_bucketed_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_bucketed_topk(emb, k=5, n_queries=10, sign_dims=6)
+    return lsh_bucketed_topk(emb, k=5, n_queries=10, sign_dims=8, n_tables=4)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -766,7 +769,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type AS s_event_type, value AS s_value, "
             "event_type AS m_type FROM events"
         ),
-        "ngram_jaccard": ngram_jaccard_pairs_sql(n=4, threshold=0.35, max_doc_id=80),
+        "ngram_jaccard": ngram_jaccard_pairs_sql(
+            n=4, threshold=0.35, max_doc_id=80, max_df=65
+        ),
         "minhash_lsh": lsh_candidate_pairs_sql(
             n=4, num_perm=32, bands=8, max_doc_id=200
         ),

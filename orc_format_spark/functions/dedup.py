@@ -81,13 +81,46 @@ def char_ngrams(text: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 4, threshold: float = 0.5, max_doc_id: int | None = None
+def gram_postings(
+    docs: DataFrame, n: int = 4, max_df: int | None = None
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs >= threshold.
+    """(doc_id, g) inverted-index postings of distinct char n-grams,
+    optionally dropping grams whose document frequency exceeds ``max_df``.
+
+    The df ceiling is the 100 TB safety valve: without it a stop-gram
+    (" the") present in every document makes that join key quadratic in
+    corpus size. With it, any gram contributes at most max_df^2 candidate
+    pairs. The cap costs one extra map-side-combined agg on the gram key.
+    """
+    grams = docs.select(
+        "doc_id", F.explode(char_ngrams(F.col("text"), n)).alias("g")
+    )
+    if max_df is None:
+        return grams
+    kept = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("g")
+    )
+    return grams.join(kept, "g").select("doc_id", "g")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 4,
+    threshold: float = 0.5,
+    max_doc_id: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """n-gram Jaccard similarity pairs >= threshold.
 
     Inverted-index join on the shared gram (never a cross join): shuffle
-    keys are grams, pair counts aggregate map-side first.
+    keys are grams, pair counts aggregate map-side first. With ``max_df``
+    set, grams occurring in more than max_df docs are excluded from the
+    *join* (bounding the worst join key at max_df rows); denominators
+    still count every gram, so the score is a lower bound of true
+    Jaccard — the standard stop-gram-pruned near-dup semantics.
     """
     d = docs
     if max_doc_id is not None:
@@ -96,8 +129,9 @@ def ngram_jaccard_pairs(
         "doc_id", F.explode(char_ngrams(F.col("text"), n)).alias("g")
     )
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    a = grams.alias("a")
-    b = grams.alias("b")
+    joinable = gram_postings(d, n, max_df) if max_df is not None else grams
+    a = joinable.alias("a")
+    b = joinable.alias("b")
     common = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -117,22 +151,31 @@ def ngram_jaccard_pairs(
 
 def ngram_jaccard_pairs_sql(
     n: int = 4, threshold: float = 0.5, max_doc_id: int | None = None,
-    table: str = "documents",
+    max_df: int | None = None, table: str = "documents",
 ) -> str:
     where = f"WHERE length(text) >= {n}"
     if max_doc_id is not None:
         where += f" AND doc_id < {max_doc_id}"
+    joinable = "grams"
+    capped = ""
+    if max_df is not None:
+        capped = f""", kept AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= {max_df}
+), joinable AS (
+  SELECT grams.doc_id, grams.g FROM grams JOIN kept USING (g)
+)"""
+        joinable = "joinable"
     return f"""
 WITH grams AS (
   SELECT doc_id, unnest(list_distinct(
     list_transform(range(1, length(text) - {n} + 2),
                    i -> substr(text, CAST(i AS INT), {n})))) AS g
   FROM {table} {where}
-), sizes AS (
+){capped}, sizes AS (
   SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id
 ), common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM {joinable} a JOIN {joinable} b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, common, sa.n_grams AS na, sb.n_grams AS nb,

@@ -179,32 +179,53 @@ def lsh_bucketed_topk(
     k: int = 5,
     n_queries: int = 10,
     sign_dims: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the sign-bit bucket of the
-    leading ``sign_dims`` dimensions (the IVF/LSH scale path — probes one
-    bucket instead of the corpus). Rows-only correctness check (it is
-    approximate by construction)."""
+    """Approximate top-k via multi-table sign-bit LSH.
+
+    ``n_tables`` independent hash tables, each bucketing on the sign
+    bits of a different contiguous ``sign_dims``-dimension slice (so
+    sign_dims * n_tables <= vector dim). A candidate only needs to
+    collide in ONE table — multi-probe recall without widening any
+    single bucket. Scale shape: each table has 2^sign_dims buckets, so
+    the expected bucket holds corpus/2^sign_dims vectors; size sign_dims
+    so that is executor-bounded (e.g. 16-24 bits at 10^9+ vectors), and
+    add tables for recall rather than shrinking bits. Rows-only
+    correctness check (approximate by construction)."""
     corpus = _with_quant(emb, id_col, vec_col).filter(F.col("norm2") > 0)
-    bucket = F.aggregate(
-        F.transform(
-            F.slice(F.col("q"), 1, sign_dims),
-            lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, bit: acc * 2 + bit,
+
+    def bucket_expr(t: int) -> Column:
+        return F.aggregate(
+            F.transform(
+                F.slice(F.col("q"), t * sign_dims + 1, sign_dims),
+                lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit,
+        )
+
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("tbl"), bucket_expr(t).alias("bucket"))
+            for t in range(n_tables)
+        ]
     )
-    bucketed = corpus.withColumn("bucket", bucket)
+    bucketed = corpus.select(
+        id_col, "q", "norm2", F.explode(tables).alias("tb")
+    ).select(id_col, "q", "norm2", "tb.tbl", "tb.bucket")
     queries = bucketed.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col("q").alias("qq"),
         F.col("norm2").alias("qnorm2"),
+        F.col("tbl").alias("qtbl"),
         F.col("bucket").alias("qbucket"),
     )
     scored = (
         bucketed.join(
-            F.broadcast(queries), F.col("bucket") == F.col("qbucket")
+            F.broadcast(queries),
+            (F.col("tbl") == F.col("qtbl")) & (F.col("bucket") == F.col("qbucket")),
         )
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
@@ -214,6 +235,8 @@ def lsh_bucketed_topk(
                 F.col("qq"), F.col("q"), F.col("qnorm2"), F.col("norm2")
             ).alias("cos_e6"),
         )
+        # a pair colliding in several tables scores identically each time
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_e6").desc(), F.col("neighbor_id")

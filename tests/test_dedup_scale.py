@@ -1,0 +1,91 @@
+"""Scale-safety properties of the dedup/ANN operators: join keys stay
+bounded on adversarially skewed fixtures (the 100 TB failure modes from
+stop-grams and hot LSH buckets)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from orc_format_spark.functions.dedup import (
+    gram_postings,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+from orc_format_spark.functions.similarity import lsh_bucketed_topk
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    # every doc shares the stop phrase; each doc also has unique content
+    rows = [
+        (i, f"the quick brown fox shared stop phrase unique-{i:04d}-{i * 7:05d}")
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gram_postings_df_ceiling(skewed_docs):
+    """With max_df set, no join key (gram) exceeds max_df postings."""
+    capped = gram_postings(skewed_docs, n=4, max_df=10)
+    max_group = (
+        capped.groupBy("g").agg(F.count("*").alias("c")).agg(F.max("c")).first()[0]
+    )
+    assert max_group is not None and max_group <= 10
+    # and the uncapped postings DO contain a quadratic key (sanity that
+    # the fixture actually exercises the skew)
+    uncapped = gram_postings(skewed_docs, n=4, max_df=None)
+    max_unc = (
+        uncapped.groupBy("g").agg(F.count("*").alias("c")).agg(F.max("c")).first()[0]
+    )
+    assert max_unc == 60
+
+
+def test_capped_jaccard_drops_stop_gram_pairs(skewed_docs):
+    """The df ceiling removes pairs whose only similarity is stop-grams."""
+    uncapped = ngram_jaccard_pairs(skewed_docs, n=4, threshold=0.4)
+    capped = ngram_jaccard_pairs(skewed_docs, n=4, threshold=0.4, max_df=10)
+    # the shared stop phrase dominates every doc -> uncapped flags all pairs
+    assert uncapped.count() > 0
+    # with the cap, the shared grams are excluded from the join, so the
+    # docs' unique tails keep them below threshold
+    assert capped.count() == 0
+
+
+def test_capped_jaccard_identical_when_no_heavy_grams(spark):
+    """A cap above the true max df must not change results."""
+    rows = [(i, f"wholly distinct content {i} {'x' * (i % 7)}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = ngram_jaccard_pairs(docs, n=4, threshold=0.2).collect()
+    capped = ngram_jaccard_pairs(docs, n=4, threshold=0.2, max_df=1000).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, capped))
+
+
+def test_minhash_skips_short_docs(spark):
+    """Docs shorter than the gram width produce no signature rows (the
+    all-null-signature bucket collision guard)."""
+    rows = [(1, "ab"), (2, "abcdefghij"), (3, ""), (4, "abcdefghij")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(docs, n=4, num_perm=8, bands=4)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == {(2, 4)}
+
+
+def test_ann_multi_table_bucket_bound(spark):
+    """Multi-table LSH: every (table, bucket) group stays << corpus even
+    when one sign pattern is hot in some table's slice."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n, dim = 400, 32
+    vecs = rng.normal(size=(n, dim)).astype("float32")
+    vecs[:, :8] = np.abs(vecs[:, :8])  # table 0's slice is all-positive: hot
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_bucketed_topk(emb, k=3, n_queries=5, sign_dims=8, n_tables=4)
+    res = out.collect()
+    assert len(res) > 0
+    # each query returns at most k ranked rows
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert all(len(v) <= 3 for v in per_q.values())
