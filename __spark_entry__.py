@@ -198,6 +198,28 @@ def q_stats_doubles(spark, sf_dir):
     )
 
 
+def q_rowslice_decode(spark, sf_dir):
+    """Row-group sub-index point read (F3 parity, reference
+    row_index_stride=10,000 writer.rs:32 / data/common.rs:24-48): encode
+    lineitem into ONE chunked blob (stride 8192), then decode only rows
+    [20000, 30000) of the rid-sorted order — touching just the covering
+    chunks, never the whole column."""
+    from orc_format_spark import decode_blobs, encode_groups
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+    )
+    blobs = encode_groups(li, num_groups=1, key_col="rid", row_index_stride=8192)
+    return decode_blobs(
+        blobs,
+        "rid long, l_orderkey long, l_linenumber int, l_quantity double",
+        rows=(20000, 30000),
+    )
+
+
 def q_binary_roundtrip(spark, sf_dir):
     """Binary column (W8, data/binary.rs:23-27) through the container;
     output hex-encoded so it is canon-hashable on both engines."""
@@ -597,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decimal_roundtrip": q_decimal_roundtrip,
         "nulls_roundtrip": q_nulls_roundtrip,
         "string_raw_roundtrip": q_string_raw_roundtrip,
+        "rowslice_decode": q_rowslice_decode,
         "binary_roundtrip": q_binary_roundtrip,
         "date_roundtrip": q_date_roundtrip,
         "union_roundtrip": q_union_roundtrip,
@@ -681,6 +704,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders"
         ),
         "string_raw_roundtrip": "SELECT event_id, event_type, props FROM events",
+        "rowslice_decode": (
+            "SELECT rid, l_orderkey, l_linenumber, l_quantity FROM ("
+            "SELECT l_orderkey * 10 + l_linenumber AS rid, l_orderkey, "
+            "l_linenumber, l_quantity, row_number() OVER "
+            "(ORDER BY l_orderkey * 10 + l_linenumber) AS rn FROM lineitem) "
+            "WHERE rn BETWEEN 20001 AND 30000"
+        ),
         "binary_roundtrip": (
             "SELECT event_id, lower(hex(CAST(props AS BLOB))) AS bval_hex FROM events"
         ),

@@ -129,16 +129,20 @@ def _agg_blobs(blobs):
     ).first()
 
 
-def run_encode(spark, sf_dir: str):
+def run_encode(spark, sf_dir: str, split_only: bool | None = None):
     """Flagship encode job; returns (seconds, metrics dict).
 
     Primary metric: split-level encode (one parquet row-group == one
     stripe; payload never crosses the JVM or a shuffle — the 100 TB path).
     Secondary: the shuffle-based grouped encode (deterministic doc_id
-    grouping + n_tok salting).
+    grouping + n_tok salting). ``split_only`` (or env
+    SPARK_GRAFT_SPLIT_ONLY=1) skips the secondary + reference passes —
+    used by the scaling sweep, which measures only the flagship path.
     """
     from orc_format_spark import encode_groups, encode_parquet_splits
 
+    if split_only is None:
+        split_only = os.environ.get("SPARK_GRAFT_SPLIT_ONLY", "") == "1"
     path = ensure_tokens_table(spark, sf_dir, REPL)
 
     # warm the Python workers (spawn + imports + first-touch allocation):
@@ -154,6 +158,19 @@ def run_encode(spark, sf_dir: str):
         dt = min(dt, time.monotonic() - t0)
     n_tok = int(agg["n_values"])
 
+    out = {
+        "encode_sec": round(dt, 3),
+        "n_tokens": n_tok,
+        "n_groups": int(agg["n_groups"]),
+        "tokens_per_sec": round(n_tok / dt),
+        "input_bytes": int(agg["input_bytes"]),
+        "output_bytes": int(agg["output_bytes"]),
+        "bytes_per_token": round(int(agg["output_bytes"]) / n_tok, 4),
+        "compression_ratio": round(int(agg["output_bytes"]) / int(agg["input_bytes"]), 4),
+    }
+    if split_only:
+        return dt, out
+
     toks = spark.read.parquet(path)
     t1 = time.monotonic()
     agg_g = _agg_blobs(
@@ -166,23 +183,18 @@ def run_encode(spark, sf_dir: str):
     # reference mode: the reference writer's fixed encodings (RLEv1 ints,
     # raw strings, zstd-3) — the compressed-size baseline auto must beat
     agg_r = _agg_blobs(encode_parquet_splits(spark, path, codec="reference"))
-    return dt, {
-        "encode_sec": round(dt, 3),
-        "n_tokens": n_tok,
-        "n_groups": int(agg["n_groups"]),
-        "tokens_per_sec": round(n_tok / dt),
-        "input_bytes": int(agg["input_bytes"]),
-        "output_bytes": int(agg["output_bytes"]),
-        "bytes_per_token": round(int(agg["output_bytes"]) / n_tok, 4),
-        "compression_ratio": round(int(agg["output_bytes"]) / int(agg["input_bytes"]), 4),
-        "grouped_encode_sec": round(dt_g, 3),
-        "grouped_tokens_per_sec": round(int(agg_g["n_values"]) / dt_g),
-        "reference_output_bytes": int(agg_r["output_bytes"]),
-        "reference_bytes_per_token": round(int(agg_r["output_bytes"]) / n_tok, 4),
-        "auto_le_reference": bool(
-            int(agg["output_bytes"]) <= int(agg_r["output_bytes"])
-        ),
-    }
+    out.update(
+        {
+            "grouped_encode_sec": round(dt_g, 3),
+            "grouped_tokens_per_sec": round(int(agg_g["n_values"]) / dt_g),
+            "reference_output_bytes": int(agg_r["output_bytes"]),
+            "reference_bytes_per_token": round(int(agg_r["output_bytes"]) / n_tok, 4),
+            "auto_le_reference": bool(
+                int(agg["output_bytes"]) <= int(agg_r["output_bytes"])
+            ),
+        }
+    )
+    return dt, out
 
 
 def main_bench():
@@ -198,10 +210,18 @@ def main_bench():
     qs = entrymod.queries()
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.monotonic()
+        # warm + best-of-2: this VM's lazy page backing hits individual
+        # runs with multi-second stalls at random; a single cold timing
+        # poisoned round-over-round comparisons (42 s outlier on a 0.5 s
+        # query in round 1)
         n = fn(spark, SF_DIR).count()
-        qtimes[name] = round(time.monotonic() - t0, 3)
         assert n >= 0
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.monotonic() - t0)
+        qtimes[name] = round(best, 3)
     total = round(sum(qtimes.values()) + enc["encode_sec"], 3)
     out = {
         "metric": "headline queries + flagship encode wall time",
@@ -242,11 +262,27 @@ def main_scaling():
     bandwidth contention that a multi-node cluster would not see.
     """
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    # larger input for the scaling sweep: per-job fixed costs (session
+    # stage launch, result ferry ~0.5 s) are Amdahl losses that a real
+    # multi-hour 100 TB job never sees; 4x the default input keeps the
+    # measured efficiency about the parallel fraction. Split-only: the
+    # sweep measures the flagship path, not the secondary passes.
+    scaling_repl = os.environ.get("SPARK_GRAFT_SCALING_REPL", str(max(REPL, 256)))
+    # materialize the (bigger) scaling input once at full width, so the
+    # local[2] sweep member doesn't pay the one-time build at 2 cores
+    spark = make_session(CPUS)
+    ensure_tokens_table(spark, SF_DIR, int(scaling_repl))
+    spark.stop()
     results = {}
     for cpus in (2, 8, 32):
         best = None
         for _ in range(reps):
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=str(cpus),
+                SPARK_GRAFT_BENCH_REPL=scaling_repl,
+                SPARK_GRAFT_SPLIT_ONLY="1",
+            )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--encode-only"],
                 env=env,

@@ -41,6 +41,14 @@ from .varint import decode_varint_one, encode_varint_one
 
 MAGIC = b"OFS1"
 VERSION = 1
+# v2: chunked container — the row-group sub-index (reference parity F3:
+# per-column positions every row_index_stride=10,000 rows,
+# src/writer/data/common.rs:24-48, writer.rs:32). A v2 blob is a chunk
+# directory + independently decodable v1 bodies of `stride` rows each,
+# so a row slice decompresses only its covering chunks.
+MAGIC2 = b"OFS2"
+VERSION2 = 2
+DEFAULT_ROW_INDEX_STRIDE = 10_000
 
 PRESENT, DATA, LENGTH, SECONDARY = 0, 1, 2, 3
 
@@ -623,10 +631,7 @@ def decode_entries(entries: list[ColumnEntry], start: int = 0) -> tuple[str, pa.
     return e.name, _rebuild_with_nulls(values, e.has_null, e.n_rows, present), nxt
 
 
-def encode_table(
-    tbl: pa.Table, codec: str = "auto", compression: str = "zstd"
-) -> tuple[bytes, list[dict]]:
-    """Encode a pyarrow table -> (blob, per-column lineage rows)."""
+def _encode_body(tbl: pa.Table, codec: str, compression: str) -> tuple[bytes, list[dict]]:
     entries: list[ColumnEntry] = []
     lineage: list[dict] = []
     for name, col in zip(tbl.column_names, tbl.columns):
@@ -634,11 +639,57 @@ def encode_table(
     return serialize_blob(entries), lineage
 
 
-def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
-    """Decode a blob; with ``columns``, only the named top-level columns
-    are decompressed/decoded (the reader-side projection the ORC format
-    enables via its stream directory — stream lengths in the header let
-    us skip over unwanted payloads without touching them)."""
+def encode_table(
+    tbl: pa.Table,
+    codec: str = "auto",
+    compression: str = "zstd",
+    stride: int | None = None,
+) -> tuple[bytes, list[dict]]:
+    """Encode a pyarrow table -> (blob, per-column lineage rows).
+
+    With ``stride`` set, rows are cut into independently decodable chunks
+    of ``stride`` rows (container v2) — the row-group sub-index: a later
+    ``decode_table(..., rows=(a, b))`` touches only covering chunks. A
+    table of <= stride rows (or stride=None) emits the chunkless v1 body.
+    """
+    if stride is None or tbl.num_rows <= stride:
+        return _encode_body(tbl, codec, compression)
+    bodies: list[bytes] = []
+    chunk_rows: list[int] = []
+    merged: dict[str, dict] = {}
+    order: list[str] = []
+    for start in range(0, tbl.num_rows, stride):
+        chunk = tbl.slice(start, stride)
+        body, lineage = _encode_body(chunk, codec, compression)
+        bodies.append(body)
+        chunk_rows.append(chunk.num_rows)
+        for l in lineage:
+            m = merged.get(l["column"])
+            if m is None:
+                m = dict(l)
+                m["codec"] = {l["codec"]}
+                merged[l["column"]] = m
+                order.append(l["column"])
+            else:
+                m["n_rows"] += l["n_rows"]
+                m["n_present"] += l["n_present"]
+                m["input_bytes"] += l["input_bytes"]
+                m["output_bytes"] += l["output_bytes"]
+                m["codec"].add(l["codec"])  # chunks may pick different codecs
+    out_lineage = []
+    for c in order:
+        m = merged[c]
+        m["codec"] = "+".join(sorted(m["codec"]))
+        out_lineage.append(m)
+    parts = [MAGIC2, bytes((VERSION2,)), encode_varint_one(stride), encode_varint_one(len(bodies))]
+    for nr, body in zip(chunk_rows, bodies):
+        parts.append(encode_varint_one(nr))
+        parts.append(encode_varint_one(len(body)))
+    parts.extend(bodies)
+    return b"".join(parts), out_lineage
+
+
+def _decode_body(blob: bytes, columns: list[str] | None = None) -> pa.Table:
     entries = deserialize_blob(blob)
     cols = []
     names = []
@@ -657,6 +708,60 @@ def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
         names = [n for n, _ in pairs]
         cols = [c for _, c in pairs]
     return pa.table(cols, names=names)
+
+
+def decode_table(
+    blob: bytes,
+    columns: list[str] | None = None,
+    rows: tuple[int, int] | None = None,
+) -> pa.Table:
+    """Decode a blob; ``columns`` projects at the blob level (unwanted
+    columns' streams are skipped without decompression), ``rows=(a, b)``
+    decodes the half-open row slice — on a chunked (v2) blob only the
+    covering chunks are decompressed (the ORC row-index point-read path);
+    on a v1 blob the slice is applied after a full decode."""
+    if blob[:4] == MAGIC2:
+        if blob[4] != VERSION2:
+            raise ValueError(f"unsupported blob version {blob[4]}")
+        try:
+            pos = 5
+            _stride, pos = decode_varint_one(blob, pos)
+            n_chunks, pos = decode_varint_one(blob, pos)
+            metas = []
+            for _ in range(n_chunks):
+                nr, pos = decode_varint_one(blob, pos)
+                blen, pos = decode_varint_one(blob, pos)
+                metas.append((nr, blen))
+        except IndexError as ex:
+            raise ValueError("truncated chunked-blob header") from ex
+        if not metas or pos + sum(b for _, b in metas) != len(blob):
+            raise ValueError("chunked blob length mismatch")
+        total = sum(nr for nr, _ in metas)
+        a, b = (0, total) if rows is None else rows
+        a = max(0, min(a, total))
+        b = max(a, min(b, total))
+        tables = []
+        off = 0
+        body_pos = pos
+        for nr, blen in metas:
+            if off + nr > a and off < b:
+                t = _decode_body(blob[body_pos : body_pos + blen], columns)
+                lo = max(a - off, 0)
+                hi = min(b - off, nr)
+                tables.append(t.slice(lo, hi - lo))
+            off += nr
+            body_pos += blen
+        if not tables:
+            # empty result: decode chunk 0 at zero rows for the schema
+            nr0, blen0 = metas[0]
+            return _decode_body(blob[pos : pos + blen0], columns).slice(0, 0)
+        return pa.concat_tables(tables).combine_chunks()
+    tbl = _decode_body(blob, columns)
+    if rows is not None:
+        a = max(0, min(rows[0], tbl.num_rows))
+        b = max(a, min(rows[1], tbl.num_rows))
+        tbl = tbl.slice(a, b - a)
+    return tbl
 
 
 def _skip_entries(entries: list[ColumnEntry], start: int) -> int:
@@ -688,11 +793,17 @@ def table_checksum(tbl: pa.Table) -> str:
 
 def _canonical_buffers(arr):
     """Canonical byte view of an array (type-normalized)."""
+    # NOTE: the type itself is NOT hashed — equivalent logical types
+    # print differently across producers (Spark names list items
+    # "element", our decoder "item"); the per-column byte width plus the
+    # validity length already pin the physical shape
     t = arr.type
     out = [arr.is_valid().to_numpy(zero_copy_only=False).tobytes()]
     va = arr.drop_null()
     if pa.types.is_integer(t) or pa.types.is_date32(t):
-        out.append(va.to_numpy(zero_copy_only=False).astype(np.int64).tobytes())
+        # native width (both checksum sides always see the same declared
+        # type, so widening to int64 would only add memory traffic)
+        out.append(va.to_numpy(zero_copy_only=False).tobytes())
     elif pa.types.is_floating(t):
         out.append(va.to_numpy(zero_copy_only=False).tobytes())
     elif pa.types.is_boolean(t):

@@ -24,7 +24,13 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
-from ..codecs.container import decode_table, encode_table, table_checksum
+from ..codecs.container import (
+    DEFAULT_ROW_INDEX_STRIDE,
+    decode_table,
+    encode_table,
+    table_checksum,
+)
+from ..worker_env import limit_worker_threads
 from .partitioning import with_group_id
 
 BLOB_SCHEMA = (
@@ -41,8 +47,14 @@ def encode_groups(
     compression: str = "zstd",
     key_col: str | None = None,
     size_col: str | None = None,
+    row_index_stride: int | None = DEFAULT_ROW_INDEX_STRIDE,
 ) -> DataFrame:
-    """Encode a DataFrame into per-group blobs + lineage."""
+    """Encode a DataFrame into per-group blobs + lineage.
+
+    ``row_index_stride`` chunks each blob every N rows (the reference's
+    row-group index, writer.rs:32) so decode_blobs/decode_table can
+    point-read a row slice without decompressing whole columns.
+    """
     if "group_id" not in df.columns:
         if num_groups is None:
             num_groups = max(1, df.rdd.getNumPartitions())
@@ -51,9 +63,12 @@ def encode_groups(
     sort_key = key_col or [c for c in df.columns if c != "group_id"][0]
 
     def fn(tbl: pa.Table) -> pa.Table:
+        limit_worker_threads()
         gid = tbl.column("group_id")[0].as_py() if tbl.num_rows else -1
         data = tbl.drop_columns(["group_id"]).sort_by(sort_key)
-        blob, lineage = encode_table(data, codec=codec, compression=compression)
+        blob, lineage = encode_table(
+            data, codec=codec, compression=compression, stride=row_index_stride
+        )
         leaf = [l for l in lineage if l["codec"] != "list"]
         n_values = sum(l["n_present"] for l in leaf)
         input_bytes = sum(l["input_bytes"] for l in lineage)
@@ -136,6 +151,7 @@ def encode_groups_staged(
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
+        limit_worker_threads()
         for batch in batches:
             for gid in batch.column("group_id").to_pylist():
                 # pq.read_table resolves URIs through pyarrow.fs (file://,
@@ -173,19 +189,27 @@ def encode_groups_staged(
     return gdf.mapInArrow(fn, BLOB_SCHEMA)
 
 
-def decode_blobs(blobs: DataFrame, schema: str, columns: list[str] | None = None) -> DataFrame:
+def decode_blobs(
+    blobs: DataFrame,
+    schema: str,
+    columns: list[str] | None = None,
+    rows: tuple[int, int] | None = None,
+) -> DataFrame:
     """Decode blob rows back into the original table shape.
 
     ``columns`` projects at the blob level: unwanted columns' streams are
     skipped without decompression (the ORC reader-side column-pruning
     analog — at 100 TB a 2-column projection reads 2 columns' bytes).
+    ``rows=(a, b)`` decodes only that per-blob row slice; on chunked
+    blobs only covering row-group chunks are decompressed (F3).
     """
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        limit_worker_threads()
         for batch in batches:
             col = batch.column(batch.schema.get_field_index("blob"))
             for v in col:
-                tbl = decode_table(v.as_py(), columns=columns)
+                tbl = decode_table(v.as_py(), columns=columns, rows=rows)
                 yield from tbl.to_batches()
 
     return blobs.select("blob").mapInArrow(fn, schema)
@@ -195,6 +219,7 @@ def verify_blobs(blobs: DataFrame) -> DataFrame:
     """Per-blob roundtrip verification: decode and compare checksums."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        limit_worker_threads()
         for batch in batches:
             t = pa.Table.from_batches([batch])
             gids = t.column("group_id").to_pylist()

@@ -59,6 +59,7 @@ def encode_parquet_splits(
     codec: str = "auto",
     compression: str = "zstd",
     parallelism: int | None = None,
+    row_index_stride: int | None = None,
 ) -> DataFrame:
     """Encode every row-group split of ``path`` into one blob row each.
 
@@ -67,27 +68,43 @@ def encode_parquet_splits(
     """
     import json
 
-    from ..codecs.container import encode_table, table_checksum
+    from ..codecs.container import DEFAULT_ROW_INDEX_STRIDE, encode_table, table_checksum
     from ..operators.encode import BLOB_SCHEMA
+
+    if row_index_stride is None:
+        row_index_stride = DEFAULT_ROW_INDEX_STRIDE
 
     splits = list_parquet_splits(path)
     if parallelism is None:
-        parallelism = max(len(splits), spark.sparkContext.defaultParallelism)
-    sdf = spark.createDataFrame(splits, SPLIT_SCHEMA).repartition(
-        min(parallelism, len(splits)) or 1
-    )
+        # several splits per task: task-dispatch latency is a serial cost
+        # (the driver schedules tasks one at a time), so 1 task per
+        # row-group caps throughput at scheduler speed; 2 waves of
+        # core-count-sized tasks keeps dispatch off the critical path
+        # while still load-balancing. Spark's own parquet scan packs
+        # row-groups into maxPartitionBytes-sized tasks for this reason.
+        parallelism = 2 * spark.sparkContext.defaultParallelism
+    # ONE stage, no shuffle: a native range source partitioned over split
+    # ids + a broadcast split table looked up in the worker. (The earlier
+    # createDataFrame(...).repartition(n) cost a 2-stage shuffle whose
+    # fixed latency dominated short jobs and capped scaling efficiency.)
+    bsplits = spark.sparkContext.broadcast(splits)
+    sdf = spark.range(0, len(splits), 1, min(parallelism, len(splits)) or 1)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
+        from ..worker_env import limit_worker_threads
+
+        limit_worker_threads()
+        table = bsplits.value
         for batch in batches:
-            for sid, f, rg in zip(
-                batch.column("split_id").to_pylist(),
-                batch.column("file").to_pylist(),
-                batch.column("row_group").to_pylist(),
-            ):
-                data = pq.ParquetFile(f).read_row_group(rg, columns=columns)
-                blob, lineage = encode_table(data, codec=codec, compression=compression)
+            for sid, f, rg in (table[i] for i in batch.column("id").to_pylist()):
+                data = pq.ParquetFile(f).read_row_group(
+                    rg, columns=columns, use_threads=False
+                )
+                blob, lineage = encode_table(
+                    data, codec=codec, compression=compression, stride=row_index_stride
+                )
                 leaf = [l for l in lineage if l["codec"] != "list"]
                 codecs = {l["column"]: l["codec"] for l in lineage}
                 yield pa.record_batch(

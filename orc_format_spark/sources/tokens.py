@@ -21,6 +21,8 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame
 
+from ..worker_env import limit_worker_threads
+
 TOKENS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
 
@@ -62,6 +64,7 @@ def tokenize_documents(docs: DataFrame) -> DataFrame:
     """documents(doc_id,text,lang,source,...) -> tokens table (input_hint)."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        limit_worker_threads()
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             toks, lens = _text_to_token_lists(tbl.column("text").combine_chunks())
@@ -82,6 +85,7 @@ def detokenize(tokens: DataFrame) -> DataFrame:
     """tokens table -> (doc_id string, text string); inverse of tokenize."""
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        limit_worker_threads()
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             text = _token_lists_to_text(tbl.column("tokens").combine_chunks())
