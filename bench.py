@@ -69,11 +69,19 @@ def make_session(cpus: int):
     # route pyarrow buffers through glibc too: jemalloc/mimalloc madvise
     # freed pages away after every task, re-faulting them at the next one
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    # cap glibc malloc arenas: the multithreaded JVM otherwise spreads
+    # allocations over ~8*cores arenas, each growing via fresh mmaps whose
+    # first-touch faults serialize on this VM — measured 9x on the
+    # shuffle-grouped encode at local[32] (71s -> 8s)
+    os.environ.setdefault("MALLOC_ARENA_MAX", "4")
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("orc-format-spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(2 * cpus, 64)))
         .config("spark.driver.memory", "24g")
+        # pre-fault the heap at startup (one-time ~10s) so task threads
+        # never first-touch fresh heap regions mid-measurement
+        .config("spark.driver.extraJavaOptions", "-Xms24g -XX:+AlwaysPreTouch")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")

@@ -58,16 +58,6 @@ def bits_required(u: np.ndarray) -> int:
     return m.bit_length()
 
 
-def _lane_dtype(width: int):
-    if width <= 8:
-        return np.uint8
-    if width <= 16:
-        return np.uint16
-    if width <= 32:
-        return np.uint32
-    return np.uint64
-
-
 def bitpack(u: np.ndarray, width: int) -> bytes:
     """Pack unsigned values at ``width`` bits each, MSB-first big-endian.
 

@@ -66,6 +66,28 @@ def encode_parquet_splits(
     Returns the same blob/lineage schema as ``encode_groups`` with
     ``group_id`` = deterministic split id.
     """
+    return encode_splits(
+        spark,
+        list_parquet_splits(path),
+        columns=columns,
+        codec=codec,
+        compression=compression,
+        parallelism=parallelism,
+        row_index_stride=row_index_stride,
+    )
+
+
+def encode_splits(
+    spark: SparkSession,
+    splits: list[tuple[int, str, int]],
+    columns: list[str] | None = None,
+    codec: str = "auto",
+    compression: str = "zstd",
+    parallelism: int | None = None,
+    row_index_stride: int | None = None,
+) -> DataFrame:
+    """Encode an explicit (split_id, file, row_group) list — the shared
+    engine behind the parquet-dir and Iceberg-manifest sources."""
     import json
 
     from ..codecs.container import DEFAULT_ROW_INDEX_STRIDE, encode_table, table_checksum
@@ -74,7 +96,6 @@ def encode_parquet_splits(
     if row_index_stride is None:
         row_index_stride = DEFAULT_ROW_INDEX_STRIDE
 
-    splits = list_parquet_splits(path)
     if parallelism is None:
         # several splits per task: task-dispatch latency is a serial cost
         # (the driver schedules tasks one at a time), so 1 task per
