@@ -17,11 +17,20 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
-def _roundtrip(df: DataFrame, key_col: str, codec: str = "auto", num_groups: int = 4) -> DataFrame:
+def _roundtrip(
+    df: DataFrame,
+    key_col: str,
+    codec: str = "auto",
+    num_groups: int = 4,
+    compression: str = "zstd",
+) -> DataFrame:
     from orc_format_spark import decode_blobs, encode_groups
 
     schema = ", ".join(f"{c} {t}" for c, t in df.dtypes)
-    blobs = encode_groups(df, num_groups=num_groups, codec=codec, key_col=key_col)
+    blobs = encode_groups(
+        df, num_groups=num_groups, codec=codec, key_col=key_col,
+        compression=compression,
+    )
     return decode_blobs(blobs, schema)
 
 
@@ -169,6 +178,39 @@ def q_string_raw_roundtrip(spark, sf_dir):
         "event_id", "event_type", "props"
     )
     return _roundtrip(ev, "event_id")
+
+
+def q_snappy_roundtrip(spark, sf_dir):
+    """C3 block compression (snappy, 262144-byte blocks, store-original
+    fallback — reference snappy.rs:14, compression.rs:146-163) through a
+    full encode->decode."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    return _roundtrip(o, "o_orderkey", compression="snappy")
+
+
+def q_uncompressed_roundtrip(spark, sf_dir):
+    """C2 'none' compression kind (identity framing) end-to-end."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    return _roundtrip(c, "c_custkey", compression="none")
+
+
+def q_projection_decode(spark, sf_dir):
+    """Reader-side column projection: decode only (doc_id, n_tok) from
+    tokens blobs — the unread tokens column's streams are skipped
+    without decompression (the ORC stream-directory pruning analog; at
+    100 TB a 2-column projection reads 2 columns' bytes)."""
+    from orc_format_spark import decode_blobs, encode_groups, tokenize_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokenize_documents(docs)
+    blobs = encode_groups(toks, num_groups=4, key_col="doc_id", size_col="n_tok")
+    return decode_blobs(
+        blobs, "doc_id string, n_tok int", columns=["doc_id", "n_tok"]
+    )
 
 
 def q_stats_longs(spark, sf_dir):
@@ -562,6 +604,51 @@ def q_stream_encode_roundtrip(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_stream_window_stats(spark, sf_dir):
+    """Structured Streaming watermarked window aggregation (availableNow)
+    over the tokens stream with md5-derived event times; append-mode
+    output = exactly the watermark-closed windows, which the SQL oracle
+    reproduces (groups whose window end <= max event time)."""
+    import shutil
+    import tempfile
+
+    from orc_format_spark import tokenize_documents
+    from orc_format_spark.functions.dedup import md5_hash60
+    from orc_format_spark.streaming import token_window_stats
+
+    work = tempfile.mkdtemp(prefix="ofs_ws_")
+    try:
+        src = f"{work}/timed"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = tokenize_documents(docs).withColumn(
+            "event_time",
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.make_interval(secs=md5_hash60(F.col("doc_id")) % 300),
+        )
+        toks.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = token_window_stats(stream, window="1 minute", watermark="0 seconds")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ofs_winstats")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{work}/ckpt")
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.sql(
+            "SELECT CAST(window_start AS STRING) AS window_start, source, "
+            "n_docs, n_tokens FROM ofs_winstats"
+        )
+        res = res.cache()
+        res.count()  # materialize before the scratch dir disappears
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_curation_pipeline(spark, sf_dir):
     """End-to-end training-data curation: quality-filter -> exact dedup
     (keep lowest doc_id) -> tokenize -> auto-codec encode -> decode ->
@@ -624,6 +711,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_roundtrip": q_date_roundtrip,
         "union_roundtrip": q_union_roundtrip,
         "composite_roundtrip": q_composite_roundtrip,
+        "snappy_roundtrip": q_snappy_roundtrip,
+        "uncompressed_roundtrip": q_uncompressed_roundtrip,
+        "projection_decode": q_projection_decode,
         "stats_longs": q_stats_longs,
         "stats_strings": q_stats_strings,
         "stats_doubles": q_stats_doubles,
@@ -634,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_lineage": q_codec_lineage,
         "curation_pipeline": q_curation_pipeline,
         "stream_encode_roundtrip": q_stream_encode_roundtrip,
+        "stream_window_stats": q_stream_window_stats,
         "struct_map_roundtrip": q_struct_map_roundtrip,
         "text_profile": q_text_profile,
         "exact_dedup": q_exact_dedup,
@@ -737,6 +828,16 @@ def oracle_sql() -> dict[str, str]:
             "x -> CAST(x AS VARCHAR)), ',') AS lst_csv, "
             "event_type AS st_et, user_id AS st_uid, value AS mp_v FROM events"
         ),
+        "snappy_roundtrip": (
+            "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders"
+        ),
+        "uncompressed_roundtrip": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer"
+        ),
+        "projection_decode": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_tok FROM documents"
+        ),
         "stats_longs": stats_longs,
         "stats_strings": stats_strings,
         "stats_doubles": stats_doubles,
@@ -774,6 +875,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_encode_roundtrip": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
+        ),
+        "stream_window_stats": (
+            "WITH base AS ("
+            "SELECT source, octet_length(CAST(text AS BLOB)) AS n_tok, "
+            "TIMESTAMP '2026-01-01 00:00:00' + to_seconds("
+            "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) "
+            "% 300) AS ev FROM documents"
+            "), agg AS ("
+            "SELECT date_trunc('minute', ev) AS ws, source, "
+            "COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens "
+            "FROM base GROUP BY 1, 2) "
+            "SELECT CAST(ws AS VARCHAR) AS window_start, source, n_docs, n_tokens "
+            "FROM agg WHERE ws + INTERVAL 1 MINUTE <= (SELECT MAX(ev) FROM base)"
         ),
         "curation_pipeline": (
             "WITH kept AS ("

@@ -9,6 +9,14 @@ skips completed waves, and (because group membership, in-group ordering,
 and codec choices are all deterministic functions of the data) produces
 byte-identical blobs for the remaining waves.
 
+Byte-identity holds *within one engine version*: codec internals may
+legally change their emitted bytes across upgrades (e.g. the RLEv2
+patched-width percentile moved from interpolated to exact-count in
+round 1) while decode stays lossless. A wave-resumed job must therefore
+finish on the version it started with, or re-encode from wave 0 —
+checksums are content-level (decoded values), so cross-version resumes
+are *detected* (differing blob bytes, same checksum) rather than silent.
+
 At cluster scale each wave is bounded work (total_groups/waves stripes),
 so a preempted 100 TB run loses at most one wave.
 """
