@@ -49,6 +49,12 @@ HEADLINE = [
     "stats_longs",
     "codec_lineage",
     "struct_map_roundtrip",
+    "composite_roundtrip",
+    "union_roundtrip",
+    "rowslice_decode",
+    "projection_decode",
+    "minhash_lsh",
+    "simhash",
     "text_profile",
     "exact_dedup",
     "ngram_jaccard",

@@ -45,6 +45,17 @@ def _md5_hash60_sql(expr: str, seed: int | None = None) -> str:
     return f"CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
 
+_MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _minhash_affine(s: int) -> tuple[int, int]:
+    """Deterministic (a, b) for the s-th affine permutation h -> a*h+b
+    mod p. a is odd and non-zero; values < 2^31 so a*h < 2^62."""
+    a = ((s * 0x9E3779B1 + 0x7F4A7C15) % (_MINHASH_P - 1)) | 1
+    b = (s * 0x85EBCA6B + 0xC2B2AE35) % _MINHASH_P
+    return a, b
+
+
 def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
     """One row per distinct content: copies count + the doc kept."""
     return (
@@ -201,32 +212,45 @@ def minhash_signatures(
     (``md5_hash60``) so the whole pipeline can be checked against a SQL
     oracle; both are pure JVM expressions.
     """
-    seeds = F.array(*[F.lit(s) for s in range(num_perm)])
     if hasher == "md5":
-        def gram_hash(g, s):
-            return F.conv(
-                F.substring(
-                    F.md5(F.concat(g, F.lit("#"), s.cast("string"))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-    else:
-        def gram_hash(g, s):
-            return F.xxhash64(g, s)
+        # one md5 per gram + num_perm affine permutations over the prime
+        # field p=2^31-1 (the classic universal MinHash family): 32x
+        # cheaper than per-seed hashing and exactly reproducible in SQL
+        # (all arithmetic stays < 2^62)
+        p = _MINHASH_P
+        ab = [_minhash_affine(s) for s in range(num_perm)]
+        base = F.array_sort(
+            F.array_distinct(
+                F.transform(F.col("grams"), lambda g: md5_hash60(g) % F.lit(p))
+            )
+        )
+        def affine_min(a: int, b: int):
+            # factory: Spark introspects lambda arity, so no default args
+            return F.array_min(
+                F.transform(
+                    F.col("hbase"),
+                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(p),
+                )
+            )
 
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(F.col("grams"), lambda g: gram_hash(g, s))
-        ),
-    )
+        sig = F.array(*[affine_min(a, b) for a, b in ab])
+        pre = [F.col("doc_id"), base.alias("hbase")]
+    else:
+        seeds = F.array(*[F.lit(s) for s in range(num_perm)])
+        sig = F.transform(
+            seeds,
+            lambda s: F.array_min(
+                F.transform(F.col("grams"), lambda g: F.xxhash64(g, s))
+            ),
+        )
+        pre = [F.col("doc_id"), F.col("grams")]
     # docs shorter than n have no grams -> all-null signatures that would
     # collide into one LSH bucket per band (O(m^2) spurious pairs); gate on
     # gram availability, not signature width (which is always num_perm)
     return (
         docs.filter(F.length(F.col("text")) >= n)
         .select("doc_id", char_ngrams(F.col("text"), n).alias("grams"))
+        .select(*pre)
         .select("doc_id", sig.alias("signature"))
     )
 
@@ -290,16 +314,24 @@ def lsh_candidate_pairs_sql(
     where = f"WHERE length(text) >= {n}"
     if max_doc_id is not None:
         where += f" AND doc_id < {max_doc_id}"
-    h = _md5_hash60_sql("g", None).replace("md5(g)", "md5(g || '#' || s)")
+    h = _md5_hash60_sql("g")
+    p = _MINHASH_P
+    perm_rows = ", ".join(
+        f"({s}, {a}, {b})"
+        for s, (a, b) in ((s, _minhash_affine(s)) for s in range(num_perm))
+    )
     return f"""
 WITH grams AS (
   SELECT doc_id, unnest(list_distinct(
     list_transform(range(1, length(text) - {n} + 2),
                    i -> substr(text, CAST(i AS INT), {n})))) AS g
   FROM {table} {where}
-), mh AS (
-  SELECT doc_id, s, MIN({h}) AS v
-  FROM grams CROSS JOIN range(0, {num_perm}) t(s)
+), hb AS (
+  SELECT DISTINCT doc_id, {h} % {p} AS h FROM grams
+), perms(s, a, b) AS (VALUES {perm_rows}),
+mh AS (
+  SELECT doc_id, s, MIN((h * a + b) % {p}) AS v
+  FROM hb CROSS JOIN perms
   GROUP BY doc_id, s
 ), sigs AS (
   SELECT doc_id, list(v ORDER BY s) AS signature FROM mh GROUP BY doc_id
