@@ -611,11 +611,13 @@ def q_stream_window_stats(spark, sf_dir):
     reproduces (groups whose window end <= max event time)."""
     import shutil
     import tempfile
+    import uuid
 
     from orc_format_spark import tokenize_documents
     from orc_format_spark.functions.dedup import md5_hash60
     from orc_format_spark.streaming import token_window_stats
 
+    qname = f"ofs_winstats_{uuid.uuid4().hex[:8]}"  # re-runnable in-session
     work = tempfile.mkdtemp(prefix="ofs_ws_")
     try:
         src = f"{work}/timed"
@@ -631,7 +633,7 @@ def q_stream_window_stats(spark, sf_dir):
         out = token_window_stats(stream, window="1 minute", watermark="0 seconds")
         q = (
             out.writeStream.format("memory")
-            .queryName("ofs_winstats")
+            .queryName(qname)
             .outputMode("append")
             .trigger(availableNow=True)
             .option("checkpointLocation", f"{work}/ckpt")
@@ -640,7 +642,7 @@ def q_stream_window_stats(spark, sf_dir):
         q.awaitTermination(300)
         res = spark.sql(
             "SELECT CAST(window_start AS STRING) AS window_start, source, "
-            "n_docs, n_tokens FROM ofs_winstats"
+            f"n_docs, n_tokens FROM {qname}"
         )
         res = res.cache()
         res.count()  # materialize before the scratch dir disappears

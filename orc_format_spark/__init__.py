@@ -20,7 +20,7 @@ from .operators.encode import (
     encode_groups_staged,
     verify_blobs,
 )
-from .operators.job import job_metrics, run_encode_job
+from .operators.job import job_metrics, read_encoded, read_metrics, run_encode_job
 from .operators.partitioning import plan_num_groups, with_group_id
 from .operators.stats import column_statistics
 from .sources.parquet_scan import encode_parquet_splits, list_parquet_splits
@@ -38,6 +38,8 @@ __all__ = [
     "list_parquet_splits",
     "job_metrics",
     "plan_num_groups",
+    "read_encoded",
+    "read_metrics",
     "run_encode_job",
     "tokenize_documents",
     "verify_blobs",

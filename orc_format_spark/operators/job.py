@@ -98,6 +98,30 @@ def run_encode_job(
     return spark.read.parquet(blobs_path)
 
 
+def read_encoded(
+    spark: SparkSession,
+    out_dir: str,
+    schema: str,
+    columns: list[str] | None = None,
+    rows: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Read a `run_encode_job` output back as the original table shape —
+    the reader half of the writer/finish API (the reference never shipped
+    one: src/reader.rs is a commented-out stub). ``columns`` prunes at
+    the blob level; ``rows`` point-reads a per-blob row slice via the
+    row-group sub-index."""
+    from .encode import decode_blobs
+
+    return decode_blobs(
+        spark.read.parquet(f"{out_dir}/blobs"), schema, columns=columns, rows=rows
+    )
+
+
+def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The job's codec-lineage/metrics table (one row per stripe)."""
+    return spark.read.parquet(f"{out_dir}/metrics")
+
+
 def job_metrics(blobs: DataFrame) -> DataFrame:
     """File-footer analog: aggregate metrics over all blobs
     (writer.rs:256-293 wrote merged file statistics; we aggregate the

@@ -140,3 +140,27 @@ def test_encode_groups_staged_matches_direct(spark, docs, tmp_path):
         ).collect()
     }
     assert staged == direct
+
+
+def test_read_encoded_roundtrip(spark, tmp_path):
+    """write (run_encode_job) -> read_encoded: the user-facing façade."""
+    from orc_format_spark import (
+        TOKENS_SCHEMA,
+        read_encoded,
+        read_metrics,
+        run_encode_job,
+        tokenize_documents,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = tokenize_documents(docs)
+    out = str(tmp_path / "job")
+    run_encode_job(spark, toks, out, num_groups=6, waves=2)
+    back = read_encoded(spark, out, TOKENS_SCHEMA)
+    assert back.count() == docs.count()
+    pruned = read_encoded(spark, out, "doc_id string, n_tok int",
+                          columns=["doc_id", "n_tok"])
+    assert pruned.columns == ["doc_id", "n_tok"]
+    assert pruned.count() == docs.count()
+    m = read_metrics(spark, out)
+    assert "blob" not in m.columns and m.count() >= 1
