@@ -604,6 +604,37 @@ def q_stream_encode_roundtrip(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_encode_job_roundtrip(spark, sf_dir):
+    """The full wave-checkpointed job (F1 writer/finish analog) driven
+    end-to-end: run_encode_job -> read_encoded -> detokenize == the
+    original documents; exercises wave directories, the metrics table
+    derivation, and the read façade in one oracle-checked pass."""
+    import shutil
+    import tempfile
+
+    from orc_format_spark import (
+        TOKENS_SCHEMA,
+        detokenize,
+        read_encoded,
+        run_encode_job,
+        tokenize_documents,
+    )
+
+    work = tempfile.mkdtemp(prefix="ofs_job_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = tokenize_documents(docs)
+        run_encode_job(spark, toks, work, num_groups=8, waves=2)
+        out = detokenize(read_encoded(spark, work, TOKENS_SCHEMA)).select(
+            "doc_id", "text"
+        )
+        out = out.cache()
+        out.count()  # materialize before the scratch dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_stream_window_stats(spark, sf_dir):
     """Structured Streaming watermarked window aggregation (availableNow)
     over the tokens stream with md5-derived event times; append-mode
@@ -727,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "stream_encode_roundtrip": q_stream_encode_roundtrip,
         "stream_window_stats": q_stream_window_stats,
+        "encode_job_roundtrip": q_encode_job_roundtrip,
         "struct_map_roundtrip": q_struct_map_roundtrip,
         "text_profile": q_text_profile,
         "exact_dedup": q_exact_dedup,
@@ -876,6 +908,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM events"
         ),
         "stream_encode_roundtrip": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
+        ),
+        "encode_job_roundtrip": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
         ),
         "stream_window_stats": (
