@@ -187,3 +187,60 @@ def test_rle_v2_unsigned_roundtrip(xs):
     v = np.array(xs, np.uint64)
     out = rle_v2.encode_int_rle_v2(v, signed=False)
     assert np.array_equal(rle_v2.decode_int_rle_v2(out, signed=False), v)
+
+
+# ---------------------------------------------------- chunked container v2
+
+
+def _rand_table(rng, n):
+    import pyarrow as pa
+
+    cols = {
+        "i32": pa.array(rng.integers(-1000, 1000, n).astype(np.int32)),
+        "i64": pa.array(
+            rng.choice([0, 1, -1, 2**40, -(2**40)], n).astype(np.int64)
+        ),
+        "f": pa.array(rng.normal(size=n).astype(np.float32)),
+        "s": pa.array(
+            [None if rng.random() < 0.1 else f"v{int(x) % 17}" for x in rng.integers(0, 100, n)]
+        ),
+        "b": pa.array(rng.integers(0, 2, n).astype(bool)),
+        "lst": pa.array(
+            [
+                None if rng.random() < 0.05 else list(range(int(k) % 6))
+                for k in rng.integers(0, 100, n)
+            ],
+            pa.list_(pa.int32()),
+        ),
+    }
+    return pa.table(cols)
+
+
+def test_chunked_container_fuzz():
+    """decode(encode(x, stride)) == x and every row slice of a chunked
+    blob equals the table slice, across random tables/strides."""
+    from orc_format_spark.codecs.container import decode_table, encode_table
+
+    rng = np.random.default_rng(11)
+    for _ in range(12):
+        n = int(rng.integers(1, 4000))
+        stride = int(rng.integers(1, 1500))
+        tbl = _rand_table(rng, n)
+        blob, _ = encode_table(tbl, stride=stride)
+        assert decode_table(blob).equals(tbl)
+        for _ in range(4):
+            a = int(rng.integers(0, n + 1))
+            b = int(rng.integers(a, n + 1))
+            assert decode_table(blob, rows=(a, b)).equals(tbl.slice(a, b - a))
+
+
+def test_chunked_vs_unchunked_lineage_totals():
+    from orc_format_spark.codecs.container import encode_table
+
+    rng = np.random.default_rng(12)
+    tbl = _rand_table(rng, 3000)
+    _, lin1 = encode_table(tbl)
+    _, lin2 = encode_table(tbl, stride=700)
+    t1 = {l["column"]: (l["n_rows"], l["n_present"]) for l in lin1}
+    t2 = {l["column"]: (l["n_rows"], l["n_present"]) for l in lin2}
+    assert t1 == t2
