@@ -18,11 +18,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# running as a plain script puts scripts/ (not the repo root) on
+# sys.path; on a cluster --py-files provides the package instead
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="tokens table path (parquet)")
+    ap.add_argument(
+        "--input",
+        required=True,
+        help="tokens table: parquet path, or iceberg:<catalog.db.table> "
+        "(requires the iceberg-spark runtime on the cluster classpath)",
+    )
     ap.add_argument("--output", required=True, help="output dir for blobs")
     ap.add_argument("--mode", choices=("splits", "grouped"), default="splits")
     ap.add_argument("--codec", default="auto")
@@ -36,17 +47,34 @@ def main() -> None:
     spark = SparkSession.builder.appName("orc-format-spark-encode").getOrCreate()
 
     if args.mode == "splits":
-        from orc_format_spark import encode_parquet_splits
+        if args.input.startswith("iceberg:"):
+            from orc_format_spark.sources.iceberg import encode_iceberg_splits
 
-        blobs = encode_parquet_splits(
-            spark, args.input, codec=args.codec, compression=args.compression
-        )
+            blobs = encode_iceberg_splits(
+                spark,
+                args.input[len("iceberg:") :],
+                codec=args.codec,
+                compression=args.compression,
+            )
+        else:
+            from orc_format_spark import encode_parquet_splits
+
+            blobs = encode_parquet_splits(
+                spark, args.input, codec=args.codec, compression=args.compression
+            )
         blobs.write.mode("overwrite").parquet(f"{args.output}/blobs")
         blobs = spark.read.parquet(f"{args.output}/blobs")
+        # codec-lineage metrics table, derived from the written blobs
+        blobs.drop("blob").write.mode("overwrite").parquet(f"{args.output}/metrics")
     else:
         from orc_format_spark import run_encode_job
 
-        toks = spark.read.parquet(args.input)
+        if args.input.startswith("iceberg:"):
+            from orc_format_spark.sources.iceberg import read_tokens_table
+
+            toks = read_tokens_table(spark, args.input[len("iceberg:") :])
+        else:
+            toks = spark.read.parquet(args.input)
         blobs = run_encode_job(
             spark,
             toks,
