@@ -330,9 +330,14 @@ def main_scaling():
         f"{results[c]['bytes_per_token']} |"
         for c in (2, 8, 32)
     )
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+    # raw sweep table goes to BENCH_SCALING.md; BENCH.md holds the
+    # hand-maintained analysis (roofline, per-fix isolation) and links here
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.md"),
+        "w",
+    ) as f:
         f.write(
-            "# BENCH — measured results\n\n"
+            "# BENCH_SCALING — raw sweep output (see BENCH.md for analysis)\n\n"
             "## Two-parallelism-level scaling (sandbox proxy for N vs 4N executors)\n\n"
             "Same deterministic input (sf0.1 documents x"
             f"{REPL} -> {results[32]['n_tokens']:,} tokens), same code, fresh JVM per\n"
