@@ -160,18 +160,26 @@ def _present_info(arr: pa.Array) -> tuple[bool, np.ndarray | None, bytes]:
 def encode_column(
     name: str,
     arr: pa.Array,
-    codec: str = "auto",
+    codec: str | dict = "auto",
     compression: str = "zstd",
     entries: list | None = None,
     lineage: list | None = None,
 ) -> list[ColumnEntry]:
-    """Encode one arrow array into container entries (recursive for lists)."""
+    """Encode one arrow array into container entries (recursive for lists).
+
+    ``codec`` may be a per-column mapping, e.g. ``{"tokens.item":
+    "for_bitpack", "doc_id": "raw_str"}`` — unlisted columns (keyed by
+    their full dotted path, children included) fall back to ``"auto"``.
+    """
     if entries is None:
         entries = []
     if lineage is None:
         lineage = []
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    child_codec = codec  # the full spec recurses to children untouched
+    if isinstance(codec, dict):
+        codec = codec.get(name, "auto")
     t = arr.type
     n_rows = len(arr)
     has_null, mask, present_stream = _present_info(arr)
@@ -250,7 +258,7 @@ def encode_column(
         entry = _finish_entry(name, str(t), use, compression, has_null, n_rows, n_present, streams)
         entries.append(entry)
         lineage.append(_lineage_row(name, entry, arr, est))
-        encode_column(name + ".item", child, codec, compression, entries, lineage)
+        encode_column(name + ".item", child, child_codec, compression, entries, lineage)
         return entries
     elif pa.types.is_struct(t):
         # struct column: PRESENT only; one child entry per field, exactly
@@ -264,7 +272,7 @@ def encode_column(
         lineage.append(_lineage_row(name, entry, arr, est))
         for i in range(t.num_fields):
             encode_column(
-                f"{name}.{t.field(i).name}", sv.field(i), codec, compression,
+                f"{name}.{t.field(i).name}", sv.field(i), child_codec, compression,
                 entries, lineage,
             )
         return entries
@@ -288,7 +296,7 @@ def encode_column(
             positions = np.flatnonzero(type_codes == codes[i])
             child_vals = uv.field(i).take(pa.array(value_offsets[positions], pa.int64()))
             encode_column(
-                f"{name}.{t.field(i).name}", child_vals, codec, compression,
+                f"{name}.{t.field(i).name}", child_vals, child_codec, compression,
                 entries, lineage,
             )
         return entries
@@ -306,8 +314,8 @@ def encode_column(
         entry = _finish_entry(name, str(t), use, compression, has_null, n_rows, n_present, streams)
         entries.append(entry)
         lineage.append(_lineage_row(name, entry, arr, est))
-        encode_column(f"{name}.key", keys, codec, compression, entries, lineage)
-        encode_column(f"{name}.value", items, codec, compression, entries, lineage)
+        encode_column(f"{name}.key", keys, child_codec, compression, entries, lineage)
+        encode_column(f"{name}.value", items, child_codec, compression, entries, lineage)
         return entries
     else:
         raise NotImplementedError(f"type {t} not supported yet")
@@ -631,7 +639,7 @@ def decode_entries(entries: list[ColumnEntry], start: int = 0) -> tuple[str, pa.
     return e.name, _rebuild_with_nulls(values, e.has_null, e.n_rows, present), nxt
 
 
-def _encode_body(tbl: pa.Table, codec: str, compression: str) -> tuple[bytes, list[dict]]:
+def _encode_body(tbl: pa.Table, codec: str | dict, compression: str) -> tuple[bytes, list[dict]]:
     entries: list[ColumnEntry] = []
     lineage: list[dict] = []
     for name, col in zip(tbl.column_names, tbl.columns):
@@ -641,7 +649,7 @@ def _encode_body(tbl: pa.Table, codec: str, compression: str) -> tuple[bytes, li
 
 def encode_table(
     tbl: pa.Table,
-    codec: str = "auto",
+    codec: str | dict = "auto",
     compression: str = "zstd",
     stride: int | None = None,
 ) -> tuple[bytes, list[dict]]:

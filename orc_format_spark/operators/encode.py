@@ -43,7 +43,7 @@ BLOB_SCHEMA = (
 def encode_groups(
     df: DataFrame,
     num_groups: int | None = None,
-    codec: str = "auto",
+    codec: str | dict = "auto",
     compression: str = "zstd",
     key_col: str | None = None,
     size_col: str | None = None,

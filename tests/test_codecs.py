@@ -415,3 +415,32 @@ def test_union_roundtrip():
     assert dec.column("u").to_pylist() == tbl.column("u").to_pylist()
     assert table_checksum(dec) == table_checksum(tbl)
     assert decode_table(blob, columns=["id"]).column_names == ["id"]
+
+
+def test_per_column_codec_map():
+    """codec may be a {column-path: codec} mapping (children keyed by
+    their dotted path); unlisted columns auto-select."""
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_format_spark.codecs.container import decode_table, encode_table
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(500)]),
+            "tokens": pa.array(
+                [list(range(i % 40)) for i in range(500)], pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array(np.arange(500, dtype=np.int32)),
+        }
+    )
+    blob, lin = encode_table(
+        t, codec={"tokens.item": "rle_v1", "n_tok": "for_bitpack"}
+    )
+    codecs = {l["column"]: l["codec"] for l in lin}
+    assert codecs["tokens.item"] == "rle_v1"
+    assert codecs["n_tok"] == "for_bitpack"
+    assert decode_table(blob).equals(t)
+    # composes with row-group chunking
+    blob2, _ = encode_table(t, codec={"n_tok": "rle_v2"}, stride=150)
+    assert decode_table(blob2, rows=(100, 400)).equals(t.slice(100, 300))
