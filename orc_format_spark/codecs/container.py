@@ -149,6 +149,19 @@ def _flat_binary(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     return data, (off - off[0]).astype(np.int64)
 
 
+def _union_ids_offsets(uv: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(type_codes, value_offsets) of a dense union, slice-correct.
+
+    pyarrow's ``.type_codes``/``.offsets`` accessors truncate to the
+    logical length but do NOT apply the slice offset, so a sliced union
+    array reads the wrong entries through them; slice the physical
+    buffers explicitly instead."""
+    raw_tc = np.frombuffer(uv.buffers()[1], np.int8)
+    raw_off = np.frombuffer(uv.buffers()[2], np.int32)
+    lo, hi = uv.offset, uv.offset + len(uv)
+    return raw_tc[lo:hi], raw_off[lo:hi].astype(np.int64)
+
+
 def _present_info(arr: pa.Array) -> tuple[bool, np.ndarray | None, bytes]:
     """(has_null, valid_mask, PRESENT stream bytes or b'')."""
     if arr.null_count == 0:
@@ -285,8 +298,7 @@ def encode_column(
         if t.mode != "dense":
             raise NotImplementedError("sparse unions not supported")
         uv = _combine(vals)
-        type_codes = np.asarray(uv.type_codes)
-        value_offsets = np.asarray(uv.offsets, np.int64)
+        type_codes, value_offsets = _union_ids_offsets(uv)
         codes = list(t.type_codes)
         streams.append((DATA, rle_v1.encode_byte_rle(type_codes.view(np.uint8))))
         entry = _finish_entry(name, str(t), "union", compression, has_null, n_rows, n_present, streams)
@@ -840,8 +852,7 @@ def _canonical_buffers(arr):
         out.extend(_canonical_buffers(mv.items.slice(start, end - start)))
     elif pa.types.is_union(t):
         uv = _combine(va)
-        tc = np.asarray(uv.type_codes)
-        vo = np.asarray(uv.offsets, np.int64)
+        tc, vo = _union_ids_offsets(uv)
         out.append(tc.tobytes())
         for i in range(t.num_fields):
             pos = np.flatnonzero(tc == t.type_codes[i])

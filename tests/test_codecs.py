@@ -444,3 +444,26 @@ def test_per_column_codec_map():
     # composes with row-group chunking
     blob2, _ = encode_table(t, codec={"n_tok": "rle_v2"}, stride=150)
     assert decode_table(blob2, rows=(100, 400)).equals(t.slice(100, 300))
+
+
+def test_sliced_dense_union_roundtrip():
+    """Sliced dense unions must encode the sliced entries, not the head
+    of the physical buffers (pyarrow accessors ignore the slice offset)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_format_spark.codecs.container import decode_entries, encode_column
+
+    tags = pa.array(np.array([0, 1, 0, 1, 0, 1, 0, 0], np.int8), pa.int8())
+    offs = pa.array(np.array([0, 0, 1, 1, 2, 2, 3, 4], np.int32), pa.int32())
+    u = pa.UnionArray.from_dense(
+        tags,
+        offs,
+        [pa.array([10, 20, 30, 40, 50], pa.int64()), pa.array(["a", "b", "c"])],
+        field_names=["i", "s"],
+        type_codes=[0, 1],
+    )
+    for sl in (u, u.slice(2, 4), u.slice(3), u.slice(0, 0)):
+        entries = encode_column("u", sl, "auto", "zstd")
+        _, arr, _ = decode_entries(entries, 0)
+        assert arr.to_pylist() == sl.to_pylist()
