@@ -361,7 +361,9 @@ def serialize_blob(entries: list[ColumnEntry]) -> bytes:
     for e in entries:
         for s in (e.name, e.type, e.codec, e.comp):
             b = s.encode()
-            parts.append(bytes((len(b),)))
+            # varint length: nested type strings (wide structs) and deep
+            # dotted column paths routinely exceed one byte
+            parts.append(encode_varint_one(len(b)))
             parts.append(b)
         parts.append(bytes((1 if e.has_null else 0,)))
         parts.append(encode_varint_one(e.n_rows))
@@ -388,8 +390,7 @@ def deserialize_blob(blob: bytes) -> list[ColumnEntry]:
     for _ in range(n_entries):
         fields = []
         for _ in range(4):
-            ln = blob[pos]
-            pos += 1
+            ln, pos = decode_varint_one(blob, pos)
             fields.append(blob[pos : pos + ln].decode())
             pos += ln
         has_null = bool(blob[pos])

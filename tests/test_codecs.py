@@ -467,3 +467,22 @@ def test_sliced_dense_union_roundtrip():
         entries = encode_column("u", sl, "auto", "zstd")
         _, arr, _ = decode_entries(entries, 0)
         assert arr.to_pylist() == sl.to_pylist()
+
+
+def test_wide_struct_and_long_names_roundtrip():
+    """Type strings of wide structs and long dotted column paths exceed
+    255 bytes; entry-header lengths are varints so they roundtrip."""
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_format_spark.codecs.container import decode_table, encode_table
+
+    n = 50
+    wide = pa.StructArray.from_arrays(
+        [pa.array(np.arange(20, dtype=np.int64)) for _ in range(n)],
+        names=[f"field_with_a_rather_long_name_{i:03d}" for i in range(n)],
+    )
+    t = pa.table({"a_quite_long_top_level_column_name_indeed": wide})
+    blob, lin = encode_table(t)
+    assert decode_table(blob).equals(t)
+    assert len(lin) == n + 1  # parent + one per field
