@@ -120,3 +120,22 @@ def test_chunked_nulls_and_nested():
     assert C.decode_table(blob).equals(tbl)
     sl = C.decode_table(blob, rows=(650, 1_450))
     assert sl.equals(tbl.slice(650, 800))
+
+
+def test_verify_blobs_on_chunked_blobs(spark):
+    """verify_blobs' checksum comparison must hold for v2 chunked blobs
+    (decode dispatches on the magic)."""
+    from pyspark.sql import functions as F
+
+    from orc_format_spark import encode_groups, verify_blobs
+
+    df = spark.range(0, 30_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("int").alias("v"),
+        F.concat(F.lit("s"), (F.col("id") % 13).cast("string")).alias("s"),
+    )
+    blobs = encode_groups(df, num_groups=3, key_col="k", row_index_stride=2_000)
+    assert blobs.select(F.max(F.length("blob"))).first()[0] > 0
+    ver = verify_blobs(blobs)
+    rows = ver.collect()
+    assert len(rows) == 3 and all(r.ok for r in rows)
