@@ -538,8 +538,10 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Multi-table sign-bit-bucketed approximate top-k (no SQL oracle:
-    approximate). 4 tables x 8 sign bits over the 32-dim vectors."""
+    """Multi-table sign-bit-bucketed approximate top-k; 4 tables x 8
+    sign bits over the 32-dim vectors. Approximate in recall yet fully
+    deterministic, so the DuckDB oracle replicates buckets, candidates,
+    scores and ranks exactly."""
     from orc_format_spark.functions.similarity import lsh_bucketed_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -782,6 +784,7 @@ def oracle_sql() -> dict[str, str]:
     from orc_format_spark.functions.multimodal import extract_features_sql
     from orc_format_spark.functions.similarity import (
         brute_force_topk_sql,
+        lsh_bucketed_topk_sql,
         near_duplicate_pairs_sql,
     )
     from orc_format_spark.functions.text import quality_e6_sql, text_profile_sql
@@ -959,6 +962,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": simhash_near_pairs_sql(n=4, max_hamming=10, max_doc_id=200),
         "embedding_neardup": near_duplicate_pairs_sql(threshold_e6=300000, max_id=300),
         "ann_topk": brute_force_topk_sql(k=5, n_queries=10),
+        "ann_lsh": lsh_bucketed_topk_sql(k=5, n_queries=10, sign_dims=8, n_tables=4),
         "multimodal_features": extract_features_sql(),
         "frame_sample": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "

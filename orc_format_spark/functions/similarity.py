@@ -174,6 +174,57 @@ SELECT * FROM (
 """
 
 
+def lsh_bucketed_topk_sql(
+    k: int = 5,
+    n_queries: int = 10,
+    sign_dims: int = 8,
+    n_tables: int = 4,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for :func:`lsh_bucketed_topk`.
+
+    The bucket id is pure integer arithmetic (sign bits of quantized
+    dims, folded MSB-first as ``acc*2+bit``) and ``cos_e6`` uses the
+    identical operand order as :func:`brute_force_topk_sql`, so the
+    approximate index is still *exactly* reproducible in SQL: same
+    buckets, same candidates, same scores, same ranks."""
+    quant = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, {quant} AS qv,
+         list_sum(list_transform({quant}, x -> x * x)) AS norm2
+  FROM {table}
+), b AS (
+  SELECT vec_id, qv, norm2, t.tbl,
+         list_sum(list_transform(range(1, {sign_dims} + 1),
+           i -> (CASE WHEN qv[CAST(t.tbl * {sign_dims} + i AS INT)] >= 0
+                      THEN 1 ELSE 0 END)
+                * (1 << ({sign_dims} - CAST(i AS INT))))) AS bucket
+  FROM n CROSS JOIN (SELECT unnest(range(0, {n_tables})) AS tbl) t
+  WHERE norm2 > 0
+), q AS (
+  SELECT vec_id AS query_id, qv AS qqv, norm2 AS qnorm2, tbl, bucket
+  FROM b WHERE vec_id < {n_queries}
+), scored AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id,
+         CAST(floor(
+           list_sum(list_transform(range(1, len(q.qqv) + 1),
+                    i -> q.qqv[CAST(i AS INT)] * c.qv[CAST(i AS INT)]))
+           / (sqrt(CAST(q.qnorm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE)))
+           * 1000000.0) AS BIGINT) AS cos_e6
+  FROM b c JOIN q
+    ON c.tbl = q.tbl AND c.bucket = q.bucket AND c.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_e6 DESC, neighbor_id) AS INT) AS rank, cos_e6
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     k: int = 5,
@@ -192,8 +243,9 @@ def lsh_bucketed_topk(
     single bucket. Scale shape: each table has 2^sign_dims buckets, so
     the expected bucket holds corpus/2^sign_dims vectors; size sign_dims
     so that is executor-bounded (e.g. 16-24 bits at 10^9+ vectors), and
-    add tables for recall rather than shrinking bits. Rows-only
-    correctness check (approximate by construction)."""
+    add tables for recall rather than shrinking bits. Approximate in
+    *recall* but fully deterministic in construction, so
+    :func:`lsh_bucketed_topk_sql` reproduces it exactly."""
     corpus = _with_quant(emb, id_col, vec_col).filter(F.col("norm2") > 0)
 
     def bucket_expr(t: int) -> Column:
