@@ -126,9 +126,9 @@ def bitunpack(buf, width: int, count: int) -> np.ndarray:
     """Inverse of bitpack -> uint64 array of ``count`` values.
 
     Non-byte-aligned widths mirror the pack-side block assembly: each
-    value is rebuilt from the <=5 bytes its bits span (width <= 30 for
-    every non-aligned width callers emit; wider non-aligned widths fall
-    back to a per-bit path)."""
+    value is rebuilt from the <=7 bytes its bits span (the vectorized
+    path covers every non-aligned width up to 56; only width > 56 falls
+    back to the per-bit path)."""
     if count == 0 or width == 0:
         return np.zeros(count, np.uint64)
     raw = np.frombuffer(buf, np.uint8)

@@ -7,14 +7,21 @@ null masks. Mirrors the reference's stripe + StripeFooter bookkeeping
 instead of a byte-offset stream directory inside an ORC file, the blob is
 a value in a `binary` DataFrame column and the "footer" is its header.
 
-Layout:
-  b'OFS1' | u8 version=1 | u16 n_column_entries
+Layout (body version 3 — the current writer):
+  b'OFS1' | u8 version=3 | u16 n_column_entries
   per entry:
-    u8 name_len | name | u8 type_len | type | u8 codec_len | codec |
-    u8 comp_len | compression | u8 flags(bit0 has_null) |
+    varint name_len | name | varint type_len | type |
+    varint codec_len | codec | varint comp_len | compression |
+    u8 flags(bit0 has_null) |
     varint n_rows | varint n_present | u8 n_streams |
     per stream: u8 kind | varint compressed_len
   all stream payloads, in entry/stream order
+
+Version history: v1 encoded the four field-string lengths as single
+bytes (0-255); v3 uses varints (nested type strings and dotted column
+paths exceed 255 bytes). The reader dispatches on the version byte, so
+both generations stay readable; the writer always emits v3. (v2 is the
+chunked container wrapper below, a separate magic.)
 
 Stream kinds follow the reference's enum (orc_proto.proto:108-125):
 0=PRESENT 1=DATA 2=LENGTH 3=SECONDARY. Nested lists flatten into multiple
@@ -40,7 +47,17 @@ from .selector import select_int_codec, select_str_codec
 from .varint import decode_varint_one, encode_varint_one
 
 MAGIC = b"OFS1"
-VERSION = 1
+# 1 = single-byte field-string lengths (legacy, read-only)
+# 3 = varint field-string lengths + engine tag (current writer)
+VERSION = 3
+_READ_VERSIONS = (1, 3)
+# Encoder behavior version, stamped into every v3 blob header and every
+# job _state row. Bump whenever emitted BYTES may legally change while
+# decode stays lossless (codec-selection thresholds, RLEv2 percentile
+# math, FSST training) — wave-resumed jobs must finish on the version
+# they started with for blob byte-identity (operators/job.py).
+ENCODER_VERSION = "3.0"
+_LEGACY_ENGINE = "<pre-3.0>"
 # v2: chunked container — the row-group sub-index (reference parity F3:
 # per-column positions every row_index_stride=10,000 rows,
 # src/writer/data/common.rs:24-48, writer.rs:32). A v2 blob is a chunk
@@ -356,7 +373,14 @@ def _lineage_row(name, entry: ColumnEntry, arr: pa.Array, est: dict) -> dict:
 
 
 def serialize_blob(entries: list[ColumnEntry]) -> bytes:
-    parts = [MAGIC, bytes((VERSION,)), len(entries).to_bytes(2, "little")]
+    eng = ENCODER_VERSION.encode()
+    parts = [
+        MAGIC,
+        bytes((VERSION,)),
+        len(entries).to_bytes(2, "little"),
+        encode_varint_one(len(eng)),
+        eng,
+    ]
     payloads = []
     for e in entries:
         for s in (e.name, e.type, e.codec, e.comp):
@@ -382,15 +406,22 @@ def deserialize_blob(blob: bytes) -> list[ColumnEntry]:
         raise ValueError("truncated blob header")
     if blob[:4] != MAGIC:
         raise ValueError("bad blob magic")
-    if blob[4] != VERSION:
-        raise ValueError(f"unsupported blob version {blob[4]}")
+    version = blob[4]
+    if version not in _READ_VERSIONS:
+        raise ValueError(f"unsupported blob version {version}")
     n_entries = int.from_bytes(blob[5:7], "little")
     pos = 7
+    if version >= 3:  # engine tag (informational; see blob_engine_version)
+        elen, pos = decode_varint_one(blob, pos)
+        pos += elen
     metas = []
     for _ in range(n_entries):
         fields = []
         for _ in range(4):
-            ln, pos = decode_varint_one(blob, pos)
+            if version == 1:  # legacy: single-byte field-string lengths
+                ln, pos = blob[pos], pos + 1
+            else:
+                ln, pos = decode_varint_one(blob, pos)
             fields.append(blob[pos : pos + ln].decode())
             pos += ln
         has_null = bool(blob[pos])
@@ -418,6 +449,26 @@ def deserialize_blob(blob: bytes) -> list[ColumnEntry]:
     if pos != len(blob):
         raise ValueError("trailing bytes after blob payload")
     return entries
+
+
+def blob_engine_version(blob: bytes) -> str:
+    """Encoder version stamped in the blob header (v3+); legacy v1
+    blobs (no tag) report "<pre-3.0>". Chunked (OFS2) blobs report
+    their first body's tag — all chunks of one blob share a writer."""
+    if blob[:4] == MAGIC2:
+        pos = 5
+        _stride, pos = decode_varint_one(blob, pos)
+        n_chunks, pos = decode_varint_one(blob, pos)
+        for _ in range(n_chunks):
+            _nr, pos = decode_varint_one(blob, pos)
+            _blen, pos = decode_varint_one(blob, pos)
+        return blob_engine_version(blob[pos:])
+    if blob[:4] != MAGIC:
+        raise ValueError("bad blob magic")
+    if blob[4] < 3:
+        return _LEGACY_ENGINE
+    elen, pos = decode_varint_one(blob, 7)
+    return blob[pos : pos + elen].decode()
 
 
 def _split_top_level(s: str) -> list[str]:

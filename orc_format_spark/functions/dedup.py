@@ -26,7 +26,7 @@ DuckDB oracles instead of rows-only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import fingerprint
 
@@ -69,13 +69,20 @@ def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
 
 
 def dedup_keep_first(docs: DataFrame) -> DataFrame:
-    """Drop exact duplicates, keeping the lowest doc_id of each group."""
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    return (
-        docs.withColumn("fingerprint", fingerprint(F.col("text")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "fingerprint")
+    """Drop exact duplicates, keeping the lowest doc_id of each group.
+
+    Shape: a narrow ``groupBy(fingerprint).agg(min(doc_id))`` (map-side
+    partial, carries 24 bytes/row) plus a semi-join back — the payload is
+    hash-joined, never window-*sorted*; at 100 TB a row_number window
+    would pull every document body through the sort buffers."""
+    with_fp = docs.withColumn("fingerprint", fingerprint(F.col("text")))
+    keep = (
+        with_fp.select("fingerprint", "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return with_fp.join(keep, ["fingerprint", "doc_id"], "left_semi").drop(
+        "fingerprint"
     )
 
 

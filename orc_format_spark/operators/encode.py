@@ -98,6 +98,7 @@ def encode_groups_staged(
     compression: str = "zstd",
     key_col: str | None = None,
     size_col: str | None = None,
+    row_index_stride: int | None = DEFAULT_ROW_INDEX_STRIDE,
 ) -> DataFrame:
     """Grouped encode via a staged JVM-side shuffle materialization.
 
@@ -158,7 +159,10 @@ def encode_groups_staged(
                 # s3://, gs://, hdfs:// with libhdfs); schemes pyarrow lacks
                 # fail loudly here rather than silently listing nothing
                 data = pq.read_table(f"{stage_dir}/group_id={gid}").sort_by(sort_key)
-                blob, lineage = encode_table(data, codec=codec, compression=compression)
+                blob, lineage = encode_table(
+                    data, codec=codec, compression=compression,
+                    stride=row_index_stride,
+                )
                 leaf = [l for l in lineage if l["codec"] != "list"]
                 codecs = {l["column"]: l["codec"] for l in lineage}
                 yield pa.record_batch(

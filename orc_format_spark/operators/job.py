@@ -12,10 +12,11 @@ byte-identical blobs for the remaining waves.
 Byte-identity holds *within one engine version*: codec internals may
 legally change their emitted bytes across upgrades (e.g. the RLEv2
 patched-width percentile moved from interpolated to exact-count in
-round 1) while decode stays lossless. A wave-resumed job must therefore
-finish on the version it started with, or re-encode from wave 0 —
-checksums are content-level (decoded values), so cross-version resumes
-are *detected* (differing blob bytes, same checksum) rather than silent.
+round 1) while decode stays lossless. This is ENFORCED: every _state row
+carries the ``ENCODER_VERSION`` that wrote its wave (the same tag every
+v3 blob header carries), and a resume under a different version raises
+RuntimeError up front — finish on the version the job started with, or
+delete ``out_dir`` and re-encode from wave 0.
 
 At cluster scale each wave is bounded work (total_groups/waves stripes),
 so a preempted 100 TB run loses at most one wave.
@@ -25,17 +26,25 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..codecs.container import ENCODER_VERSION, _LEGACY_ENGINE
 from .encode import encode_groups
 from .partitioning import plan_num_groups, with_group_id
 
 
-def _read_done_waves(spark: SparkSession, state_path: str) -> set[int]:
+def _read_state(spark: SparkSession, state_path: str) -> tuple[set[int], set[str]]:
+    """(done waves, engine versions that wrote them). Pre-stamp state
+    files (no `engine` column) report the legacy sentinel."""
     try:
-        return {
-            r.wave for r in spark.read.parquet(state_path).select("wave").collect()
-        }
+        sdf = spark.read.parquet(state_path)
     except Exception:
-        return set()
+        return set(), set()
+    rows = sdf.collect()
+    waves = {r.wave for r in rows}
+    if "engine" in sdf.columns:
+        engines = {r.engine for r in rows}
+    else:
+        engines = {_LEGACY_ENGINE} if rows else set()
+    return waves, engines
 
 
 def run_encode_job(
@@ -68,7 +77,16 @@ def run_encode_job(
     ).persist()
     blobs_path = f"{out_dir}/blobs"
     state_path = f"{out_dir}/_state"
-    done = _read_done_waves(spark, state_path)
+    done, engines = _read_state(spark, state_path)
+    stale = engines - {ENCODER_VERSION}
+    if stale:
+        raise RuntimeError(
+            f"run_encode_job: {out_dir} has waves written by engine version(s) "
+            f"{sorted(stale)} but this engine is {ENCODER_VERSION}; blob "
+            "byte-identity across versions is not guaranteed. Finish the job "
+            "on the original version, or delete the output directory to "
+            "re-encode from wave 0."
+        )
     try:
         for w in range(waves):
             if w in done:
@@ -90,9 +108,9 @@ def run_encode_job(
                 .write.mode("overwrite")
                 .parquet(f"{out_dir}/metrics/wave={w}")
             )
-            spark.createDataFrame([(w,)], "wave long").write.mode("append").parquet(
-                state_path
-            )
+            spark.createDataFrame(
+                [(w, ENCODER_VERSION)], "wave long, engine string"
+            ).write.mode("append").parquet(state_path)
     finally:
         grouped.unpersist()
     return spark.read.parquet(blobs_path)

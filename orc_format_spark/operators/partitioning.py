@@ -47,14 +47,41 @@ def heavy_threshold_estimate(
     instead of a full-table approxQuantile pass. Callers with a stats
     pass already in hand should pass ``heavy_threshold`` directly to
     ``with_group_id`` and skip this scan entirely.
+
+    A degenerate sample (no rows in the 1/sample_mod hash slice) widens
+    geometrically — each retry halves ``sample_mod``, with a
+    RuntimeWarning per widening — rather than silently jumping to a
+    full-table quantile pass; the full scan happens only at
+    ``sample_mod == 1`` after log2 explicit widenings, and an input with
+    no rows raises ValueError instead of IndexError.
     """
-    sampled = df.select(size_col, key_col).filter(
-        F.pmod(F.xxhash64(F.col(key_col), F.lit(97)), F.lit(sample_mod)) == 0
-    )
-    vals = sampled.approxQuantile(size_col, [heavy_quantile], 0.001)
-    if not vals or vals[0] is None:  # degenerate tiny sample
-        vals = df.approxQuantile(size_col, [heavy_quantile], 0.001)
-    return vals[0]
+    import warnings
+
+    two_col = df.select(size_col, key_col)
+    mod = max(1, int(sample_mod))
+    while True:
+        sampled = (
+            two_col.filter(
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(97)), F.lit(mod)) == 0
+            )
+            if mod > 1
+            else two_col
+        )
+        vals = sampled.approxQuantile(size_col, [heavy_quantile], 0.001)
+        if vals and vals[0] is not None:
+            return vals[0]
+        if mod == 1:
+            raise ValueError(
+                f"heavy_threshold_estimate: no non-null '{size_col}' values "
+                "in the input (empty DataFrame?)"
+            )
+        warnings.warn(
+            f"heavy_threshold_estimate: degenerate 1/{mod} hash sample; "
+            f"widening to 1/{mod // 2}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        mod //= 2
 
 
 def with_group_id(

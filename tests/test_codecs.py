@@ -486,3 +486,61 @@ def test_wide_struct_and_long_names_roundtrip():
     blob, lin = encode_table(t)
     assert decode_table(blob).equals(t)
     assert len(lin) == n + 1  # parent + one per field
+
+
+def _serialize_v1_legacy(entries) -> bytes:
+    """Re-implementation of the pre-varint (version 1) blob writer:
+    single-byte field-string lengths, no engine tag."""
+    from orc_format_spark.codecs.varint import encode_varint_one
+
+    parts = [b"OFS1", bytes((1,)), len(entries).to_bytes(2, "little")]
+    payloads = []
+    for e in entries:
+        for s in (e.name, e.type, e.codec, e.comp):
+            b = s.encode()
+            assert len(b) < 256
+            parts.append(bytes((len(b),)))
+            parts.append(b)
+        parts.append(bytes((1 if e.has_null else 0,)))
+        parts.append(encode_varint_one(e.n_rows))
+        parts.append(encode_varint_one(e.n_present))
+        parts.append(bytes((len(e.streams),)))
+        for kind, payload in e.streams:
+            parts.append(bytes((kind,)))
+            parts.append(encode_varint_one(len(payload)))
+            payloads.append(payload)
+    parts.extend(payloads)
+    return b"".join(parts)
+
+
+def test_legacy_v1_blob_still_readable():
+    """Version-gated header parse: a pre-varint (v1) blob deserializes
+    through the same reader as the current v3 writer's output."""
+    from orc_format_spark.codecs.container import deserialize_blob
+
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 2, None, 4_000_000_000], pa.int64()),
+            "s": pa.array(["x", None, "yy", "zzz"]),
+        }
+    )
+    blob, _ = encode_table(tbl)
+    v1 = _serialize_v1_legacy(deserialize_blob(blob))
+    assert v1[4] == 1 and blob[4] == 3 and v1 != blob
+    assert decode_table(v1).equals(decode_table(blob))
+
+
+def test_blob_engine_version_tag():
+    from orc_format_spark.codecs.container import (
+        ENCODER_VERSION,
+        blob_engine_version,
+        deserialize_blob,
+    )
+
+    tbl = pa.table({"a": pa.array(range(25_000), pa.int32())})
+    plain, _ = encode_table(tbl)
+    chunked, _ = encode_table(tbl, stride=10_000)
+    assert blob_engine_version(plain) == ENCODER_VERSION
+    assert blob_engine_version(chunked) == ENCODER_VERSION
+    legacy = _serialize_v1_legacy(deserialize_blob(plain))
+    assert blob_engine_version(legacy) == "<pre-3.0>"

@@ -164,3 +164,58 @@ def test_read_encoded_roundtrip(spark, tmp_path):
     assert pruned.count() == docs.count()
     m = read_metrics(spark, out)
     assert "blob" not in m.columns and m.count() >= 1
+
+
+def test_run_encode_job_cross_version_resume_raises(spark, docs, tmp_path, monkeypatch):
+    """A wave-resumed job must finish on the engine version it started
+    with (blob byte-identity, job.py module docstring); a resume under a
+    different ENCODER_VERSION raises up front."""
+    import orc_format_spark.operators.job as job_mod
+
+    toks = tokenize_documents(docs)
+    out = str(tmp_path / "jobv")
+    run_encode_job(spark, toks, out, num_groups=4, waves=2, tokens_per_group=50_000)
+    monkeypatch.setattr(job_mod, "ENCODER_VERSION", "99.0-test")
+    with pytest.raises(RuntimeError, match="engine version"):
+        run_encode_job(spark, toks, out, num_groups=4, waves=2)
+
+
+def test_heavy_threshold_widens_sample_instead_of_full_scan(spark):
+    """Degenerate 1/128 hash sample: the estimator widens geometrically
+    (RuntimeWarning per halving) instead of silently jumping to a
+    full-table quantile pass; an empty input raises, not IndexError."""
+    import warnings
+
+    from orc_format_spark.operators.partitioning import heavy_threshold_estimate
+
+    tiny = spark.createDataFrame(
+        [(f"doc{i}", 10 * (i + 1)) for i in range(3)], "doc_id string, n_tok int"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        thr = heavy_threshold_estimate(tiny, "n_tok", "doc_id")
+    assert thr in (10.0, 20.0, 30.0)
+    widen = [w for w in rec if issubclass(w.category, RuntimeWarning)]
+    assert widen, "expected explicit widening warnings on a degenerate sample"
+    empty = tiny.filter("n_tok < 0")
+    with pytest.raises(ValueError, match="no non-null"):
+        heavy_threshold_estimate(empty, "n_tok", "doc_id")
+
+
+def test_dedup_keep_first_no_payload_window_sort(spark, docs):
+    """dedup_keep_first: correct results AND the cheap 100 TB plan — a
+    narrow min-aggregate + semi-join, no row_number Window sorting the
+    document payload through shuffle buffers."""
+    from orc_format_spark.functions.dedup import dedup_keep_first
+
+    dupes = docs.select("doc_id", "text").union(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text").filter(
+            "doc_id % 5 = 0"
+        )
+    )
+    out = dedup_keep_first(dupes)
+    assert out.count() == docs.count()
+    # every kept row is the minimum doc_id of its content group
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "payload must not pass through a window sort"
