@@ -243,10 +243,14 @@ def q_stats_doubles(spark, sf_dir):
 def q_rowslice_decode(spark, sf_dir):
     """Row-group sub-index point read (F3 parity, reference
     row_index_stride=10,000 writer.rs:32 / data/common.rs:24-48): encode
-    lineitem into ONE chunked blob (stride 8192), then decode only rows
-    [20000, 30000) of the rid-sorted order — touching just the covering
-    chunks, never the whole column."""
+    lineitem into 8 chunked blobs (md5-deterministic groups so the SQL
+    oracle reproduces membership, stride 2048), then decode only rows
+    [1000, 2250) of each blob's rid-sorted order — the slice spans two
+    covering chunks per blob, never the whole column, and the encode
+    itself parallelizes across the 8 groups (round-2 verdict: a
+    num_groups=1 shape charged a serial full encode to a point-read)."""
     from orc_format_spark import decode_blobs, encode_groups
+    from orc_format_spark.functions.dedup import md5_hash60
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
@@ -254,11 +258,14 @@ def q_rowslice_decode(spark, sf_dir):
         "l_linenumber",
         "l_quantity",
     )
-    blobs = encode_groups(li, num_groups=1, key_col="rid", row_index_stride=8192)
+    li = li.withColumn(
+        "group_id", (md5_hash60(F.col("rid").cast("string"), seed=0) % 8)
+    )
+    blobs = encode_groups(li, key_col="rid", row_index_stride=2048)
     return decode_blobs(
         blobs,
         "rid long, l_orderkey long, l_linenumber int, l_quantity double",
-        rows=(20000, 30000),
+        rows=(1000, 2250),
     )
 
 
@@ -834,10 +841,13 @@ def oracle_sql() -> dict[str, str]:
         "string_raw_roundtrip": "SELECT event_id, event_type, props FROM events",
         "rowslice_decode": (
             "SELECT rid, l_orderkey, l_linenumber, l_quantity FROM ("
+            "SELECT rid, l_orderkey, l_linenumber, l_quantity, "
+            "row_number() OVER (PARTITION BY "
+            "CAST('0x' || substr(md5(CAST(rid AS VARCHAR) || '#0'), 1, 15) "
+            "AS BIGINT) % 8 ORDER BY rid) AS rn FROM ("
             "SELECT l_orderkey * 10 + l_linenumber AS rid, l_orderkey, "
-            "l_linenumber, l_quantity, row_number() OVER "
-            "(ORDER BY l_orderkey * 10 + l_linenumber) AS rn FROM lineitem) "
-            "WHERE rn BETWEEN 20001 AND 30000"
+            "l_linenumber, l_quantity FROM lineitem)) "
+            "WHERE rn BETWEEN 1001 AND 2250"
         ),
         "binary_roundtrip": (
             "SELECT event_id, lower(hex(CAST(props AS BLOB))) AS bval_hex FROM events"
