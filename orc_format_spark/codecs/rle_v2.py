@@ -3,12 +3,13 @@ delta sub-encodings.
 
 Not present in the reference repo (its writer only emits RLEv1 + DIRECT
 encodings; RLEv2 exists only in its proto enum — see SURVEY.md section
-2.7). Mandated by BASELINE.json; the layout follows the public ORC v1
-specification's four sub-encodings, with a self-consistent header layout
-(we are our own reader — there is no cross-reader compatibility
-requirement, and the reference never wrote RLEv2 bytes to match).
+2.7). Mandated by BASELINE.json; the wire layout follows the public ORC
+v1 specification's four sub-encodings exactly — the spec's own worked
+byte examples for short-repeat, direct, patched-base, and delta are
+pinned as golden vectors in tests/test_rle_v2_spec.py.
 
-Header layouts (byte0 top 2 bits select the sub-encoding):
+Header layouts (byte0 top 2 bits select the sub-encoding; ORC v1 spec
+"Run Length Encoding, version 2"):
 
   short-repeat  00WWWRRR                         W=value bytes-1, R=count-3
                 value: W+1 bytes big-endian (zigzag if signed); runs 3..10
@@ -22,12 +23,20 @@ Header layouts (byte0 top 2 bits select the sub-encoding):
                 entries ((gap<<PW)|patch_high_bits) packed at G+1+PW bits;
                 gaps >255 bridged with (255, 0) filler entries
   delta         11DDDDDL LLLLLLLL                D=0: fixed delta, else
-                width code D-1 for |deltas[1:]|; base varint (zigzag if
-                signed), first delta signed zigzag varint; monotonic runs
-                only; count 2..512
+                D is the spec width code of |deltas[1:]| (so the packed
+                width is WIDTH_TABLE[D], never less than 2 — code 0 is
+                taken by the fixed-delta case, the spec's known quirk);
+                widths are rounded up to the spec's *aligned* set
+                (2,4,8,16,24,...), matching the Java writer and the
+                spec's worked example; base varint (zigzag if signed),
+                first delta signed zigzag varint; monotonic runs only;
+                count 2..512
 
 The encoder segments the input into equal-value runs (>=3) and 512-value
 literal chunks, then picks the cheapest applicable sub-encoding per chunk.
+Encoder *strategy* (which valid sub-encoding/width a writer picks — e.g.
+our exact-count 95th-percentile patched-base split) is a writer freedom
+the spec grants; the emitted bytes are always spec-decodable.
 """
 
 from __future__ import annotations
@@ -89,14 +98,28 @@ def _emit_direct(
     out.append(bitpack(zz, w))
 
 
+# Spec "aligned" widths (Java writer getClosestAlignedFixedBits); delta
+# never packs below 2 bits because delta width code 0 means fixed-delta.
+_DELTA_ALIGNED = (2, 4, 8, 16, 24, 32, 40, 48, 56, 64)
+
+
+def _delta_packed_width(bits: int) -> int:
+    for w in _DELTA_ALIGNED:
+        if bits <= w:
+            return w
+    raise ValueError(f"delta width {bits} > 64")
+
+
 def _delta_width_field(d0: int, rest_abs: np.ndarray) -> int | None:
-    """The 5-bit width field for a delta chunk, or None if the residual
-    deltas need a width code that does not fit (code+1 > 31 -> the chunk
-    must use direct/patched instead)."""
+    """The 5-bit width field for a delta chunk: 0 for fixed delta, else
+    the SPEC width code of the aligned packed width of |deltas[1:]|
+    (ORC quirk: code 0 is taken by fixed-delta, so packed widths start
+    at 2). None if the deltas exceed 64 bits (use direct/patched)."""
     if rest_abs.size and not bool((rest_abs == np.uint64(abs(d0))).all()):
-        w = round_width(int(_bit_lengths(rest_abs).max()))
-        dfield = width_code(w) + 1
-        return dfield if dfield <= 31 else None
+        bits = int(_bit_lengths(rest_abs).max())
+        if bits > 64:
+            return None
+        return width_code(_delta_packed_width(bits))
     return 0  # fixed delta: decoder replays |d0| with d0's sign
 
 
@@ -107,7 +130,7 @@ def _emit_delta(
     dfield = _delta_width_field(d0, rest_abs)
     assert dfield is not None, "caller must pre-check _delta_width_field"
     if dfield:
-        w = code_width(dfield - 1)
+        w = code_width(dfield)
     else:
         w = 0
     out.append(bytes(((3 << 6) | (dfield << 1) | ((n - 1) >> 8), (n - 1) & 0xFF)))
@@ -367,7 +390,7 @@ def decode_int_rle_v2(buf, signed: bool = True) -> np.ndarray:
             d0_raw, pos = decode_varint_one(b, pos)
             d0 = _unzigzag_one(d0_raw)
             if dfield:
-                w = code_width(dfield - 1)
+                w = code_width(dfield)
                 nbytes = ((n - 2) * w + 7) // 8
                 dabs = bitunpack(b[pos : pos + nbytes], w, n - 2)
                 pos += nbytes
