@@ -644,6 +644,48 @@ def q_encode_job_roundtrip(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_iceberg_manifest_scan(spark, sf_dir):
+    """Iceberg source driven for real (no jar): commit the lineitem
+    parquet as a data file of a freshly written Iceberg v2 table (pure-
+    Python metadata + manifest-list/manifest Avro, sources/iceberg_meta),
+    then resolve splits THROUGH the manifest and encode/decode them.
+    Result == the raw table, so the oracle is a plain projection."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from orc_format_spark import decode_blobs
+    from orc_format_spark.sources import iceberg_meta as im
+    from orc_format_spark.sources.iceberg import encode_iceberg_splits
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    work = tempfile.mkdtemp(prefix="ofs_iceberg_")
+    try:
+        src = f"{sf_dir}/lineitem.parquet"
+        # declared table schema = the projected columns (Iceberg's column
+        # projection rule: extra file columns are simply not read)
+        arrow = pq.ParquetFile(src).schema_arrow
+        im.create_table(work, pa_schema_select(arrow, cols))
+        im.append_snapshot(work, [src], commit_key="load")
+        blobs = encode_iceberg_splits(spark, work, columns=cols)
+        out = decode_blobs(
+            blobs,
+            "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, l_linenumber int",
+        )
+        out = out.cache()
+        out.count()  # materialize before the metadata dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def pa_schema_select(schema, names):
+    import pyarrow as pa
+
+    return pa.schema([schema.field(n) for n in names])
+
+
 def q_stream_window_stats(spark, sf_dir):
     """Structured Streaming watermarked window aggregation (availableNow)
     over the tokens stream with md5-derived event times; append-mode
@@ -768,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_encode_roundtrip": q_stream_encode_roundtrip,
         "stream_window_stats": q_stream_window_stats,
         "encode_job_roundtrip": q_encode_job_roundtrip,
+        "iceberg_manifest_scan": q_iceberg_manifest_scan,
         "struct_map_roundtrip": q_struct_map_roundtrip,
         "text_profile": q_text_profile,
         "exact_dedup": q_exact_dedup,
@@ -817,6 +860,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tokens_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
+        "iceberg_manifest_scan": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "rle_v2_roundtrip": "SELECT o_orderkey, o_custkey FROM orders",
         "for_bitpack_roundtrip": "SELECT c_custkey, c_nationkey FROM customer",
         "dict_roundtrip": "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem",

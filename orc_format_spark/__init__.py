@@ -23,19 +23,37 @@ from .operators.encode import (
 from .operators.job import job_metrics, read_encoded, read_metrics, run_encode_job
 from .operators.partitioning import plan_num_groups, with_group_id
 from .operators.stats import column_statistics
+from .sources.iceberg import (
+    encode_iceberg_splits,
+    list_iceberg_splits,
+    read_tokens_table,
+)
+from .sources.iceberg_meta import (
+    append_snapshot,
+    create_table,
+    list_data_files,
+    list_iceberg_splits_meta,
+)
 from .sources.parquet_scan import encode_parquet_splits, list_parquet_splits
 from .sources.tokens import TOKENS_SCHEMA, detokenize, tokenize_documents
 
 __all__ = [
     "BLOB_SCHEMA",
     "TOKENS_SCHEMA",
+    "append_snapshot",
     "column_statistics",
+    "create_table",
     "decode_blobs",
     "detokenize",
     "encode_groups",
     "encode_groups_staged",
+    "encode_iceberg_splits",
     "encode_parquet_splits",
+    "list_data_files",
+    "list_iceberg_splits",
+    "list_iceberg_splits_meta",
     "list_parquet_splits",
+    "read_tokens_table",
     "job_metrics",
     "plan_num_groups",
     "read_encoded",

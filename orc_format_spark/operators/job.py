@@ -47,6 +47,34 @@ def _read_state(spark: SparkSession, state_path: str) -> tuple[set[int], set[str
     return waves, engines
 
 
+def _commit_wave_metrics(metrics_dir: str, blobs_path: str, wave: int) -> None:
+    """Write wave ``wave``'s lineage rows (blob column dropped) to
+    ``metrics_dir/wave-<w>.parquet`` and commit it to the metrics Iceberg
+    table at ``metrics_dir`` (created on first wave)."""
+    import os
+
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    from ..sources.iceberg_meta import append_snapshot, create_table, is_iceberg_table
+
+    local = blobs_path[len("file:") :] if blobs_path.startswith("file:") else blobs_path
+    mlocal = (
+        metrics_dir[len("file:") :] if metrics_dir.startswith("file:") else metrics_dir
+    )
+    tbl = ds.dataset(f"{local}/wave={wave}", format="parquet").to_table()
+    # drop the payload AND the Spark row-metadata KV pair the wave files
+    # carry: Spark trusts org.apache.spark.sql.parquet.row.metadata over
+    # the physical columns, so leaving it would resurrect a null `blob`
+    tbl = tbl.drop_columns(["blob"]).replace_schema_metadata(None)
+    os.makedirs(mlocal, exist_ok=True)
+    path = os.path.join(mlocal, f"wave-{wave}.parquet")
+    pq.write_table(tbl, path)
+    if not is_iceberg_table(mlocal):
+        create_table(mlocal, tbl.schema, properties={"table-kind": "codec-metrics"})
+    append_snapshot(mlocal, [path], commit_key=f"wave={wave}")
+
+
 def run_encode_job(
     spark: SparkSession,
     df: DataFrame,
@@ -98,16 +126,16 @@ def run_encode_job(
             # before the state write cannot duplicate blobs on resume
             enc.write.mode("overwrite").parquet(f"{blobs_path}/wave={w}")
             # codec-lineage/metrics table (north_star: "emits ... a
-            # codec-lineage row ... to a metrics table"): derived from the
-            # just-written wave parquet, NOT from `enc` — re-materializing
-            # the uncached encode lineage would run the whole Python-side
-            # encode a second time per wave
-            (
-                spark.read.parquet(f"{blobs_path}/wave={w}")
-                .drop("blob")
-                .write.mode("overwrite")
-                .parquet(f"{out_dir}/metrics/wave={w}")
-            )
+            # codec-lineage row ... to a metrics Iceberg table"): derived
+            # from the just-written wave parquet, NOT from `enc` —
+            # re-materializing the uncached encode lineage would run the
+            # whole Python-side encode a second time per wave. Written
+            # driver-side to ONE deterministically named file per wave
+            # (metrics are O(groups) rows, no payload), then committed as
+            # an idempotent Iceberg append snapshot keyed on the wave: a
+            # crashed-and-resumed wave overwrites the same file path and
+            # the commit-key dedupe keeps the snapshot log exactly-once.
+            _commit_wave_metrics(f"{out_dir}/metrics", blobs_path, w)
             spark.createDataFrame(
                 [(w, ENCODER_VERSION)], "wave long, engine string"
             ).write.mode("append").parquet(state_path)
@@ -136,8 +164,17 @@ def read_encoded(
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The job's codec-lineage/metrics table (one row per stripe)."""
-    return spark.read.parquet(f"{out_dir}/metrics")
+    """The job's codec-lineage/metrics table (one row per stripe),
+    resolved through its Iceberg manifest (snapshot-consistent file
+    list); pre-Iceberg layouts fall back to a plain parquet dir read."""
+    from ..sources.iceberg_meta import is_iceberg_table, list_data_files
+
+    mdir = out_dir[len("file:") :] if out_dir.startswith("file:") else out_dir
+    mdir = f"{mdir}/metrics"
+    if is_iceberg_table(mdir):
+        files = sorted(p for p, _ in list_data_files(mdir))
+        return spark.read.parquet(*files)
+    return spark.read.parquet(mdir)
 
 
 def job_metrics(blobs: DataFrame) -> DataFrame:

@@ -1,27 +1,29 @@
-"""Iceberg-backed tokens source (feature-gated).
+"""Iceberg-backed tokens source.
 
 BASELINE.json's input_hint names an Iceberg table of pre-tokenized
-training sequences. This sandbox has no iceberg-spark runtime jar, so
-the catalog path is gated on the class actually being loadable; when it
-is, the swap is real, not documentation:
+training sequences. Two routes:
 
-- ``read_tokens_table(spark, name)`` — catalog read of the tokens table.
-- ``list_iceberg_splits(spark, name)`` — the split list for the
-  zero-payload-movement encode path, taken from Iceberg's ``.files``
-  metadata table (the manifest), then exploded to row-group granularity
-  with a pyarrow footer read per data file. Snapshot-pinned manifests
-  make split ids immutable => exact resume, the same determinism story
-  as ``list_parquet_splits``.
-- ``encode_iceberg_splits(...)`` — ``encode_parquet_splits`` over that
-  manifest-derived split list.
+1. **Path-addressed tables** (``name`` is a directory holding an Iceberg
+   ``metadata/`` dir): fully functional with no jar — the pure-Python
+   manifest reader (``iceberg_meta.py``) resolves the current (or
+   pinned) snapshot's data files straight from the manifest-list and
+   manifest Avro files, then explodes them to row-group splits.
+2. **Catalog-addressed tables** (``catalog.db.table``): require the
+   iceberg-spark runtime on the JVM classpath; gated on the class
+   actually being loadable, with a clear RuntimeError otherwise. The
+   split list comes from Iceberg's ``.files`` metadata table.
 
-Without the jar, callers get a clear RuntimeError naming the missing
-runtime, and the parquet-path equivalents remain the supported route.
+Both produce the same deterministic (split_id, file, row_group) list for
+the zero-payload-movement encode path: snapshot-pinned manifests make
+split ids immutable => exact resume, the same determinism story as
+``list_parquet_splits``.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .iceberg_meta import is_iceberg_table, list_iceberg_splits_meta
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -46,21 +48,43 @@ def _require(spark: SparkSession) -> None:
 
 
 def read_tokens_table(spark: SparkSession, name: str) -> DataFrame:
-    """Catalog read of the Iceberg tokens table (input_hint shape)."""
+    """Read the Iceberg tokens table (input_hint shape). Path-addressed
+    tables read the manifest's data files directly (snapshot-consistent:
+    the file list comes from the pinned manifest, not a dir listing);
+    catalog names go through the Iceberg runtime."""
+    if is_iceberg_table(name):
+        from .iceberg_meta import list_data_files
+
+        files = sorted(p for p, _ in list_data_files(name))
+        if not files:
+            raise ValueError(f"iceberg table {name} has no data files")
+        return spark.read.parquet(*files)
     _require(spark)
     return spark.read.table(name)
 
 
-def list_iceberg_splits(spark: SparkSession, name: str) -> list[tuple[int, str, int]]:
+def list_iceberg_splits(
+    spark: SparkSession, name: str, snapshot_id: int | None = None
+) -> list[tuple[int, str, int]]:
     """Deterministic (split_id, file, row_group) list from the Iceberg
-    manifest (`<table>.files` metadata table), row-group-exploded.
+    manifest, row-group-exploded.
 
-    The manifest enumerates data files of the current snapshot; pin a
-    snapshot (`VERSION AS OF`) for immutable split ids across resumes.
+    Path-addressed tables go through the pure-Python manifest reader
+    (no jar, no JVM); catalog names use the `<table>.files` metadata
+    table and require the Iceberg runtime. The manifest enumerates data
+    files of the current snapshot; pin ``snapshot_id`` (catalog route:
+    `VERSION AS OF`) for immutable split ids across resumes.
     """
     import pyarrow.parquet as pq
 
+    if is_iceberg_table(name):
+        return list_iceberg_splits_meta(name, snapshot_id)
     _require(spark)
+    if snapshot_id is not None:
+        raise NotImplementedError(
+            "snapshot pinning on the catalog route: read "
+            f"`{name}.files` with VERSION AS OF {snapshot_id}"
+        )
     files = sorted(
         r.file_path
         for r in spark.read.table(f"{name}.files").select("file_path").collect()
@@ -84,13 +108,14 @@ def encode_iceberg_splits(
     compression: str = "zstd",
     parallelism: int | None = None,
     row_index_stride: int | None = None,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     """Split-level encode of an Iceberg tokens table: the manifest
     supplies the splits; payload never crosses the JVM (same plan shape
     as ``encode_parquet_splits``)."""
     from .parquet_scan import encode_splits
 
-    splits = list_iceberg_splits(spark, name)
+    splits = list_iceberg_splits(spark, name, snapshot_id=snapshot_id)
     return encode_splits(
         spark,
         splits,

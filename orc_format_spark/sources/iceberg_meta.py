@@ -1,0 +1,445 @@
+"""Pure-Python Iceberg v2 table-metadata reader/writer (no JVM, no jar).
+
+Implements the subset of the public Apache Iceberg table spec (format
+version 2) that the encode engine needs:
+
+read side (the split source — BASELINE.json input_hint names an Iceberg
+table of pre-tokenized sequences):
+- ``read_table_metadata`` — latest ``metadata/v*.metadata.json`` via
+  ``version-hint.text``.
+- ``list_data_files`` — current (or pinned) snapshot's live data files,
+  resolved through the manifest-list Avro and each manifest Avro.
+- ``list_iceberg_splits_meta`` — those files exploded to parquet
+  row-group granularity: the deterministic (split_id, file, row_group)
+  list consumed by ``encode_splits``. Manifests are snapshot-pinned and
+  immutable, so split ids are stable across resumes — the exact-resume
+  determinism story at 100 TB, where the manifest (not a directory
+  listing) is the only practical way to enumerate 10^6 data files.
+
+write side (north_star: "a codec-lineage row ... to a metrics Iceberg
+table"):
+- ``create_table`` / ``append_snapshot`` — commit parquet data files as
+  Iceberg snapshots: one manifest Avro per commit, a new manifest-list,
+  a new ``vN.metadata.json``, version-hint bump. Appends are idempotent
+  per ``commit_key`` (a snapshot whose summary carries the same key is
+  not re-committed), which is what makes wave-resumed metric commits
+  exactly-once.
+
+Scale note: everything here is driver-side metadata I/O — O(manifests)
+Avro records, never the token payload. At 10^12 sequences the data path
+stays in ``encode_splits``'s one-stage mapInArrow plan; this module only
+hands it the split list.
+
+The reference repo has no catalog/manifest code (its writer consumes an
+in-memory Vec, src/writer.rs:84-90); layout follows the public Iceberg
+spec, field ids and names included, so a real Iceberg reader can consume
+our metadata tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow as pa
+
+from .avro_ocf import read_ocf, write_ocf
+
+FORMAT_VERSION = 2
+
+# ---------------------------------------------------------- avro schemas
+# Field names/ids follow the Iceberg spec's manifest-list ("manifest_file")
+# and manifest ("manifest_entry") schemas, v2 required subset; optional
+# per-column stats maps are omitted (null via absent fields is not allowed
+# in avro, so we simply don't declare them — readers treat missing
+# optional columns as null per the Iceberg spec's column projection rule).
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+_DATA_FILE_SCHEMA = {
+    "type": "record",
+    "name": "r2",
+    "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {
+            "name": "partition",
+            "type": {"type": "record", "name": "r102", "fields": []},
+            "field-id": 102,
+        },
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+    ],
+}
+
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
+        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
+    ],
+}
+
+_STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
+
+
+# ------------------------------------------------------- iceberg schemas
+
+
+def _iceberg_type(t: pa.DataType) -> object:
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
+        return "int"
+    if pa.types.is_int64(t):
+        return "long"
+    if pa.types.is_float32(t):
+        return "float"
+    if pa.types.is_float64(t):
+        return "double"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date32(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return {
+            "type": "list",
+            "element": _iceberg_type(t.value_type),
+            "element-required": False,
+        }
+    raise ValueError(f"iceberg_meta: unmapped arrow type {t}")
+
+
+def iceberg_schema(schema: pa.Schema) -> dict:
+    """Arrow schema -> Iceberg schema JSON with assigned field ids
+    (top-level fields first, then nested element ids)."""
+    fields = []
+    next_id = len(schema) + 1
+    for i, f in enumerate(schema):
+        t = _iceberg_type(f.type)
+        if isinstance(t, dict):  # assign the element id after top-levels
+            t = dict(t, **{"element-id": next_id})
+            next_id += 1
+        fields.append(
+            {"id": i + 1, "name": f.name, "required": False, "type": t}
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+# ----------------------------------------------------------------- write
+
+
+def _write_manifest(
+    meta_dir: str,
+    entries: list[dict],
+    snapshot_id: int,
+    seq: int,
+    schema_json: dict,
+    name: str,
+) -> dict:
+    """Write one manifest Avro; returns its manifest_file record."""
+    path = os.path.join(meta_dir, name)
+    blob = write_ocf(
+        _MANIFEST_ENTRY_SCHEMA,
+        entries,
+        metadata={
+            "schema": json.dumps(schema_json),
+            "schema-id": "0",
+            "partition-spec": "[]",
+            "partition-spec-id": "0",
+            "format-version": str(FORMAT_VERSION),
+            "content": "data",
+        },
+    )
+    with open(path, "wb") as f:
+        f.write(blob)
+    added = [e for e in entries if e["status"] == _STATUS_ADDED]
+    existing = [e for e in entries if e["status"] == _STATUS_EXISTING]
+    return {
+        "manifest_path": path,
+        "manifest_length": len(blob),
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snapshot_id,
+        "added_files_count": len(added),
+        "existing_files_count": len(existing),
+        "deleted_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"] for e in added),
+        "existing_rows_count": sum(
+            e["data_file"]["record_count"] for e in existing
+        ),
+        "deleted_rows_count": 0,
+    }
+
+
+def _data_file_record(path: str) -> dict:
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    return {
+        "content": 0,
+        "file_path": os.path.abspath(path),
+        "file_format": "PARQUET",
+        "partition": {},
+        "record_count": md.num_rows,
+        "file_size_in_bytes": os.path.getsize(path),
+    }
+
+
+def _write_metadata_json(table_dir: str, md: dict, version: int) -> str:
+    meta_dir = os.path.join(table_dir, "metadata")
+    path = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(path, "w") as f:
+        json.dump(md, f, indent=1)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return path
+
+
+def create_table(
+    table_dir: str,
+    schema: pa.Schema,
+    properties: dict[str, str] | None = None,
+    ts_ms: int | None = None,
+) -> dict:
+    """Create an empty Iceberg v2 table at ``table_dir`` (v1 metadata,
+    no snapshot). Data files are added with ``append_snapshot``."""
+    os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
+    sj = iceberg_schema(schema)
+    md = {
+        "format-version": FORMAT_VERSION,
+        "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(table_dir))),
+        "location": os.path.abspath(table_dir),
+        "last-sequence-number": 0,
+        "last-updated-ms": ts_ms if ts_ms is not None else int(time.time() * 1000),
+        "last-column-id": max(
+            [f["id"] for f in sj["fields"]]
+            + [
+                f["type"].get("element-id", 0)
+                for f in sj["fields"]
+                if isinstance(f["type"], dict)
+            ],
+            default=0,
+        ),
+        "current-schema-id": 0,
+        "schemas": [sj],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "last-partition-id": 999,
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": properties or {},
+        "current-snapshot-id": -1,
+        "snapshots": [],
+        "snapshot-log": [],
+        "metadata-log": [],
+    }
+    _write_metadata_json(table_dir, md, 1)
+    return md
+
+
+def append_snapshot(
+    table_dir: str,
+    data_files: list[str],
+    commit_key: str | None = None,
+    ts_ms: int | None = None,
+) -> int:
+    """Commit ``data_files`` (parquet paths) as a new append snapshot.
+
+    Idempotent when ``commit_key`` is given: if any existing snapshot's
+    summary already carries it, the commit is skipped and that snapshot
+    id is returned — a crashed-and-resumed wave cannot double-append its
+    metrics. Returns the snapshot id.
+    """
+    md = read_table_metadata(table_dir)
+    if commit_key is not None:
+        for s in md["snapshots"]:
+            if s.get("summary", {}).get("commit-key") == commit_key:
+                return s["snapshot-id"]
+    meta_dir = os.path.join(table_dir, "metadata")
+    seq = md["last-sequence-number"] + 1
+    snapshot_id = max([s["snapshot-id"] for s in md["snapshots"]], default=0) + 1
+    ts = ts_ms if ts_ms is not None else int(time.time() * 1000)
+    entries = [
+        {
+            "status": _STATUS_ADDED,
+            "snapshot_id": snapshot_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": _data_file_record(p),
+        }
+        for p in sorted(data_files)
+    ]
+    manifest = _write_manifest(
+        meta_dir,
+        entries,
+        snapshot_id,
+        seq,
+        md["schemas"][md["current-schema-id"]],
+        f"manifest-{snapshot_id}-{uuid.uuid5(uuid.NAMESPACE_URL, str(sorted(data_files))).hex[:8]}.avro",
+    )
+    # new manifest list = prior snapshot's manifests + the new one
+    prior = _current_snapshot(md)
+    manifests = (_read_manifest_list(prior) if prior else []) + [manifest]
+    ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-manifest-list.avro")
+    with open(ml_path, "wb") as f:
+        f.write(
+            write_ocf(
+                _MANIFEST_FILE_SCHEMA,
+                manifests,
+                metadata={"format-version": str(FORMAT_VERSION)},
+            )
+        )
+    snap = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": ml_path,
+        "summary": {
+            "operation": "append",
+            "added-data-files": str(len(data_files)),
+            "added-records": str(
+                sum(e["data_file"]["record_count"] for e in entries)
+            ),
+            **({"commit-key": commit_key} if commit_key is not None else {}),
+        },
+        "schema-id": md["current-schema-id"],
+    }
+    md["snapshots"].append(snap)
+    md["current-snapshot-id"] = snapshot_id
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = ts
+    md["snapshot-log"].append({"timestamp-ms": ts, "snapshot-id": snapshot_id})
+    version = _current_version(table_dir) + 1
+    _write_metadata_json(table_dir, md, version)
+    return snapshot_id
+
+
+# ------------------------------------------------------------------ read
+
+
+def _current_version(table_dir: str) -> int:
+    hint = os.path.join(table_dir, "metadata", "version-hint.text")
+    try:
+        with open(hint) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        versions = [
+            int(n[1:].split(".")[0])
+            for n in os.listdir(os.path.join(table_dir, "metadata"))
+            if n.startswith("v") and n.endswith(".metadata.json")
+        ]
+        if not versions:
+            raise FileNotFoundError(
+                f"iceberg_meta: no metadata json under {table_dir}/metadata"
+            ) from None
+        return max(versions)
+
+
+def is_iceberg_table(path: str) -> bool:
+    """True when ``path`` holds an Iceberg metadata directory."""
+    try:
+        return os.path.isdir(os.path.join(path, "metadata")) and any(
+            n.endswith(".metadata.json")
+            for n in os.listdir(os.path.join(path, "metadata"))
+        )
+    except OSError:
+        return False
+
+
+def read_table_metadata(table_dir: str) -> dict:
+    version = _current_version(table_dir)
+    path = os.path.join(table_dir, "metadata", f"v{version}.metadata.json")
+    with open(path) as f:
+        md = json.load(f)
+    if md.get("format-version") not in (1, 2):
+        raise ValueError(
+            f"iceberg_meta: unsupported format-version {md.get('format-version')}"
+        )
+    return md
+
+
+def _current_snapshot(md: dict, snapshot_id: int | None = None) -> dict | None:
+    sid = snapshot_id if snapshot_id is not None else md.get("current-snapshot-id")
+    if sid is None or sid == -1:
+        return None
+    for s in md["snapshots"]:
+        if s["snapshot-id"] == sid:
+            return s
+    raise ValueError(f"iceberg_meta: snapshot {sid} not found")
+
+
+def _read_manifest_list(snapshot: dict) -> list[dict]:
+    with open(snapshot["manifest-list"], "rb") as f:
+        records, _, _ = read_ocf(f.read())
+    return records
+
+
+def list_data_files(
+    table_dir: str, snapshot_id: int | None = None
+) -> list[tuple[str, int]]:
+    """Live (file_path, record_count) pairs of the current — or pinned —
+    snapshot, via manifest-list -> manifests. Deleted entries dropped."""
+    md = read_table_metadata(table_dir)
+    snap = _current_snapshot(md, snapshot_id)
+    if snap is None:
+        return []
+    out: list[tuple[str, int]] = []
+    for mf in _read_manifest_list(snap):
+        with open(mf["manifest_path"], "rb") as f:
+            entries, _, _ = read_ocf(f.read())
+        for e in entries:
+            if e["status"] != _STATUS_DELETED:
+                df = e["data_file"]
+                out.append((df["file_path"], df["record_count"]))
+    return out
+
+
+def list_iceberg_splits_meta(
+    table_dir: str, snapshot_id: int | None = None
+) -> list[tuple[int, str, int]]:
+    """Deterministic (split_id, file, row_group) list from the manifest —
+    the Iceberg twin of ``list_parquet_splits`` (same sort, same
+    explosion), no JVM involved."""
+    import pyarrow.parquet as pq
+
+    files = sorted(p for p, _ in list_data_files(table_dir, snapshot_id))
+    out: list[tuple[int, str, int]] = []
+    sid = 0
+    for f in files:
+        local = f[len("file:") :] if f.startswith("file:") else f
+        for rg in range(pq.ParquetFile(local).metadata.num_row_groups):
+            out.append((sid, local, rg))
+            sid += 1
+    return out
