@@ -644,6 +644,39 @@ def q_encode_job_roundtrip(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_sink_encode_roundtrip(spark, sf_dir):
+    """Zero-JVM-crossing encode in BOTH directions: workers persist each
+    split's blob to a sink dir (encode_splits(blob_sink=...)) and emit
+    only lineage; decode_blob_files re-opens the sink files in the
+    workers. tokenize -> sink-encode -> file-decode -> detokenize ==
+    the original documents."""
+    import shutil
+    import tempfile
+
+    from orc_format_spark import (
+        TOKENS_SCHEMA,
+        decode_blob_files,
+        detokenize,
+        encode_parquet_splits,
+        tokenize_documents,
+    )
+
+    work = tempfile.mkdtemp(prefix="ofs_sink_")
+    try:
+        src = f"{work}/toks"
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        tokenize_documents(docs).repartition(4).write.parquet(src)
+        blobs = encode_parquet_splits(spark, src, blob_sink=f"{work}/blobs")
+        out = detokenize(decode_blob_files(blobs, TOKENS_SCHEMA)).select(
+            "doc_id", "text"
+        )
+        out = out.cache()
+        out.count()  # materialize before the scratch dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_manifest_scan(spark, sf_dir):
     """Iceberg source driven for real (no jar): commit the lineitem
     parquet as a data file of a freshly written Iceberg v2 table (pure-
@@ -811,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_stats": q_stream_window_stats,
         "encode_job_roundtrip": q_encode_job_roundtrip,
         "iceberg_manifest_scan": q_iceberg_manifest_scan,
+        "sink_encode_roundtrip": q_sink_encode_roundtrip,
         "struct_map_roundtrip": q_struct_map_roundtrip,
         "text_profile": q_text_profile,
         "exact_dedup": q_exact_dedup,
@@ -861,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "iceberg_manifest_scan": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
+        "sink_encode_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "rle_v2_roundtrip": "SELECT o_orderkey, o_custkey FROM orders",
         "for_bitpack_roundtrip": "SELECT c_custkey, c_nationkey FROM customer",
         "dict_roundtrip": "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem",

@@ -14,7 +14,9 @@ Layers:
 """
 
 from .operators.encode import (
+    BLOB_FILE_SCHEMA,
     BLOB_SCHEMA,
+    decode_blob_files,
     decode_blobs,
     encode_groups,
     encode_groups_staged,
@@ -38,7 +40,9 @@ from .sources.parquet_scan import encode_parquet_splits, list_parquet_splits
 from .sources.tokens import TOKENS_SCHEMA, detokenize, tokenize_documents
 
 __all__ = [
+    "BLOB_FILE_SCHEMA",
     "BLOB_SCHEMA",
+    "decode_blob_files",
     "TOKENS_SCHEMA",
     "append_snapshot",
     "column_statistics",

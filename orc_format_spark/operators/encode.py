@@ -39,6 +39,10 @@ BLOB_SCHEMA = (
     "blob binary"
 )
 
+# blob persisted by the worker itself (encode_splits(blob_sink=...)):
+# the row carries the sink path, the payload never crosses the JVM
+BLOB_FILE_SCHEMA = BLOB_SCHEMA.replace("blob binary", "blob_path string")
+
 
 def encode_groups(
     df: DataFrame,
@@ -217,6 +221,29 @@ def decode_blobs(
                 yield from tbl.to_batches()
 
     return blobs.select("blob").mapInArrow(fn, schema)
+
+
+def decode_blob_files(
+    blobs: DataFrame,
+    schema: str,
+    columns: list[str] | None = None,
+    rows: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Decode sink-written blob rows (``blob_path`` column, from
+    ``encode_splits(blob_sink=...)``) back into the original table shape.
+    The worker opens each blob file itself — like the encode side, the
+    payload never crosses the JVM; only paths do."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        limit_worker_threads()
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index("blob_path"))
+            for v in col:
+                with open(v.as_py(), "rb") as f:
+                    tbl = decode_table(f.read(), columns=columns, rows=rows)
+                yield from tbl.to_batches()
+
+    return blobs.select("blob_path").mapInArrow(fn, schema)
 
 
 def verify_blobs(blobs: DataFrame) -> DataFrame:

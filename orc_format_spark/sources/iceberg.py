@@ -109,6 +109,7 @@ def encode_iceberg_splits(
     parallelism: int | None = None,
     row_index_stride: int | None = None,
     snapshot_id: int | None = None,
+    blob_sink: str | None = None,
 ) -> DataFrame:
     """Split-level encode of an Iceberg tokens table: the manifest
     supplies the splits; payload never crosses the JVM (same plan shape
@@ -124,4 +125,5 @@ def encode_iceberg_splits(
         compression=compression,
         parallelism=parallelism,
         row_index_stride=row_index_stride,
+        blob_sink=blob_sink,
     )

@@ -60,11 +60,13 @@ def encode_parquet_splits(
     compression: str = "zstd",
     parallelism: int | None = None,
     row_index_stride: int | None = None,
+    blob_sink: str | None = None,
 ) -> DataFrame:
     """Encode every row-group split of ``path`` into one blob row each.
 
     Returns the same blob/lineage schema as ``encode_groups`` with
-    ``group_id`` = deterministic split id.
+    ``group_id`` = deterministic split id (``blob_path`` instead of
+    ``blob`` when ``blob_sink`` is given — see ``encode_splits``).
     """
     return encode_splits(
         spark,
@@ -74,6 +76,7 @@ def encode_parquet_splits(
         compression=compression,
         parallelism=parallelism,
         row_index_stride=row_index_stride,
+        blob_sink=blob_sink,
     )
 
 
@@ -85,13 +88,27 @@ def encode_splits(
     compression: str = "zstd",
     parallelism: int | None = None,
     row_index_stride: int | None = None,
+    blob_sink: str | None = None,
 ) -> DataFrame:
     """Encode an explicit (split_id, file, row_group) list — the shared
-    engine behind the parquet-dir and Iceberg-manifest sources."""
+    engine behind the parquet-dir and Iceberg-manifest sources.
+
+    ``blob_sink``: directory the *workers* write each split's container
+    blob into (``split-<id>.ofs``, atomic tmp+rename so task retries are
+    idempotent); the returned DataFrame then carries a ``blob_path``
+    column instead of ``blob``. This completes the zero-payload-movement
+    plan on the output side: without a sink, every encoded byte crosses
+    the Python->JVM Arrow socket just to be written back out by the JVM
+    — measured at local[32]/1.5B tokens that ferry is ~60% of wall time
+    and is serialized enough to cap 8->32 core scaling at ~0.5. With a
+    sink, the payload goes parquet -> numpy -> sink entirely inside the
+    task and only O(100-byte) lineage rows reach the JVM — on a cluster,
+    point ``blob_sink`` at executor-mounted shared storage (the
+    object-store variant swaps os.replace for a conditional put)."""
     import json
 
     from ..codecs.container import DEFAULT_ROW_INDEX_STRIDE, encode_table, table_checksum
-    from ..operators.encode import BLOB_SCHEMA
+    from ..operators.encode import BLOB_FILE_SCHEMA, BLOB_SCHEMA
 
     if row_index_stride is None:
         row_index_stride = DEFAULT_ROW_INDEX_STRIDE
@@ -111,7 +128,14 @@ def encode_splits(
     bsplits = spark.sparkContext.broadcast(splits)
     sdf = spark.range(0, len(splits), 1, min(parallelism, len(splits)) or 1)
 
+    if blob_sink is not None:
+        import os
+
+        os.makedirs(blob_sink, exist_ok=True)
+
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import os
+
         import pyarrow.parquet as pq
 
         from ..worker_env import limit_worker_threads
@@ -128,6 +152,17 @@ def encode_splits(
                 )
                 leaf = [l for l in lineage if l["codec"] != "list"]
                 codecs = {l["column"]: l["codec"] for l in lineage}
+                if blob_sink is not None:
+                    # deterministic name + atomic rename: a retried task
+                    # overwrites with identical bytes, never duplicates
+                    dest = os.path.join(blob_sink, f"split-{sid:08d}.ofs")
+                    tmp = f"{dest}.tmp.{os.getpid()}"
+                    with open(tmp, "wb") as out:
+                        out.write(blob)
+                    os.replace(tmp, dest)
+                    payload = pa.array([dest], pa.string())
+                else:
+                    payload = pa.array([blob], pa.binary())
                 yield pa.record_batch(
                     [
                         pa.array([sid], pa.int64()),
@@ -138,7 +173,7 @@ def encode_splits(
                         pa.array([table_checksum(data)], pa.string()),
                         pa.array([json.dumps(codecs, sort_keys=True)], pa.string()),
                         pa.array([json.dumps(lineage, sort_keys=True)], pa.string()),
-                        pa.array([blob], pa.binary()),
+                        payload,
                     ],
                     names=[
                         "group_id",
@@ -149,8 +184,8 @@ def encode_splits(
                         "checksum",
                         "codecs",
                         "lineage",
-                        "blob",
+                        "blob_path" if blob_sink is not None else "blob",
                     ],
                 )
 
-    return sdf.mapInArrow(fn, BLOB_SCHEMA)
+    return sdf.mapInArrow(fn, BLOB_FILE_SCHEMA if blob_sink is not None else BLOB_SCHEMA)

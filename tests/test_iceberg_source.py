@@ -36,3 +36,34 @@ def test_encode_splits_explicit_list(spark, tmp_path):
     assert blobs.count() == len(splits)
     out = decode_blobs(blobs, TOKENS_SCHEMA)
     assert out.count() == docs.count()
+
+
+def test_blob_sink_roundtrip(spark, tmp_path):
+    """encode_splits(blob_sink=...): workers persist blobs themselves
+    (atomic deterministic names), only lineage reaches the JVM, and
+    decode_blob_files reproduces the table from the sink files."""
+    import os
+
+    from orc_format_spark import TOKENS_SCHEMA, decode_blob_files, tokenize_documents
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "toks")
+    tokenize_documents(docs).repartition(4).write.parquet(src)
+    splits = list_parquet_splits(src)
+    sink = str(tmp_path / "sink")
+    blobs = encode_splits(spark, splits, blob_sink=sink)
+    rows = blobs.collect()
+    assert "blob_path" in blobs.columns and "blob" not in blobs.columns
+    assert sorted(os.path.basename(r.blob_path) for r in rows) == sorted(
+        f"split-{sid:08d}.ofs" for sid, _, _ in splits
+    )
+    assert not glob.glob(os.path.join(sink, "*.tmp.*"))  # atomic renames
+    for r in rows:  # lineage byte counts match the persisted files
+        assert os.path.getsize(r.blob_path) == r.output_bytes
+    out = decode_blob_files(blobs, TOKENS_SCHEMA)
+    assert out.count() == docs.count()
+    # sink-written bytes identical to the ferry route's blobs
+    ferry = {r.group_id: r.blob for r in encode_splits(spark, splits).collect()}
+    for r in rows:
+        with open(r.blob_path, "rb") as f:
+            assert f.read() == ferry[r.group_id]
