@@ -502,7 +502,7 @@ def main_scaling():
             "# BENCH_SCALING — raw sweep output (see BENCH.md for analysis)\n\n"
             "## Two-parallelism-level scaling (sandbox proxy for N vs 4N executors)\n\n"
             "Same deterministic input (sf0.1 documents x"
-            f"{REPL} -> {results[32]['n_tokens']:,} tokens), same code, fresh JVM per\n"
+            f"{scaling_repl} -> {results[32]['n_tokens']:,} tokens), same code, fresh JVM per\n"
             "level, flagship auto-codec split-encode job, workers warmed before\n"
             f"timing, best of {reps} independent sweeps per level (this sandbox VM's\n"
             "lazy page backing makes single runs vary up to 2x).\n\n"

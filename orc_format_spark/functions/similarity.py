@@ -225,14 +225,33 @@ QUALIFY rank <= {k}
 """
 
 
+def auto_sign_dims(
+    corpus_size: int,
+    vec_dim: int,
+    n_tables: int = 4,
+    target_bucket: int = 4096,
+) -> int:
+    """Bucket-width autoscale: smallest ``sign_dims`` whose expected
+    bucket (corpus / 2^sign_dims) stays <= ``target_bucket``, clamped to
+    [4, 24] and to the contiguous-slice budget vec_dim // n_tables.
+    10^9 vectors / 4k target -> 18 bits; 10^12 -> 24 (the clamp: beyond
+    that, add tables or shard the corpus rather than widening a single
+    hash)."""
+    import math
+
+    need = max(4, math.ceil(math.log2(max(1, corpus_size) / target_bucket)))
+    return max(4, min(need, 24, vec_dim // max(1, n_tables)))
+
+
 def lsh_bucketed_topk(
     emb: DataFrame,
     k: int = 5,
     n_queries: int = 10,
-    sign_dims: int = 8,
+    sign_dims: int | None = 8,
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-bit LSH.
 
@@ -241,12 +260,23 @@ def lsh_bucketed_topk(
     sign_dims * n_tables <= vector dim). A candidate only needs to
     collide in ONE table — multi-probe recall without widening any
     single bucket. Scale shape: each table has 2^sign_dims buckets, so
-    the expected bucket holds corpus/2^sign_dims vectors; size sign_dims
-    so that is executor-bounded (e.g. 16-24 bits at 10^9+ vectors), and
-    add tables for recall rather than shrinking bits. Approximate in
-    *recall* but fully deterministic in construction, so
-    :func:`lsh_bucketed_topk_sql` reproduces it exactly."""
+    the expected bucket holds corpus/2^sign_dims vectors; pass
+    ``sign_dims=None`` with a ``corpus_size`` hint to have
+    :func:`auto_sign_dims` size it (executor-bounded buckets, e.g. 18+
+    bits at 10^9 vectors) instead of hand-picking. Approximate in
+    *recall* but fully deterministic in construction — for any given
+    (sign_dims, n_tables) — so :func:`lsh_bucketed_topk_sql` reproduces
+    it exactly."""
     corpus = _with_quant(emb, id_col, vec_col).filter(F.col("norm2") > 0)
+    if sign_dims is None:
+        if corpus_size is None:
+            # one metadata-cheap count: the hint exists so callers at
+            # known scale (manifest row counts) can skip this job
+            corpus_size = emb.count()
+        vec_dim = len(
+            emb.select(vec_col).limit(1).first()[0]
+        )
+        sign_dims = auto_sign_dims(corpus_size, vec_dim, n_tables)
 
     def bucket_expr(t: int) -> Column:
         return F.aggregate(

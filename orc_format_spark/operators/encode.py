@@ -52,12 +52,22 @@ def encode_groups(
     key_col: str | None = None,
     size_col: str | None = None,
     row_index_stride: int | None = DEFAULT_ROW_INDEX_STRIDE,
+    blob_sink: str | None = None,
 ) -> DataFrame:
     """Encode a DataFrame into per-group blobs + lineage.
 
     ``row_index_stride`` chunks each blob every N rows (the reference's
     row-group index, writer.rs:32) so decode_blobs/decode_table can
     point-read a row slice without decompressing whole columns.
+
+    ``blob_sink``: the group's task writes its blob to
+    ``<sink>/group-<id>.ofs`` itself (atomic, deterministic name) and
+    the returned row carries ``blob_path`` instead of ``blob`` — the
+    encoded payload then never crosses the Python->JVM Arrow socket
+    (measured to dominate wall time at high core counts). The input
+    payload still pays the groupBy shuffle, which is the price of
+    re-clustering by key; when clustering is not required use
+    ``encode_parquet_splits`` (zero movement on both sides).
     """
     if "group_id" not in df.columns:
         if num_groups is None:
@@ -65,6 +75,10 @@ def encode_groups(
         key = key_col or df.columns[0]
         df = with_group_id(df, num_groups, key_col=key, size_col=size_col)
     sort_key = key_col or [c for c in df.columns if c != "group_id"][0]
+    if blob_sink is not None:
+        import os
+
+        os.makedirs(blob_sink, exist_ok=True)
 
     def fn(tbl: pa.Table) -> pa.Table:
         limit_worker_threads()
@@ -77,6 +91,19 @@ def encode_groups(
         n_values = sum(l["n_present"] for l in leaf)
         input_bytes = sum(l["input_bytes"] for l in lineage)
         codecs = {l["column"]: l["codec"] for l in lineage}
+        if blob_sink is not None:
+            import os
+
+            dest = os.path.join(blob_sink, f"group-{gid:08d}.ofs")
+            tmp = f"{dest}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as out:
+                out.write(blob)
+            os.replace(tmp, dest)
+            payload = pa.array([dest], pa.string())
+            pname = "blob_path"
+        else:
+            payload = pa.array([blob], pa.binary())
+            pname = "blob"
         return pa.table(
             {
                 "group_id": pa.array([gid], pa.int64()),
@@ -87,11 +114,13 @@ def encode_groups(
                 "checksum": pa.array([table_checksum(data)], pa.string()),
                 "codecs": pa.array([json.dumps(codecs, sort_keys=True)], pa.string()),
                 "lineage": pa.array([json.dumps(lineage, sort_keys=True)], pa.string()),
-                "blob": pa.array([blob], pa.binary()),
+                pname: payload,
             }
         )
 
-    return df.groupBy("group_id").applyInArrow(fn, BLOB_SCHEMA)
+    return df.groupBy("group_id").applyInArrow(
+        fn, BLOB_FILE_SCHEMA if blob_sink is not None else BLOB_SCHEMA
+    )
 
 
 def encode_groups_staged(
@@ -197,6 +226,17 @@ def encode_groups_staged(
     return gdf.mapInArrow(fn, BLOB_SCHEMA)
 
 
+def _normalize_schema(schema: str) -> str:
+    """Map char(n)/varchar(n) DDL to string: the reference writes both
+    with the String column writer (data.rs:63 — only the footer type
+    kind differs, schema.rs:17-18), and Spark's runtime value
+    representation of both IS string (padding applied at write time),
+    which is also why mapInArrow cannot declare CharType output."""
+    import re
+
+    return re.sub(r"(?i)\b(?:var)?char\s*\(\s*\d+\s*\)", "string", schema)
+
+
 def decode_blobs(
     blobs: DataFrame,
     schema: str,
@@ -210,7 +250,10 @@ def decode_blobs(
     analog — at 100 TB a 2-column projection reads 2 columns' bytes).
     ``rows=(a, b)`` decodes only that per-blob row slice; on chunked
     blobs only covering row-group chunks are decompressed (F3).
+    ``schema`` may use char(n)/varchar(n); both decode as their string
+    runtime representation (see ``_normalize_schema``).
     """
+    schema = _normalize_schema(schema)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         limit_worker_threads()
@@ -233,6 +276,7 @@ def decode_blob_files(
     ``encode_splits(blob_sink=...)``) back into the original table shape.
     The worker opens each blob file itself — like the encode side, the
     payload never crosses the JVM; only paths do."""
+    schema = _normalize_schema(schema)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         limit_worker_threads()

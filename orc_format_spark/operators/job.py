@@ -47,6 +47,10 @@ def _read_state(spark: SparkSession, state_path: str) -> tuple[set[int], set[str
     return waves, engines
 
 
+def _strip_file(path: str) -> str:
+    return path[len("file:") :] if path.startswith("file:") else path
+
+
 def _commit_wave_metrics(metrics_dir: str, blobs_path: str, wave: int) -> None:
     """Write wave ``wave``'s lineage rows (blob column dropped) to
     ``metrics_dir/wave-<w>.parquet`` and commit it to the metrics Iceberg
@@ -63,10 +67,13 @@ def _commit_wave_metrics(metrics_dir: str, blobs_path: str, wave: int) -> None:
         metrics_dir[len("file:") :] if metrics_dir.startswith("file:") else metrics_dir
     )
     tbl = ds.dataset(f"{local}/wave={wave}", format="parquet").to_table()
-    # drop the payload AND the Spark row-metadata KV pair the wave files
+    # drop the payload (absent in sink-mode waves, which carry only
+    # blob_path) AND the Spark row-metadata KV pair the wave files
     # carry: Spark trusts org.apache.spark.sql.parquet.row.metadata over
     # the physical columns, so leaving it would resurrect a null `blob`
-    tbl = tbl.drop_columns(["blob"]).replace_schema_metadata(None)
+    if "blob" in tbl.column_names:
+        tbl = tbl.drop_columns(["blob"])
+    tbl = tbl.replace_schema_metadata(None)
     os.makedirs(mlocal, exist_ok=True)
     path = os.path.join(mlocal, f"wave-{wave}.parquet")
     pq.write_table(tbl, path)
@@ -86,10 +93,20 @@ def run_encode_job(
     key_col: str = "doc_id",
     size_col: str | None = "n_tok",
     tokens_per_group: int | None = None,
+    blob_sink: bool = False,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir/blobs`` with wave-level checkpointing.
 
     Returns the blobs DataFrame read back from disk.
+
+    ``blob_sink=True`` switches the wave layout to the zero-ferry shape:
+    each group's task writes its own ``out_dir/blobs/group-<id>.ofs``
+    (deterministic name + deterministic bytes, so a re-run wave
+    overwrites identically — the same exact-resume argument as the
+    parquet layout) and the wave parquet under ``blobs/wave=<w>`` holds
+    only lineage + ``blob_path``. Use it when groups are large enough
+    that ferrying encoded payload into the JVM parquet writer dominates
+    (it does from ~1M tokens/group up).
     """
     if num_groups is None:
         if size_col and size_col in df.columns:
@@ -120,7 +137,13 @@ def run_encode_job(
             if w in done:
                 continue
             wave_df = grouped.filter(F.col("group_id") % waves == w)
-            enc = encode_groups(wave_df, codec=codec, compression=compression, key_col=key_col)
+            enc = encode_groups(
+                wave_df,
+                codec=codec,
+                compression=compression,
+                key_col=key_col,
+                blob_sink=_strip_file(f"{out_dir}/blobstore") if blob_sink else None,
+            )
             # idempotent wave commit: each wave owns its own directory and
             # is OVERWRITTEN on re-run, so a crash after the blob write but
             # before the state write cannot duplicate blobs on resume
@@ -155,12 +178,15 @@ def read_encoded(
     the reader half of the writer/finish API (the reference never shipped
     one: src/reader.rs is a commented-out stub). ``columns`` prunes at
     the blob level; ``rows`` point-reads a per-blob row slice via the
-    row-group sub-index."""
-    from .encode import decode_blobs
+    row-group sub-index. Handles both wave layouts: inline ``blob``
+    parquet and sink-mode ``blob_path`` rows (workers re-open the
+    blobstore files themselves)."""
+    from .encode import decode_blob_files, decode_blobs
 
-    return decode_blobs(
-        spark.read.parquet(f"{out_dir}/blobs"), schema, columns=columns, rows=rows
-    )
+    blobs = spark.read.parquet(f"{out_dir}/blobs")
+    if "blob_path" in blobs.columns:
+        return decode_blob_files(blobs, schema, columns=columns, rows=rows)
+    return decode_blobs(blobs, schema, columns=columns, rows=rows)
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -89,3 +89,19 @@ def test_ann_multi_table_bucket_bound(spark):
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
     assert all(len(v) <= 3 for v in per_q.values())
+
+
+def test_auto_sign_dims_scaling():
+    """Bucket-width autoscale: expected bucket stays <= target across
+    corpus scales; clamped by vector-dim slice budget and the 24-bit cap."""
+    from orc_format_spark.functions.similarity import auto_sign_dims
+
+    # 1M vectors / 4k target -> 8 bits; 1B -> 18; 1T -> capped at 24
+    assert auto_sign_dims(1_000_000, 256, n_tables=4) == 8
+    assert auto_sign_dims(10**9, 256, n_tables=4) == 18
+    assert auto_sign_dims(10**12, 256, n_tables=4) == 24
+    # slice budget: 4 tables over a 32-dim vector -> at most 8 bits each
+    assert auto_sign_dims(10**9, 32, n_tables=4) == 8
+    # floors: tiny corpora and tiny vectors never go below 4 bits
+    assert auto_sign_dims(10, 256, n_tables=4) == 4
+    assert auto_sign_dims(10**9, 8, n_tables=4) == 4

@@ -219,3 +219,68 @@ def test_dedup_keep_first_no_payload_window_sort(spark, docs):
     assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, "payload must not pass through a window sort"
+
+
+def test_char_varchar_roundtrip(spark):
+    """Reference-type parity for Schema::Char(n)/VarChar(n)
+    (schema.rs:17-18): the reference's data writer treats both exactly
+    as String (data.rs:63 — same DATA+LENGTH streams; only the footer
+    type kind differs), and Spark likewise surfaces char/varchar columns
+    to Arrow as (padded) strings. The container therefore roundtrips
+    them as string payloads, and decode accepts char(n)/varchar(n) DDL."""
+    from orc_format_spark import decode_blobs, encode_groups
+
+    df = spark.sql(
+        "SELECT id, CAST(concat('c', id) AS CHAR(8)) AS c8, "
+        "CAST(concat('v', id) AS VARCHAR(12)) AS v12 "
+        "FROM range(200)"
+    )
+    blobs = encode_groups(df, num_groups=2, key_col="id")
+    out = decode_blobs(blobs, "id bigint, c8 char(8), v12 varchar(12)")
+    got = {r.id: (r.c8, r.v12) for r in out.collect()}
+    want = {r.id: (r.c8, r.v12) for r in df.collect()}
+    assert got == want
+    # whatever value representation Spark produced for the char cast
+    # (padded or not, version-dependent) survives the container exactly
+    assert got[7] == want[7]
+
+
+def test_run_encode_job_blob_sink(spark, docs, tmp_path):
+    """Sink-mode job: waves carry blob_path lineage, the blobstore holds
+    deterministic group files, read_encoded decodes through them, resume
+    re-runs nothing, and the result matches the inline-blob layout."""
+    import os
+
+    from orc_format_spark import (
+        TOKENS_SCHEMA,
+        read_encoded,
+        read_metrics,
+        run_encode_job,
+        tokenize_documents,
+    )
+
+    toks = tokenize_documents(docs)
+    out = str(tmp_path / "job_sink")
+    blobs = run_encode_job(
+        spark, toks, out, num_groups=6, waves=3, blob_sink=True
+    )
+    assert "blob_path" in blobs.columns and "blob" not in blobs.columns
+    store = sorted(os.listdir(f"{out}/blobstore"))
+    assert store == [f"group-{g:08d}.ofs" for g in range(6)]
+    decoded = read_encoded(spark, out, TOKENS_SCHEMA)
+    orig = detokenize(decoded).select("doc_id", "text").collect()
+    assert sorted(str(r.doc_id) for r in orig) == sorted(
+        str(r.doc_id) for r in docs.collect()
+    )
+    assert read_metrics(spark, out).count() == 6
+    # resume: nothing re-runs, blobstore untouched (same mtimes)
+    mt = {f: os.path.getmtime(f"{out}/blobstore/{f}") for f in store}
+    run_encode_job(spark, toks, out, num_groups=6, waves=3, blob_sink=True)
+    assert {f: os.path.getmtime(f"{out}/blobstore/{f}") for f in store} == mt
+    # byte parity with the inline layout
+    out2 = str(tmp_path / "job_inline")
+    inline = run_encode_job(spark, toks, out2, num_groups=6, waves=3)
+    by_gid = {r.group_id: r.blob for r in inline.collect()}
+    for r in blobs.collect():
+        with open(r.blob_path, "rb") as f:
+            assert f.read() == by_gid[r.group_id]
