@@ -213,6 +213,29 @@ def q_projection_decode(spark, sf_dir):
     )
 
 
+def q_predicate_decode(spark, sf_dir):
+    """Reader-side predicate pushdown over our own blobs: rows are
+    clustered by the predicate column (key_col=l_orderkey sorts each
+    blob), so the per-chunk min/max stats written every
+    row_index_stride=1000 rows let decode skip whole chunks — the stats
+    half of the reference's row index (data/common.rs:24-48) driven by a
+    reader the reference never shipped. Result = exactly the matching
+    rows, oracle = plain SQL WHERE."""
+    from orc_format_spark import decode_blobs, encode_groups
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    blobs = encode_groups(
+        li, num_groups=4, key_col="l_orderkey", row_index_stride=1000
+    )
+    return decode_blobs(
+        blobs,
+        "l_orderkey bigint, l_linenumber int, l_quantity double",
+        predicate=("l_orderkey", ">=", 55000),
+    )
+
+
 def q_stats_longs(spark, sf_dir):
     from orc_format_spark import column_statistics
 
@@ -831,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snappy_roundtrip": q_snappy_roundtrip,
         "uncompressed_roundtrip": q_uncompressed_roundtrip,
         "projection_decode": q_projection_decode,
+        "predicate_decode": q_predicate_decode,
         "stats_longs": q_stats_longs,
         "stats_strings": q_stats_strings,
         "stats_doubles": q_stats_doubles,
@@ -963,6 +987,10 @@ def oracle_sql() -> dict[str, str]:
         "projection_decode": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
             "CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_tok FROM documents"
+        ),
+        "predicate_decode": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_orderkey >= 55000"
         ),
         "stats_longs": stats_longs,
         "stats_strings": stats_strings,

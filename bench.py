@@ -55,6 +55,7 @@ HEADLINE = [
     "union_roundtrip",
     "rowslice_decode",
     "projection_decode",
+    "predicate_decode",
     "iceberg_manifest_scan",
     "sink_encode_roundtrip",
     "minhash_lsh",
@@ -213,6 +214,44 @@ def run_encode(spark, sf_dir: str, split_only: bool | None = None):
     if split_only:
         shutil.rmtree(sink, ignore_errors=True)
         return dt, out
+
+    # decode throughput: sink blobs -> full token table delivered to a
+    # Spark consumer (includes the decoded-payload Python->JVM ferry,
+    # which is intrinsic when the consumer is a Spark plan)
+    from pyspark.sql import functions as F
+
+    from orc_format_spark import TOKENS_SCHEMA, decode_blob_files
+
+    import glob as _glob
+
+    sink_pass()  # repopulate the sink for the decode passes
+    blobs_df = spark.createDataFrame(
+        [(p,) for p in sorted(_glob.glob(os.path.join(sink, "*.ofs")))],
+        "blob_path string",
+    ).repartition(2 * spark.sparkContext.defaultParallelism)
+
+    def decode_pass():
+        return (
+            decode_blob_files(blobs_df, TOKENS_SCHEMA)
+            .agg(F.sum("n_tok"))
+            .first()[0]
+        )
+
+    # correctness anchor: decoded token totals must equal the input's
+    # (n_tok sums token ELEMENTS; the flagship n_tokens metric counts
+    # all leaf values incl. the scalar columns, a ~1% superset)
+    n_tok_in = int(
+        spark.read.parquet(path).agg(F.sum("n_tok")).first()[0]
+    )
+    decode_pass()
+    dt_d = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        n_dec = decode_pass()
+        dt_d = min(dt_d, time.monotonic() - t0)
+    assert int(n_dec) == n_tok_in, (n_dec, n_tok_in)
+    out["decode_sec"] = round(dt_d, 3)
+    out["decode_tokens_per_sec"] = round(n_tok / dt_d)
 
     # round-2 continuity metric: the ferry variant (blob binary crosses
     # the Python->JVM Arrow socket and is aggregated JVM-side)

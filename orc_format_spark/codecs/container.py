@@ -56,15 +56,23 @@ _READ_VERSIONS = (1, 3)
 # decode stays lossless (codec-selection thresholds, RLEv2 percentile
 # math, FSST training) — wave-resumed jobs must finish on the version
 # they started with for blob byte-identity (operators/job.py).
-ENCODER_VERSION = "3.0"
+ENCODER_VERSION = "3.1"
 _LEGACY_ENGINE = "<pre-3.0>"
 # v2: chunked container — the row-group sub-index (reference parity F3:
 # per-column positions every row_index_stride=10,000 rows,
 # src/writer/data/common.rs:24-48, writer.rs:32). A v2 blob is a chunk
 # directory + independently decodable v1 bodies of `stride` rows each,
 # so a row slice decompresses only its covering chunks.
+# chunk-container version 3 (engine 3.1) appends per-chunk min/max
+# stats (the reference's row-group index STATS half, common.rs:24-48):
+# a JSON [{col: [min, max] | null, ...} per chunk] section that lets
+# decode_table(predicate=...) skip chunks no row of which can match.
+# Version-2 chunk blobs (engine 3.0) stay readable — they simply carry
+# no stats, so nothing prunes.
 MAGIC2 = b"OFS2"
 VERSION2 = 2
+VERSION2_STATS = 3
+_READ_VERSIONS2 = (2, 3)
 DEFAULT_ROW_INDEX_STRIDE = 10_000
 
 PRESENT, DATA, LENGTH, SECONDARY = 0, 1, 2, 3
@@ -462,6 +470,9 @@ def blob_engine_version(blob: bytes) -> str:
         for _ in range(n_chunks):
             _nr, pos = decode_varint_one(blob, pos)
             _blen, pos = decode_varint_one(blob, pos)
+        if blob[4] >= VERSION2_STATS:  # skip the chunk-stats section
+            slen, pos = decode_varint_one(blob, pos)
+            pos += slen
         return blob_engine_version(blob[pos:])
     if blob[:4] != MAGIC:
         raise ValueError("bad blob magic")
@@ -711,6 +722,38 @@ def _encode_body(tbl: pa.Table, codec: str | dict, compression: str) -> tuple[by
     return serialize_blob(entries), lineage
 
 
+# chunk-stats domain: top-level primitives whose min/max are losslessly
+# JSON-representable AND whose python comparison order matches the
+# column order — the prune test and the exact filter must agree
+def _statable(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_boolean(t)
+    )
+
+
+def _chunk_stats(chunk: pa.Table) -> dict:
+    """{col: [min, max]} over present values; [None, None] marks an
+    all-null chunk (provably unmatchable by any comparison predicate);
+    columns outside the statable domain are omitted (= unknown)."""
+    out = {}
+    for name, col in zip(chunk.column_names, chunk.columns):
+        if not _statable(col.type):
+            continue
+        if col.null_count == len(col):
+            out[name] = [None, None]
+            continue
+        mm = pc.min_max(col)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if isinstance(lo, float) and (lo != lo or hi != hi):  # NaN bounds
+            continue
+        out[name] = [lo, hi]
+    return out
+
+
 def encode_table(
     tbl: pa.Table,
     codec: str | dict = "auto",
@@ -728,6 +771,7 @@ def encode_table(
         return _encode_body(tbl, codec, compression)
     bodies: list[bytes] = []
     chunk_rows: list[int] = []
+    chunk_stats: list[dict] = []
     merged: dict[str, dict] = {}
     order: list[str] = []
     for start in range(0, tbl.num_rows, stride):
@@ -735,6 +779,7 @@ def encode_table(
         body, lineage = _encode_body(chunk, codec, compression)
         bodies.append(body)
         chunk_rows.append(chunk.num_rows)
+        chunk_stats.append(_chunk_stats(chunk))
         for l in lineage:
             m = merged.get(l["column"])
             if m is None:
@@ -753,10 +798,20 @@ def encode_table(
         m = merged[c]
         m["codec"] = "+".join(sorted(m["codec"]))
         out_lineage.append(m)
-    parts = [MAGIC2, bytes((VERSION2,)), encode_varint_one(stride), encode_varint_one(len(bodies))]
+    import json as _json
+
+    stats_blob = _json.dumps(chunk_stats, sort_keys=True, separators=(",", ":")).encode()
+    parts = [
+        MAGIC2,
+        bytes((VERSION2_STATS,)),
+        encode_varint_one(stride),
+        encode_varint_one(len(bodies)),
+    ]
     for nr, body in zip(chunk_rows, bodies):
         parts.append(encode_varint_one(nr))
         parts.append(encode_varint_one(len(body)))
+    parts.append(encode_varint_one(len(stats_blob)))
+    parts.append(stats_blob)
     parts.extend(bodies)
     return b"".join(parts), out_lineage
 
@@ -782,19 +837,86 @@ def _decode_body(blob: bytes, columns: list[str] | None = None) -> pa.Table:
     return pa.table(cols, names=names)
 
 
+_PRED_OPS = ("==", "!=", "<", "<=", ">", ">=")
+
+
+def _chunk_may_match(stats: dict | None, predicate: tuple) -> bool:
+    """Row-group skip test (the reference's row-index stats purpose,
+    common.rs:24-48): False only when the chunk's [min, max] PROVES no
+    row satisfies the predicate. Unknown stats -> True (decode it).
+    Null rows never satisfy a comparison, so an all-null chunk
+    ([None, None]) is provably unmatchable."""
+    col, op, val = predicate
+    if stats is None or col not in stats:
+        return True
+    lo, hi = stats[col]
+    if lo is None:  # all-null chunk
+        return False
+    try:
+        if op == "==":
+            return lo <= val <= hi
+        if op == "!=":
+            return not (lo == hi == val)
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+    except TypeError:
+        return True  # incomparable domains: never prune on a guess
+    raise ValueError(f"unsupported predicate op {op!r} (use one of {_PRED_OPS})")
+
+
+def _apply_predicate(tbl: pa.Table, predicate: tuple) -> pa.Table:
+    """Exact residual filter after pruning (chunk stats give a superset)."""
+    col, op, val = predicate
+    c = tbl.column(col)
+    fns = {
+        "==": pc.equal,
+        "!=": pc.not_equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+    }
+    if op not in fns:
+        raise ValueError(f"unsupported predicate op {op!r} (use one of {_PRED_OPS})")
+    mask = fns[op](c, pa.scalar(val, c.type))
+    return tbl.filter(pc.fill_null(mask, False))
+
+
 def decode_table(
     blob: bytes,
     columns: list[str] | None = None,
     rows: tuple[int, int] | None = None,
+    predicate: tuple | None = None,
 ) -> pa.Table:
     """Decode a blob; ``columns`` projects at the blob level (unwanted
     columns' streams are skipped without decompression), ``rows=(a, b)``
     decodes the half-open row slice — on a chunked (v2) blob only the
     covering chunks are decompressed (the ORC row-index point-read path);
-    on a v1 blob the slice is applied after a full decode."""
+    on a v1 blob the slice is applied after a full decode.
+
+    ``predicate=(col, op, value)`` with op in ``== != < <= > >=``
+    returns exactly the matching rows; on a stats-bearing chunked blob
+    (engine >= 3.1) chunks whose min/max prove no match are skipped
+    without decompression — the reference's row-index-stats reader-side
+    skipping (data/common.rs:24-48), which its own reader never shipped.
+    ``predicate`` and ``rows`` are mutually exclusive (a row slice is
+    positional; filtering renumbers rows)."""
+    if predicate is not None and rows is not None:
+        raise ValueError("decode_table: predicate and rows are mutually exclusive")
+    if predicate is not None and columns is not None and predicate[0] not in columns:
+        raise ValueError(
+            f"decode_table: predicate column {predicate[0]!r} must be in columns"
+        )
     if blob[:4] == MAGIC2:
-        if blob[4] != VERSION2:
+        if blob[4] not in _READ_VERSIONS2:
             raise ValueError(f"unsupported blob version {blob[4]}")
+        has_stats = blob[4] == VERSION2_STATS
         try:
             pos = 5
             _stride, pos = decode_varint_one(blob, pos)
@@ -804,6 +926,15 @@ def decode_table(
                 nr, pos = decode_varint_one(blob, pos)
                 blen, pos = decode_varint_one(blob, pos)
                 metas.append((nr, blen))
+            stats: list[dict] | None = None
+            if has_stats:
+                import json as _json
+
+                slen, pos = decode_varint_one(blob, pos)
+                stats = _json.loads(blob[pos : pos + slen])
+                pos += slen
+                if len(stats) != n_chunks:
+                    raise ValueError("chunk-stats count mismatch")
         except IndexError as ex:
             raise ValueError("truncated chunked-blob header") from ex
         if not metas or pos + sum(b for _, b in metas) != len(blob):
@@ -815,12 +946,19 @@ def decode_table(
         tables = []
         off = 0
         body_pos = pos
-        for nr, blen in metas:
-            if off + nr > a and off < b:
+        for k, (nr, blen) in enumerate(metas):
+            wanted = off + nr > a and off < b
+            if wanted and predicate is not None:
+                wanted = _chunk_may_match(stats[k] if stats else None, predicate)
+            if wanted:
                 t = _decode_body(blob[body_pos : body_pos + blen], columns)
-                lo = max(a - off, 0)
-                hi = min(b - off, nr)
-                tables.append(t.slice(lo, hi - lo))
+                if predicate is not None:
+                    t = _apply_predicate(t, predicate)
+                else:
+                    lo = max(a - off, 0)
+                    hi = min(b - off, nr)
+                    t = t.slice(lo, hi - lo)
+                tables.append(t)
             off += nr
             body_pos += blen
         if not tables:
@@ -829,6 +967,8 @@ def decode_table(
             return _decode_body(blob[pos : pos + blen0], columns).slice(0, 0)
         return pa.concat_tables(tables).combine_chunks()
     tbl = _decode_body(blob, columns)
+    if predicate is not None:
+        return _apply_predicate(tbl, predicate)
     if rows is not None:
         a = max(0, min(rows[0], tbl.num_rows))
         b = max(a, min(rows[1], tbl.num_rows))

@@ -242,6 +242,7 @@ def decode_blobs(
     schema: str,
     columns: list[str] | None = None,
     rows: tuple[int, int] | None = None,
+    predicate: tuple | None = None,
 ) -> DataFrame:
     """Decode blob rows back into the original table shape.
 
@@ -250,6 +251,10 @@ def decode_blobs(
     analog — at 100 TB a 2-column projection reads 2 columns' bytes).
     ``rows=(a, b)`` decodes only that per-blob row slice; on chunked
     blobs only covering row-group chunks are decompressed (F3).
+    ``predicate=(col, op, value)`` returns exactly the matching rows,
+    skipping whole row-group chunks whose min/max stats prove no match
+    (reader-side predicate pushdown over our own blobs — the stats half
+    of the reference's row index, data/common.rs:24-48).
     ``schema`` may use char(n)/varchar(n); both decode as their string
     runtime representation (see ``_normalize_schema``).
     """
@@ -260,7 +265,9 @@ def decode_blobs(
         for batch in batches:
             col = batch.column(batch.schema.get_field_index("blob"))
             for v in col:
-                tbl = decode_table(v.as_py(), columns=columns, rows=rows)
+                tbl = decode_table(
+                    v.as_py(), columns=columns, rows=rows, predicate=predicate
+                )
                 yield from tbl.to_batches()
 
     return blobs.select("blob").mapInArrow(fn, schema)
@@ -271,6 +278,7 @@ def decode_blob_files(
     schema: str,
     columns: list[str] | None = None,
     rows: tuple[int, int] | None = None,
+    predicate: tuple | None = None,
 ) -> DataFrame:
     """Decode sink-written blob rows (``blob_path`` column, from
     ``encode_splits(blob_sink=...)``) back into the original table shape.
@@ -284,7 +292,9 @@ def decode_blob_files(
             col = batch.column(batch.schema.get_field_index("blob_path"))
             for v in col:
                 with open(v.as_py(), "rb") as f:
-                    tbl = decode_table(f.read(), columns=columns, rows=rows)
+                    tbl = decode_table(
+                        f.read(), columns=columns, rows=rows, predicate=predicate
+                    )
                 yield from tbl.to_batches()
 
     return blobs.select("blob_path").mapInArrow(fn, schema)

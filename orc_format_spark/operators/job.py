@@ -173,6 +173,7 @@ def read_encoded(
     schema: str,
     columns: list[str] | None = None,
     rows: tuple[int, int] | None = None,
+    predicate: tuple | None = None,
 ) -> DataFrame:
     """Read a `run_encode_job` output back as the original table shape —
     the reader half of the writer/finish API (the reference never shipped
@@ -185,8 +186,10 @@ def read_encoded(
 
     blobs = spark.read.parquet(f"{out_dir}/blobs")
     if "blob_path" in blobs.columns:
-        return decode_blob_files(blobs, schema, columns=columns, rows=rows)
-    return decode_blobs(blobs, schema, columns=columns, rows=rows)
+        return decode_blob_files(
+            blobs, schema, columns=columns, rows=rows, predicate=predicate
+        )
+    return decode_blobs(blobs, schema, columns=columns, rows=rows, predicate=predicate)
 
 
 def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:

@@ -1,0 +1,161 @@
+"""Reader-side predicate skipping over the chunked container: the stats
+half of the reference's row index (src/writer/data/common.rs:24-48 keeps
+per-row-group column stats exactly so a reader can skip row groups; the
+reference's reader never shipped, src/reader.rs is a stub — ours does)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_format_spark.codecs import container
+from orc_format_spark.codecs.container import (
+    MAGIC2,
+    VERSION2,
+    VERSION2_STATS,
+    decode_table,
+    encode_table,
+)
+from orc_format_spark.codecs.varint import decode_varint_one, encode_varint_one
+
+
+def _sorted_tbl(n=100, stride_val=None):
+    return pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64)),
+            "v": pa.array((np.arange(n) % 7).astype(np.float64)),
+            "s": pa.array([f"s{i:05d}" for i in range(n)]),
+            "b": pa.array([i % 2 == 0 for i in range(n)]),
+        }
+    )
+
+
+def _full(blob):
+    return decode_table(blob)
+
+
+@pytest.mark.parametrize(
+    "pred",
+    [
+        ("k", "==", 37),
+        ("k", "!=", 37),
+        ("k", "<", 25),
+        ("k", "<=", 25),
+        ("k", ">", 80),
+        ("k", ">=", 80),
+        ("v", ">=", 5.0),
+        ("s", ">=", "s00090"),
+        ("b", "==", True),
+    ],
+)
+def test_predicate_exact_vs_full_filter(pred):
+    tbl = _sorted_tbl(100)
+    blob, _ = encode_table(tbl, stride=10)
+    got = decode_table(blob, predicate=pred)
+    col, op, val = pred
+    import pyarrow.compute as pc
+
+    fns = {
+        "==": pc.equal,
+        "!=": pc.not_equal,
+        "<": pc.less,
+        "<=": pc.less_equal,
+        ">": pc.greater,
+        ">=": pc.greater_equal,
+    }
+    want = _full(blob).filter(fns[op](tbl.column(col), pa.scalar(val)))
+    assert got.equals(want)
+    assert got.num_rows == want.num_rows
+
+
+def test_predicate_prunes_chunks(monkeypatch):
+    """On a column sorted within the blob, a selective predicate must
+    decompress only the covering chunks — counted via _decode_body."""
+    tbl = _sorted_tbl(100)
+    blob, _ = encode_table(tbl, stride=10)
+    calls = []
+    orig = container._decode_body
+
+    def spy(body, columns=None):
+        calls.append(len(body))
+        return orig(body, columns)
+
+    monkeypatch.setattr(container, "_decode_body", spy)
+    out = decode_table(blob, predicate=("k", ">=", 85))
+    assert out.num_rows == 15
+    assert len(calls) == 2  # chunks [80,90) and [90,100) only
+    calls.clear()
+    out = decode_table(blob, predicate=("k", "==", 5))
+    assert out.num_rows == 1
+    assert len(calls) == 1
+
+
+def test_predicate_nulls_never_match():
+    tbl = pa.table(
+        {
+            "k": pa.array(list(range(20)), pa.int64()),
+            "x": pa.array([None] * 10 + list(range(10)), pa.int64()),
+        }
+    )
+    blob, _ = encode_table(tbl, stride=10)
+    # chunk 0 is all-null for x -> provably unmatchable -> skipped
+    out = decode_table(blob, predicate=("x", ">=", 0))
+    assert out.column("k").to_pylist() == list(range(10, 20))
+    out = decode_table(blob, predicate=("x", "<", 100))
+    assert out.num_rows == 10
+
+
+def test_predicate_on_v2_blob_without_stats():
+    """A legacy chunk container (version 2, no stats section) still
+    filters exactly — it just cannot prune."""
+    tbl = _sorted_tbl(50)
+    blob, _ = encode_table(tbl, stride=10)
+    assert blob[4] == VERSION2_STATS
+    # strip the stats section -> rebuild as version-2 layout
+    pos = 5
+    stride, pos = decode_varint_one(blob, pos)
+    n_chunks, pos = decode_varint_one(blob, pos)
+    metas_start = pos
+    for _ in range(n_chunks):
+        _, pos = decode_varint_one(blob, pos)
+        _, pos = decode_varint_one(blob, pos)
+    metas_end = pos
+    slen, pos = decode_varint_one(blob, pos)
+    bodies = blob[pos + slen :]
+    legacy = (
+        MAGIC2
+        + bytes((VERSION2,))
+        + encode_varint_one(stride)
+        + encode_varint_one(n_chunks)
+        + blob[metas_start:metas_end]
+        + bodies
+    )
+    got = decode_table(legacy, predicate=("k", ">=", 40))
+    assert got.column("k").to_pylist() == list(range(40, 50))
+    # and the plain row-slice path still works on both versions
+    assert decode_table(legacy, rows=(5, 8)).num_rows == 3
+
+
+def test_predicate_errors():
+    tbl = _sorted_tbl(30)
+    blob, _ = encode_table(tbl, stride=10)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        decode_table(blob, rows=(0, 5), predicate=("k", "==", 1))
+    with pytest.raises(ValueError, match="must be in columns"):
+        decode_table(blob, columns=["v"], predicate=("k", "==", 1))
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        decode_table(blob, predicate=("k", "~", 1))
+
+
+def test_predicate_unchunked_blob():
+    tbl = _sorted_tbl(30)
+    blob, _ = encode_table(tbl)  # v1 body, no chunks
+    out = decode_table(blob, predicate=("k", "<", 3))
+    assert out.column("k").to_pylist() == [0, 1, 2]
+
+
+def test_predicate_with_projection():
+    tbl = _sorted_tbl(40)
+    blob, _ = encode_table(tbl, stride=10)
+    out = decode_table(blob, columns=["k", "s"], predicate=("k", ">=", 35))
+    assert out.column_names == ["k", "s"]
+    assert out.column("k").to_pylist() == [35, 36, 37, 38, 39]
