@@ -667,6 +667,29 @@ def q_encode_job_roundtrip(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_compact_roundtrip(spark, sf_dir):
+    """Blob compaction (small-stripes maintenance): 16 small blobs ->
+    first-fit packed target-size blobs, one compressed-payload shuffle,
+    fresh codec re-selection per merged stripe. Lossless: the compacted
+    set decodes to exactly the original documents."""
+    from orc_format_spark import (
+        TOKENS_SCHEMA,
+        compact_blobs,
+        decode_blobs,
+        detokenize,
+        encode_groups,
+        tokenize_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokenize_documents(docs)
+    small = encode_groups(toks, num_groups=16, key_col="doc_id", size_col="n_tok")
+    compacted = compact_blobs(small, target_values=200_000)
+    return detokenize(decode_blobs(compacted, TOKENS_SCHEMA)).select(
+        "doc_id", "text"
+    )
+
+
 def q_sink_encode_roundtrip(spark, sf_dir):
     """Zero-JVM-crossing encode in BOTH directions: workers persist each
     split's blob to a sink dir (encode_splits(blob_sink=...)) and emit
@@ -869,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_job_roundtrip": q_encode_job_roundtrip,
         "iceberg_manifest_scan": q_iceberg_manifest_scan,
         "sink_encode_roundtrip": q_sink_encode_roundtrip,
+        "compact_roundtrip": q_compact_roundtrip,
         "struct_map_roundtrip": q_struct_map_roundtrip,
         "text_profile": q_text_profile,
         "exact_dedup": q_exact_dedup,
@@ -920,6 +944,7 @@ def oracle_sql() -> dict[str, str]:
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "iceberg_manifest_scan": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "sink_encode_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+        "compact_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "rle_v2_roundtrip": "SELECT o_orderkey, o_custkey FROM orders",
         "for_bitpack_roundtrip": "SELECT c_custkey, c_nationkey FROM customer",
         "dict_roundtrip": "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem",

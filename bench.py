@@ -58,6 +58,7 @@ HEADLINE = [
     "predicate_decode",
     "iceberg_manifest_scan",
     "sink_encode_roundtrip",
+    "compact_roundtrip",
     "minhash_lsh",
     "simhash",
     "text_profile",

@@ -22,6 +22,7 @@ from .operators.encode import (
     encode_groups_staged,
     verify_blobs,
 )
+from .operators.compact import compact_blobs, plan_compaction
 from .operators.job import job_metrics, read_encoded, read_metrics, run_encode_job
 from .operators.partitioning import plan_num_groups, with_group_id
 from .operators.stats import column_statistics
@@ -46,6 +47,7 @@ __all__ = [
     "TOKENS_SCHEMA",
     "append_snapshot",
     "column_statistics",
+    "compact_blobs",
     "create_table",
     "decode_blobs",
     "detokenize",
@@ -59,6 +61,7 @@ __all__ = [
     "list_parquet_splits",
     "read_tokens_table",
     "job_metrics",
+    "plan_compaction",
     "plan_num_groups",
     "read_encoded",
     "read_metrics",

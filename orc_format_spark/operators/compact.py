@@ -1,0 +1,129 @@
+"""Blob compaction: merge many small stripes into target-sized ones.
+
+Streaming micro-batches and narrow waves leave small blobs behind; at
+100 TB the maintenance job that fixes this must not touch the driver
+with payload. Shape:
+
+1. Driver reads ONLY the lineage metadata (group_id, n_values — a few
+   dozen bytes per blob; 10^6 blobs is megabytes) and packs blobs into
+   compaction buckets with deterministic first-fit in group_id order, so
+   the same input always yields the same buckets (resume/idempotence).
+2. One shuffle moves the COMPRESSED blob bytes to their bucket's task
+   (compressed payload ≈ 0.28 B/token here vs 4 B/token raw — the
+   cheapest possible regroup of this data; compare encode_groups, whose
+   shuffle carries raw rows).
+3. Each bucket's task decodes its member blobs, concatenates in
+   group_id order (deterministic), and re-encodes one blob with fresh
+   codec auto-selection and lineage — compaction is also re-optimization
+   (a dictionary or RLE run that was too short per-small-blob may win on
+   the merged stripe).
+
+The reference has no compaction (its writer is single-pass,
+src/writer.rs:84-90); this is the ORC "merge small files" maintenance
+task re-expressed over our blob container.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs.container import (
+    DEFAULT_ROW_INDEX_STRIDE,
+    decode_table,
+    encode_table,
+    table_checksum,
+)
+from ..worker_env import limit_worker_threads
+from .encode import BLOB_SCHEMA
+
+
+def plan_compaction(
+    lineage: list[tuple[int, int]], target_values: int
+) -> dict[int, int]:
+    """Deterministic first-fit packing: (group_id, n_values) pairs ->
+    {group_id: bucket}. Blobs are taken in group_id order; a bucket
+    closes when it reaches ``target_values``. A single blob already at
+    or past target keeps its own bucket."""
+    mapping: dict[int, int] = {}
+    bucket = 0
+    filled = 0
+    for gid, nv in sorted(lineage):
+        if filled > 0 and filled + nv > target_values:
+            bucket += 1
+            filled = 0
+        mapping[gid] = bucket
+        filled += nv
+        if filled >= target_values:
+            bucket += 1
+            filled = 0
+    return mapping
+
+
+def compact_blobs(
+    blobs: DataFrame,
+    target_values: int = 64_000_000,
+    codec: str | dict = "auto",
+    compression: str = "zstd",
+    row_index_stride: int | None = DEFAULT_ROW_INDEX_STRIDE,
+) -> DataFrame:
+    """Merge small blobs into ~``target_values``-value blobs.
+
+    Returns a new blobs DataFrame (same BLOB_SCHEMA, bucket ids as
+    group_id). Lossless: decoding the compacted set yields exactly the
+    rows of the input set (asserted by oracle in the driver contract).
+    """
+    spark = blobs.sparkSession
+    meta = [
+        (r.group_id, r.n_values)
+        for r in blobs.select("group_id", "n_values").collect()
+    ]
+    mapping = plan_compaction(meta, target_values)
+    if not mapping:
+        return blobs.limit(0)
+    # JVM-side bucket tagging: broadcast-join the tiny plan table (no
+    # per-row Python anywhere on this path)
+    mdf = spark.createDataFrame(
+        sorted(mapping.items()), "group_id long, bucket long"
+    )
+    tagged = blobs.select("group_id", "blob").join(F.broadcast(mdf), "group_id")
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        bucket = tbl.column("bucket")[0].as_py()
+        order = pa.compute.sort_indices(tbl.column("group_id")).to_pylist()
+        blob_col = tbl.column("blob")
+        parts = [decode_table(blob_col[i].as_py()) for i in order]
+        data = pa.concat_tables(parts).combine_chunks()
+        blob, lineage = encode_table(
+            data, codec=codec, compression=compression, stride=row_index_stride
+        )
+        leaf = [l for l in lineage if l["codec"] != "list"]
+        codecs = {l["column"]: l["codec"] for l in lineage}
+        return pa.table(
+            {
+                "group_id": pa.array([bucket], pa.int64()),
+                "n_rows": pa.array([data.num_rows], pa.int64()),
+                "n_values": pa.array(
+                    [sum(l["n_present"] for l in leaf)], pa.int64()
+                ),
+                "input_bytes": pa.array(
+                    [sum(l["input_bytes"] for l in lineage)], pa.int64()
+                ),
+                "output_bytes": pa.array([len(blob)], pa.int64()),
+                "checksum": pa.array([table_checksum(data)], pa.string()),
+                "codecs": pa.array(
+                    [json.dumps(codecs, sort_keys=True)], pa.string()
+                ),
+                "lineage": pa.array(
+                    [json.dumps(lineage, sort_keys=True)], pa.string()
+                ),
+                "blob": pa.array([blob], pa.binary()),
+            }
+        )
+
+    return tagged.groupBy("bucket").applyInArrow(fn, BLOB_SCHEMA)

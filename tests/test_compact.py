@@ -1,0 +1,53 @@
+"""Blob compaction: deterministic packing + lossless merge."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from orc_format_spark.operators.compact import plan_compaction
+
+
+@pytest.fixture
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_plan_compaction_deterministic_first_fit():
+    m = plan_compaction([(0, 10), (1, 10), (2, 10), (3, 25), (4, 5)], 20)
+    # 0+1 fill bucket 0 (=20, closes); 2 opens bucket 1 but 3 (25) would
+    # overflow it, so 3 takes bucket 2 alone (>=20, closes); 4 -> bucket 3
+    assert m == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3}
+    # input order never matters (sorted by group_id internally)
+    assert plan_compaction([(4, 5), (2, 10), (0, 10), (3, 25), (1, 10)], 20) == m
+    assert plan_compaction([], 20) == {}
+    # all-small: everything packs into one bucket
+    assert plan_compaction([(i, 1) for i in range(5)], 100) == {i: 0 for i in range(5)}
+
+
+def test_compact_blobs_lossless_and_packed(spark, docs):
+    from orc_format_spark import (
+        TOKENS_SCHEMA,
+        compact_blobs,
+        decode_blobs,
+        detokenize,
+        encode_groups,
+        tokenize_documents,
+    )
+
+    toks = tokenize_documents(docs)
+    small = encode_groups(toks, num_groups=12, key_col="doc_id", size_col="n_tok")
+    total_values = sum(r.n_values for r in small.select("n_values").collect())
+    compacted = compact_blobs(small, target_values=total_values // 3 + 1)
+    rows = compacted.collect()
+    assert 2 <= len(rows) <= 4  # ~3 target-size buckets from 12 small blobs
+    assert sum(r.n_values for r in rows) == total_values
+    # lossless: decoded compacted set == original documents
+    out = detokenize(decode_blobs(compacted, TOKENS_SCHEMA))
+    got = sorted((str(r.doc_id), r.text) for r in out.collect())
+    want = sorted((str(r.doc_id), r.text) for r in docs.select("doc_id", "text").collect())
+    assert got == want
+    # fresh lineage rows for the merged stripes
+    for r in rows:
+        assert json.loads(r.codecs)
+        assert r.output_bytes > 0 and r.n_rows > 0
