@@ -6,12 +6,19 @@ Cluster usage (the north-rule deployment shape):
     zip -r orc_format_spark.zip orc_format_spark
     spark-submit --master <cluster> --py-files orc_format_spark.zip \
         scripts/encode_job.py --input <tokens table path> --output <dir> \
-        [--mode splits|grouped] [--codec auto] [--waves 8]
+        [--mode splits|grouped] [--codec auto] [--waves 8] [--blob-sink DIR]
 
 ``splits`` mode (default) encodes one parquet row-group per stripe with
 no payload shuffle; ``grouped`` mode runs the deterministic salted
 doc_id grouping + wave-checkpointed resume (re-running with the same
---output resumes exactly).
+--output resumes exactly). ``--input`` also accepts a path-addressed
+Iceberg table directory (detected by its metadata/ dir; resolved by the
+pure-Python manifest reader, no runtime jar needed).
+
+``--blob-sink DIR`` (splits mode) / ``--blob-sink 1`` (grouped mode)
+makes each task persist its own blob and ship only lineage to the JVM —
+the zero-ferry path; point it at executor-mounted shared storage on a
+cluster.
 """
 
 from __future__ import annotations
@@ -40,6 +47,12 @@ def main() -> None:
     ap.add_argument("--compression", default="zstd")
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--num-groups", type=int, default=None)
+    ap.add_argument(
+        "--blob-sink",
+        default=None,
+        help="splits mode: directory tasks write blobs into (zero-ferry); "
+        "grouped mode: any truthy value enables <output>/blobstore",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -55,17 +68,37 @@ def main() -> None:
                 args.input[len("iceberg:") :],
                 codec=args.codec,
                 compression=args.compression,
+                blob_sink=args.blob_sink,
             )
         else:
-            from orc_format_spark import encode_parquet_splits
+            from orc_format_spark.sources.iceberg_meta import is_iceberg_table
 
-            blobs = encode_parquet_splits(
-                spark, args.input, codec=args.codec, compression=args.compression
-            )
+            if is_iceberg_table(args.input):
+                from orc_format_spark.sources.iceberg import encode_iceberg_splits
+
+                blobs = encode_iceberg_splits(
+                    spark,
+                    args.input,
+                    codec=args.codec,
+                    compression=args.compression,
+                    blob_sink=args.blob_sink,
+                )
+            else:
+                from orc_format_spark import encode_parquet_splits
+
+                blobs = encode_parquet_splits(
+                    spark,
+                    args.input,
+                    codec=args.codec,
+                    compression=args.compression,
+                    blob_sink=args.blob_sink,
+                )
         blobs.write.mode("overwrite").parquet(f"{args.output}/blobs")
         blobs = spark.read.parquet(f"{args.output}/blobs")
         # codec-lineage metrics table, derived from the written blobs
-        blobs.drop("blob").write.mode("overwrite").parquet(f"{args.output}/metrics")
+        # (sink-mode rows carry blob_path, not blob)
+        metrics_df = blobs.drop("blob") if "blob" in blobs.columns else blobs
+        metrics_df.write.mode("overwrite").parquet(f"{args.output}/metrics")
     else:
         from orc_format_spark import run_encode_job
 
@@ -74,7 +107,14 @@ def main() -> None:
 
             toks = read_tokens_table(spark, args.input[len("iceberg:") :])
         else:
-            toks = spark.read.parquet(args.input)
+            from orc_format_spark.sources.iceberg_meta import is_iceberg_table
+
+            if is_iceberg_table(args.input):
+                from orc_format_spark.sources.iceberg import read_tokens_table
+
+                toks = read_tokens_table(spark, args.input)
+            else:
+                toks = spark.read.parquet(args.input)
         blobs = run_encode_job(
             spark,
             toks,
@@ -83,6 +123,7 @@ def main() -> None:
             waves=args.waves,
             codec=args.codec,
             compression=args.compression,
+            blob_sink=bool(args.blob_sink),
         )
 
     from orc_format_spark import job_metrics
