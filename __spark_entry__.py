@@ -236,6 +236,33 @@ def q_predicate_decode(spark, sf_dir):
     )
 
 
+def q_bloom_filter_decode(spark, sf_dir):
+    """Bloom-filter row-group skipping: the blob is clustered by
+    l_orderkey, so min/max stats CANNOT prune a point probe on the
+    unclustered l_partkey — the per-chunk Bloom bitset
+    (bloom_columns=["l_partkey"], codecs/bloom.py) can. The reference
+    declares BloomFilter streams in its proto only
+    (orc_proto.proto:98-106, never written); ours are real and read.
+    Result = exactly the probe's rows; oracle = SQL point lookup."""
+    from orc_format_spark import decode_blobs, encode_groups
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    blobs = encode_groups(
+        li,
+        num_groups=4,
+        key_col="l_orderkey",
+        row_index_stride=1000,
+        bloom_columns=["l_partkey"],
+    )
+    return decode_blobs(
+        blobs,
+        "l_orderkey bigint, l_linenumber int, l_partkey bigint",
+        predicate=("l_partkey", "==", 1),
+    )
+
+
 def q_stats_longs(spark, sf_dir):
     from orc_format_spark import column_statistics
 
@@ -878,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uncompressed_roundtrip": q_uncompressed_roundtrip,
         "projection_decode": q_projection_decode,
         "predicate_decode": q_predicate_decode,
+        "bloom_filter_decode": q_bloom_filter_decode,
         "stats_longs": q_stats_longs,
         "stats_strings": q_stats_strings,
         "stats_doubles": q_stats_doubles,
@@ -1016,6 +1044,10 @@ def oracle_sql() -> dict[str, str]:
         "predicate_decode": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
             "WHERE l_orderkey >= 55000"
+        ),
+        "bloom_filter_decode": (
+            "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem "
+            "WHERE l_partkey = 1"
         ),
         "stats_longs": stats_longs,
         "stats_strings": stats_strings,

@@ -56,6 +56,7 @@ HEADLINE = [
     "rowslice_decode",
     "projection_decode",
     "predicate_decode",
+    "bloom_filter_decode",
     "iceberg_manifest_scan",
     "sink_encode_roundtrip",
     "compact_roundtrip",

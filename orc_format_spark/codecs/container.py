@@ -735,10 +735,15 @@ def _statable(t: pa.DataType) -> bool:
     )
 
 
-def _chunk_stats(chunk: pa.Table) -> dict:
+def _chunk_stats(chunk: pa.Table, bloom_columns: list[str] | None = None) -> dict:
     """{col: [min, max]} over present values; [None, None] marks an
     all-null chunk (provably unmatchable by any comparison predicate);
-    columns outside the statable domain are omitted (= unknown)."""
+    columns outside the statable domain are omitted (= unknown).
+    Integer columns named in ``bloom_columns`` additionally get a
+    ``<col>@bloom`` base64 bitset for ``==`` pruning when the column is
+    not clustered (min/max too wide to help)."""
+    from .bloom import bloom_build, bloom_to_b64
+
     out = {}
     for name, col in zip(chunk.column_names, chunk.columns):
         if not _statable(col.type):
@@ -751,6 +756,9 @@ def _chunk_stats(chunk: pa.Table) -> dict:
         if isinstance(lo, float) and (lo != lo or hi != hi):  # NaN bounds
             continue
         out[name] = [lo, hi]
+        if bloom_columns and name in bloom_columns and pa.types.is_integer(col.type):
+            vals = pc.drop_null(col.combine_chunks()).cast(pa.int64()).to_numpy()
+            out[f"{name}@bloom"] = bloom_to_b64(bloom_build(vals))
     return out
 
 
@@ -759,6 +767,7 @@ def encode_table(
     codec: str | dict = "auto",
     compression: str = "zstd",
     stride: int | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> tuple[bytes, list[dict]]:
     """Encode a pyarrow table -> (blob, per-column lineage rows).
 
@@ -766,6 +775,9 @@ def encode_table(
     of ``stride`` rows (container v2) — the row-group sub-index: a later
     ``decode_table(..., rows=(a, b))`` touches only covering chunks. A
     table of <= stride rows (or stride=None) emits the chunkless v1 body.
+    ``bloom_columns`` adds per-chunk Bloom bitsets for those integer
+    columns so ``predicate=(col, "==", v)`` prunes even when the column
+    is unclustered (see codecs/bloom.py).
     """
     if stride is None or tbl.num_rows <= stride:
         return _encode_body(tbl, codec, compression)
@@ -779,7 +791,7 @@ def encode_table(
         body, lineage = _encode_body(chunk, codec, compression)
         bodies.append(body)
         chunk_rows.append(chunk.num_rows)
-        chunk_stats.append(_chunk_stats(chunk))
+        chunk_stats.append(_chunk_stats(chunk, bloom_columns))
         for l in lineage:
             m = merged.get(l["column"])
             if m is None:
@@ -854,7 +866,14 @@ def _chunk_may_match(stats: dict | None, predicate: tuple) -> bool:
         return False
     try:
         if op == "==":
-            return lo <= val <= hi
+            if not lo <= val <= hi:
+                return False
+            b64 = stats.get(f"{col}@bloom")
+            if b64 is not None and isinstance(val, int):
+                from .bloom import bloom_from_b64, bloom_may_contain
+
+                return bloom_may_contain(bloom_from_b64(b64), val)
+            return True
         if op == "!=":
             return not (lo == hi == val)
         if op == "<":

@@ -53,6 +53,7 @@ def encode_groups(
     size_col: str | None = None,
     row_index_stride: int | None = DEFAULT_ROW_INDEX_STRIDE,
     blob_sink: str | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> DataFrame:
     """Encode a DataFrame into per-group blobs + lineage.
 
@@ -85,7 +86,11 @@ def encode_groups(
         gid = tbl.column("group_id")[0].as_py() if tbl.num_rows else -1
         data = tbl.drop_columns(["group_id"]).sort_by(sort_key)
         blob, lineage = encode_table(
-            data, codec=codec, compression=compression, stride=row_index_stride
+            data,
+            codec=codec,
+            compression=compression,
+            stride=row_index_stride,
+            bloom_columns=bloom_columns,
         )
         leaf = [l for l in lineage if l["codec"] != "list"]
         n_values = sum(l["n_present"] for l in leaf)

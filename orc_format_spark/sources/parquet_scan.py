@@ -89,6 +89,7 @@ def encode_splits(
     parallelism: int | None = None,
     row_index_stride: int | None = None,
     blob_sink: str | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> DataFrame:
     """Encode an explicit (split_id, file, row_group) list — the shared
     engine behind the parquet-dir and Iceberg-manifest sources.
@@ -148,7 +149,11 @@ def encode_splits(
                     rg, columns=columns, use_threads=False
                 )
                 blob, lineage = encode_table(
-                    data, codec=codec, compression=compression, stride=row_index_stride
+                    data,
+                    codec=codec,
+                    compression=compression,
+                    stride=row_index_stride,
+                    bloom_columns=bloom_columns,
                 )
                 leaf = [l for l in lineage if l["codec"] != "list"]
                 codecs = {l["column"]: l["codec"] for l in lineage}

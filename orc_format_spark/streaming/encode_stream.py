@@ -34,12 +34,21 @@ def encode_stream(
     key_col: str = "doc_id",
     size_col: str | None = "n_tok",
     available_now: bool = True,
+    blob_sink: str | None = None,
 ):
     """Start a streaming query encoding each micro-batch into blob rows.
 
     Returns the StreamingQuery; blobs land under ``out_dir`` tagged with
     the micro-batch id (the streaming analog of the wave id in
     ``run_encode_job``).
+
+    ``blob_sink``: a directory OUTSIDE ``out_dir`` — tasks persist their
+    blobs under ``<blob_sink>/batch_id=N/`` and the batch parquet
+    carries only lineage + ``blob_path`` (the zero-ferry shape). Replay
+    idempotence is preserved: group files have deterministic names and
+    deterministic bytes, so a retried micro-batch overwrites
+    identically. Streams that accumulate many small per-batch blobs
+    feed ``compact_blobs``.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -52,6 +61,9 @@ def encode_stream(
             compression=compression,
             key_col=key_col,
             size_col=size_col,
+            blob_sink=(
+                f"{blob_sink}/batch_id={batch_id}" if blob_sink is not None else None
+            ),
         )
         # idempotent replay: a retried micro-batch overwrites its own
         # directory instead of appending duplicate rows

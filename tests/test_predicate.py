@@ -159,3 +159,72 @@ def test_predicate_with_projection():
     out = decode_table(blob, columns=["k", "s"], predicate=("k", ">=", 35))
     assert out.column_names == ["k", "s"]
     assert out.column("k").to_pylist() == [35, 36, 37, 38, 39]
+
+
+# ----------------------------------------------------------------- bloom
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    from orc_format_spark.codecs.bloom import bloom_build, bloom_may_contain
+
+    vals = np.arange(0, 100_000, 13, dtype=np.int64)  # 7693 keys
+    bits = bloom_build(vals)
+    assert all(bloom_may_contain(bits, int(v)) for v in vals[::97])
+    probes = np.arange(1, 50_000, 17)  # mostly absent values
+    absent = [int(p) for p in probes if int(p) % 13 != 0]
+    fp = sum(bloom_may_contain(bits, p) for p in absent) / len(absent)
+    assert fp < 0.03, fp  # ~1% design point at 10 bits/key, k=7
+    # negative values and the int64 extremes hash fine
+    bits2 = bloom_build(np.array([-5, 0, 2**62, -(2**62)], dtype=np.int64))
+    assert bloom_may_contain(bits2, -5)
+    assert bloom_may_contain(bits2, 2**62)
+    assert not bloom_may_contain(bits2, 7)
+
+
+def test_bloom_prunes_unclustered_equality(monkeypatch):
+    """min/max cannot prune an unclustered id column; the bloom can."""
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(np.arange(0, 4000, 4, dtype=np.int64))  # stride-4 ids
+    tbl = pa.table({"doc": pa.array(ids), "v": pa.array(ids * 2)})
+    blob, _ = encode_table(tbl, stride=100, bloom_columns=["doc"])
+    from orc_format_spark.codecs.bloom import bloom_from_b64, bloom_may_contain
+
+    # a value inside every chunk's [min,max] but absent from the data
+    probe = 1001  # 1001 % 4 != 0
+    calls = []
+    orig = container._decode_body
+
+    def spy(body, columns=None):
+        calls.append(1)
+        return orig(body, columns)
+
+    monkeypatch.setattr(container, "_decode_body", spy)
+    out = decode_table(blob, predicate=("doc", "==", probe))
+    assert out.num_rows == 0
+    # expected decodes = chunks whose bloom false-positives the probe
+    import json as _json
+    from orc_format_spark.codecs.varint import decode_varint_one
+
+    pos = 5
+    _, pos = decode_varint_one(blob, pos)
+    n_chunks, pos = decode_varint_one(blob, pos)
+    for _ in range(n_chunks):
+        _, pos = decode_varint_one(blob, pos)
+        _, pos = decode_varint_one(blob, pos)
+    slen, pos = decode_varint_one(blob, pos)
+    stats = _json.loads(blob[pos : pos + slen])
+    expect = sum(
+        1
+        for s in stats
+        if s["doc"][0] <= probe <= s["doc"][1]
+        and bloom_may_contain(bloom_from_b64(s["doc@bloom"]), probe)
+    )
+    # +1 when everything prunes: chunk 0 is decoded at zero rows purely
+    # for the result schema
+    assert len(calls) == (expect if expect else 1)
+    assert expect < n_chunks  # the bloom pruned real work
+    # present value still found
+    calls.clear()
+    hit = int(ids[123])
+    out = decode_table(blob, predicate=("doc", "==", hit))
+    assert out.column("doc").to_pylist() == [hit]

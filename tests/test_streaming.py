@@ -51,3 +51,28 @@ def test_stream_restart_is_exactly_once(spark, tokens_dir, tmp_path):
     stream2 = spark.readStream.schema(schema).parquet(tokens_dir)
     encode_stream(stream2, out, ckpt, num_groups=4).awaitTermination(120)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_encode_blob_sink(spark, tokens_dir, tmp_path):
+    """Sink-mode stream: batch parquet carries blob_path lineage, tasks
+    persist blobs under the sink, decode_blob_files restores parity."""
+    import glob
+    import os
+
+    from orc_format_spark import decode_blob_files
+
+    out = str(tmp_path / "blobs")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "store")
+    schema = spark.read.parquet(tokens_dir).schema
+    stream = spark.readStream.schema(schema).parquet(tokens_dir)
+    encode_stream(stream, out, ckpt, num_groups=4, blob_sink=sink).awaitTermination(120)
+    blobs = spark.read.parquet(out)
+    assert "blob_path" in blobs.columns and "blob" not in blobs.columns
+    files = glob.glob(os.path.join(sink, "batch_id=*", "group-*.ofs"))
+    assert len(files) == blobs.count() == 4
+    decoded = decode_blob_files(blobs, TOKENS_SCHEMA)
+    batch = spark.read.parquet(tokens_dir)
+    a = {(r.doc_id, tuple(r.tokens)) for r in decoded.collect()}
+    b = {(r.doc_id, tuple(r.tokens)) for r in batch.collect()}
+    assert a == b
