@@ -735,6 +735,14 @@ def _statable(t: pa.DataType) -> bool:
     )
 
 
+def _temporal_statable(t: pa.DataType) -> bool:
+    """Temporal types whose isoformat strings order chronologically:
+    tz-naive timestamps and date32. (The fractional-second suffix is the
+    only variable-width isoformat component and preserves order; tz-aware
+    values would not, so they are excluded.)"""
+    return (pa.types.is_timestamp(t) and t.tz is None) or pa.types.is_date32(t)
+
+
 def _chunk_stats(chunk: pa.Table, bloom_columns: list[str] | None = None) -> dict:
     """{col: [min, max]} over present values; [None, None] marks an
     all-null chunk (provably unmatchable by any comparison predicate);
@@ -746,7 +754,8 @@ def _chunk_stats(chunk: pa.Table, bloom_columns: list[str] | None = None) -> dic
 
     out = {}
     for name, col in zip(chunk.column_names, chunk.columns):
-        if not _statable(col.type):
+        temporal = _temporal_statable(col.type)
+        if not (_statable(col.type) or temporal):
             continue
         if col.null_count == len(col):
             out[name] = [None, None]
@@ -755,7 +764,13 @@ def _chunk_stats(chunk: pa.Table, bloom_columns: list[str] | None = None) -> dic
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         if isinstance(lo, float) and (lo != lo or hi != hi):  # NaN bounds
             continue
-        out[name] = [lo, hi]
+        if temporal:
+            # isoformat orders chronologically (see _temporal_statable);
+            # the dict form tags the entry so the prune test converts
+            # predicate values the same way
+            out[name] = {"t": "iso", "lo": lo.isoformat(), "hi": hi.isoformat()}
+        else:
+            out[name] = [lo, hi]
         if bloom_columns and name in bloom_columns and pa.types.is_integer(col.type):
             vals = pc.drop_null(col.combine_chunks()).cast(pa.int64()).to_numpy()
             out[f"{name}@bloom"] = bloom_to_b64(bloom_build(vals))
@@ -858,12 +873,31 @@ def _chunk_may_match(stats: dict | None, predicate: tuple) -> bool:
     row satisfies the predicate. Unknown stats -> True (decode it).
     Null rows never satisfy a comparison, so an all-null chunk
     ([None, None]) is provably unmatchable."""
+    import datetime
+
     col, op, val = predicate
     if stats is None or col not in stats:
         return True
-    lo, hi = stats[col]
-    if lo is None:  # all-null chunk
-        return False
+    entry = stats[col]
+    if isinstance(entry, dict):  # temporal entry: compare in iso domain
+        if entry.get("t") != "iso":
+            return True  # future tag: unknown, decode
+        lo, hi = entry["lo"], entry["hi"]
+        # the predicate value's class must match the bounds' domain
+        # (datetime bounds contain "T"); a cross-domain iso compare could
+        # wrongly prune, so fall back to decoding instead
+        if "T" in lo:
+            if not isinstance(val, datetime.datetime):
+                return True
+        elif not isinstance(val, datetime.date) or isinstance(
+            val, datetime.datetime
+        ):
+            return True
+        val = val.isoformat()
+    else:
+        lo, hi = entry
+        if lo is None:  # all-null chunk
+            return False
     try:
         if op == "==":
             if not lo <= val <= hi:
@@ -911,7 +945,7 @@ def decode_table(
     blob: bytes,
     columns: list[str] | None = None,
     rows: tuple[int, int] | None = None,
-    predicate: tuple | None = None,
+    predicate: tuple | list[tuple] | None = None,
 ) -> pa.Table:
     """Decode a blob; ``columns`` projects at the blob level (unwanted
     columns' streams are skipped without decompression), ``rows=(a, b)``
@@ -919,19 +953,27 @@ def decode_table(
     covering chunks are decompressed (the ORC row-index point-read path);
     on a v1 blob the slice is applied after a full decode.
 
-    ``predicate=(col, op, value)`` with op in ``== != < <= > >=``
-    returns exactly the matching rows; on a stats-bearing chunked blob
-    (engine >= 3.1) chunks whose min/max prove no match are skipped
-    without decompression — the reference's row-index-stats reader-side
-    skipping (data/common.rs:24-48), which its own reader never shipped.
-    ``predicate`` and ``rows`` are mutually exclusive (a row slice is
-    positional; filtering renumbers rows)."""
-    if predicate is not None and rows is not None:
+    ``predicate=(col, op, value)`` — or a list of such triples, ANDed —
+    with op in ``== != < <= > >=`` returns exactly the matching rows; on
+    a stats-bearing chunked blob (engine >= 3.1) chunks that any
+    conjunct's min/max (or Bloom bitset, for ``==``) proves unmatchable
+    are skipped without decompression — the reference's row-index-stats
+    reader-side skipping (data/common.rs:24-48), which its own reader
+    never shipped. ``predicate`` and ``rows`` are mutually exclusive (a
+    row slice is positional; filtering renumbers rows)."""
+    preds: list[tuple] | None = None
+    if predicate is not None:
+        preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
+        if not preds:
+            preds = None
+    if preds is not None and rows is not None:
         raise ValueError("decode_table: predicate and rows are mutually exclusive")
-    if predicate is not None and columns is not None and predicate[0] not in columns:
-        raise ValueError(
-            f"decode_table: predicate column {predicate[0]!r} must be in columns"
-        )
+    if preds is not None and columns is not None:
+        for pcol in (pr[0] for pr in preds):
+            if pcol not in columns:
+                raise ValueError(
+                    f"decode_table: predicate column {pcol!r} must be in columns"
+                )
     if blob[:4] == MAGIC2:
         if blob[4] not in _READ_VERSIONS2:
             raise ValueError(f"unsupported blob version {blob[4]}")
@@ -967,12 +1009,14 @@ def decode_table(
         body_pos = pos
         for k, (nr, blen) in enumerate(metas):
             wanted = off + nr > a and off < b
-            if wanted and predicate is not None:
-                wanted = _chunk_may_match(stats[k] if stats else None, predicate)
+            if wanted and preds is not None:
+                cs = stats[k] if stats else None
+                wanted = all(_chunk_may_match(cs, pr) for pr in preds)
             if wanted:
                 t = _decode_body(blob[body_pos : body_pos + blen], columns)
-                if predicate is not None:
-                    t = _apply_predicate(t, predicate)
+                if preds is not None:
+                    for pr in preds:
+                        t = _apply_predicate(t, pr)
                 else:
                     lo = max(a - off, 0)
                     hi = min(b - off, nr)
@@ -986,8 +1030,10 @@ def decode_table(
             return _decode_body(blob[pos : pos + blen0], columns).slice(0, 0)
         return pa.concat_tables(tables).combine_chunks()
     tbl = _decode_body(blob, columns)
-    if predicate is not None:
-        return _apply_predicate(tbl, predicate)
+    if preds is not None:
+        for pr in preds:
+            tbl = _apply_predicate(tbl, pr)
+        return tbl
     if rows is not None:
         a = max(0, min(rows[0], tbl.num_rows))
         b = max(a, min(rows[1], tbl.num_rows))

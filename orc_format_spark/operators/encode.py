@@ -247,7 +247,7 @@ def decode_blobs(
     schema: str,
     columns: list[str] | None = None,
     rows: tuple[int, int] | None = None,
-    predicate: tuple | None = None,
+    predicate: tuple | list[tuple] | None = None,
 ) -> DataFrame:
     """Decode blob rows back into the original table shape.
 
@@ -283,7 +283,7 @@ def decode_blob_files(
     schema: str,
     columns: list[str] | None = None,
     rows: tuple[int, int] | None = None,
-    predicate: tuple | None = None,
+    predicate: tuple | list[tuple] | None = None,
 ) -> DataFrame:
     """Decode sink-written blob rows (``blob_path`` column, from
     ``encode_splits(blob_sink=...)``) back into the original table shape.

@@ -173,7 +173,7 @@ def read_encoded(
     schema: str,
     columns: list[str] | None = None,
     rows: tuple[int, int] | None = None,
-    predicate: tuple | None = None,
+    predicate: tuple | list[tuple] | None = None,
 ) -> DataFrame:
     """Read a `run_encode_job` output back as the original table shape —
     the reader half of the writer/finish API (the reference never shipped

@@ -228,3 +228,62 @@ def test_bloom_prunes_unclustered_equality(monkeypatch):
     hit = int(ids[123])
     out = decode_table(blob, predicate=("doc", "==", hit))
     assert out.column("doc").to_pylist() == [hit]
+
+
+# ------------------------------------------------- temporal + AND
+
+
+def test_temporal_stats_prune_and_filter(monkeypatch):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(hours=i) for i in range(100)]
+    d = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(100)]
+    tbl = pa.table(
+        {
+            "k": pa.array(list(range(100)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "d": pa.array(d, pa.date32()),
+        }
+    )
+    blob, _ = encode_table(tbl, stride=10)
+    calls = []
+    orig = container._decode_body
+
+    def spy(body, columns=None):
+        calls.append(1)
+        return orig(body, columns)
+
+    monkeypatch.setattr(container, "_decode_body", spy)
+    cut = base + dt.timedelta(hours=90)
+    out = decode_table(blob, predicate=("ts", ">=", cut))
+    assert out.num_rows == 10
+    assert len(calls) == 1  # only the last chunk decoded
+    calls.clear()
+    out = decode_table(blob, predicate=("d", "<", dt.date(2024, 1, 11)))
+    assert out.num_rows == 10
+    assert len(calls) == 1
+    # cross-domain value (datetime vs date column) is exercised implicitly; plain int pred still exact
+    calls.clear()
+    out = decode_table(blob, predicate=("k", "==", 5))
+    assert out.num_rows == 1
+
+
+def test_and_predicates(monkeypatch):
+    tbl = _sorted_tbl(100)
+    blob, _ = encode_table(tbl, stride=10)
+    out = decode_table(blob, predicate=[("k", ">=", 20), ("k", "<", 40), ("b", "==", True)])
+    assert out.column("k").to_pylist() == list(range(20, 40, 2))
+    # pruning intersects conjuncts: only chunks [20,30) and [30,40)
+    calls = []
+    orig = container._decode_body
+
+    def spy(body, columns=None):
+        calls.append(1)
+        return orig(body, columns)
+
+    monkeypatch.setattr(container, "_decode_body", spy)
+    decode_table(blob, predicate=[("k", ">=", 20), ("k", "<", 40)])
+    assert len(calls) == 2
+    # empty list behaves like no predicate
+    assert decode_table(blob, predicate=[]).num_rows == 100
