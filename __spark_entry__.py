@@ -227,7 +227,7 @@ def q_predicate_decode(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_quantity"
     )
     blobs = encode_groups(
-        li, num_groups=4, key_col="l_orderkey", row_index_stride=1000
+        li, num_groups=4, key_col="l_orderkey", row_index_stride=2500
     )
     return decode_blobs(
         blobs,
@@ -253,7 +253,7 @@ def q_bloom_filter_decode(spark, sf_dir):
         li,
         num_groups=4,
         key_col="l_orderkey",
-        row_index_stride=1000,
+        row_index_stride=2500,
         bloom_columns=["l_partkey"],
     )
     return decode_blobs(
@@ -698,23 +698,28 @@ def q_compact_roundtrip(spark, sf_dir):
     """Blob compaction (small-stripes maintenance): 16 small blobs ->
     first-fit packed target-size blobs, one compressed-payload shuffle,
     fresh codec re-selection per merged stripe. Lossless: the compacted
-    set decodes to exactly the original documents."""
-    from orc_format_spark import (
-        TOKENS_SCHEMA,
-        compact_blobs,
-        decode_blobs,
-        detokenize,
-        encode_groups,
-        tokenize_documents,
-    )
+    set decodes to exactly the original rows."""
+    from orc_format_spark import compact_blobs, decode_blobs, encode_groups
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = tokenize_documents(docs)
-    small = encode_groups(toks, num_groups=16, key_col="doc_id", size_col="n_tok")
-    compacted = compact_blobs(small, target_values=200_000)
-    return detokenize(decode_blobs(compacted, TOKENS_SCHEMA)).select(
-        "doc_id", "text"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
     )
+    # compaction's real-world input is MATERIALIZED blobs (a stored blob
+    # table whose packing pass reads only lineage columns); persist()
+    # stands in for that here so the two passes — metadata packing and
+    # payload merge — don't re-run the upstream encode
+    small = encode_groups(li, num_groups=16, key_col="l_orderkey").persist()
+    try:
+        total = sum(r.n_values for r in small.select("n_values").collect())
+        compacted = compact_blobs(small, target_values=total // 4 + 1)
+        out = decode_blobs(
+            compacted, "l_orderkey bigint, l_linenumber int, l_quantity double"
+        )
+        out = out.cache()
+        out.count()  # materialize before the input cache is dropped
+        return out
+    finally:
+        small.unpersist()
 
 
 def q_sink_encode_roundtrip(spark, sf_dir):
@@ -972,7 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "iceberg_manifest_scan": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "sink_encode_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
-        "compact_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+        "compact_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
         "rle_v2_roundtrip": "SELECT o_orderkey, o_custkey FROM orders",
         "for_bitpack_roundtrip": "SELECT c_custkey, c_nationkey FROM customer",
         "dict_roundtrip": "SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus FROM lineitem",

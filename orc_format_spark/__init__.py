@@ -20,6 +20,7 @@ from .operators.encode import (
     decode_blobs,
     encode_groups,
     encode_groups_staged,
+    verify_blob_files,
     verify_blobs,
 )
 from .operators.compact import compact_blobs, plan_compaction
@@ -67,6 +68,7 @@ __all__ = [
     "read_metrics",
     "run_encode_job",
     "tokenize_documents",
+    "verify_blob_files",
     "verify_blobs",
     "with_group_id",
 ]

@@ -305,6 +305,40 @@ def decode_blob_files(
     return blobs.select("blob_path").mapInArrow(fn, schema)
 
 
+def verify_blob_files(blobs: DataFrame) -> DataFrame:
+    """Per-blob roundtrip verification for sink-written rows
+    (``blob_path``): each worker re-opens its blob files, decodes, and
+    compares checksums — same contract as ``verify_blobs``."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        limit_worker_threads()
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            gids = t.column("group_id").to_pylist()
+            sums = t.column("checksum").to_pylist()
+            paths = t.column("blob_path").to_pylist()
+            out_ok = []
+            out_sum = []
+            for cs, path in zip(sums, paths):
+                with open(path, "rb") as f:
+                    ds = table_checksum(decode_table(f.read()))
+                out_sum.append(ds)
+                out_ok.append(ds == cs)
+            yield pa.record_batch(
+                [
+                    pa.array(gids, pa.int64()),
+                    pa.array(out_ok, pa.bool_()),
+                    pa.array(sums, pa.string()),
+                    pa.array(out_sum, pa.string()),
+                ],
+                names=["group_id", "ok", "checksum", "checksum_decoded"],
+            )
+
+    return blobs.select("group_id", "checksum", "blob_path").mapInArrow(
+        fn, "group_id long, ok boolean, checksum string, checksum_decoded string"
+    )
+
+
 def verify_blobs(blobs: DataFrame) -> DataFrame:
     """Per-blob roundtrip verification: decode and compare checksums."""
 

@@ -406,6 +406,21 @@ def _read_manifest_list(snapshot: dict) -> list[dict]:
     return records
 
 
+def snapshot_as_of(table_dir: str, ts_ms: int) -> int | None:
+    """Time travel: the snapshot current at ``ts_ms`` (latest snapshot-log
+    entry with timestamp-ms <= ts_ms), or None if the table had no
+    snapshot yet. Pass the result as ``snapshot_id=`` to
+    ``list_data_files`` / ``list_iceberg_splits_meta``."""
+    md = read_table_metadata(table_dir)
+    best = None
+    for e in md.get("snapshot-log", []):
+        if e["timestamp-ms"] <= ts_ms and (
+            best is None or e["timestamp-ms"] > best["timestamp-ms"]
+        ):
+            best = e
+    return best["snapshot-id"] if best else None
+
+
 def list_data_files(
     table_dir: str, snapshot_id: int | None = None
 ) -> list[tuple[str, int]]:

@@ -230,3 +230,19 @@ def test_job_metrics_iceberg_commits(spark, tmp_path):
     run_encode_job(spark, toks, out, num_groups=6, waves=3)
     assert im._current_version(mdir) == v_before
     assert len(im.read_table_metadata(mdir)["snapshots"]) == 3
+
+
+def test_snapshot_as_of_time_travel(tmp_path):
+    f1 = _tokens_file(str(tmp_path / "a.parquet"), 0, 10)
+    f2 = _tokens_file(str(tmp_path / "b.parquet"), 10, 10)
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, TOKENS_PA, ts_ms=1_000)
+    s1 = im.append_snapshot(tdir, [f1], ts_ms=2_000)
+    s2 = im.append_snapshot(tdir, [f2], ts_ms=5_000)
+    assert im.snapshot_as_of(tdir, 999) is None  # before first commit
+    assert im.snapshot_as_of(tdir, 2_000) == s1
+    assert im.snapshot_as_of(tdir, 4_999) == s1
+    assert im.snapshot_as_of(tdir, 5_000) == s2
+    assert im.snapshot_as_of(tdir, 10**12) == s2
+    sid = im.snapshot_as_of(tdir, 3_000)
+    assert [p for p, _ in im.list_data_files(tdir, snapshot_id=sid)] == [f1]

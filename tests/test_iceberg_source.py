@@ -67,3 +67,32 @@ def test_blob_sink_roundtrip(spark, tmp_path):
     for r in rows:
         with open(r.blob_path, "rb") as f:
             assert f.read() == ferry[r.group_id]
+
+
+def test_verify_blob_files(spark, tmp_path):
+    from orc_format_spark import tokenize_documents, verify_blob_files
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "toks")
+    tokenize_documents(docs).repartition(2).write.parquet(src)
+    lineage = encode_splits(
+        spark, list_parquet_splits(src), blob_sink=str(tmp_path / "sink")
+    ).collect()
+    # materialized lineage: re-verification must NOT re-run the encode
+    # (a lazy plan would rewrite the sink and mask corruption)
+    blobs = spark.createDataFrame(lineage)
+    ver = verify_blob_files(blobs)
+    rows = ver.collect()
+    assert len(rows) >= 2 and all(r.ok for r in rows)
+    # corrupt one blob file -> its checksum must fail loudly, not silently
+    victim = lineage[0].blob_path
+    raw = bytearray(open(victim, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(raw))
+    import pyspark.errors
+
+    try:
+        bad = verify_blob_files(blobs).collect()
+        assert not all(r.ok for r in bad)
+    except pyspark.errors.PySparkException:
+        pass  # a corrupted stream may also fail decode outright — acceptable
