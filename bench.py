@@ -275,6 +275,23 @@ def run_encode(spark, sf_dir: str, split_only: bool | None = None):
     )
     dt_g = time.monotonic() - t1
 
+    # grouped path with the blob sink: the shuffle (raw rows to their
+    # group) remains, but the encoded payload no longer ferries back
+    gsink = sink + "_grouped"
+    t2 = time.monotonic()
+    _agg_blobs(
+        encode_groups(
+            toks,
+            num_groups=NUM_GROUPS,
+            codec="auto",
+            key_col="doc_id",
+            size_col="n_tok",
+            blob_sink=gsink,
+        )
+    )
+    dt_gs = time.monotonic() - t2
+    shutil.rmtree(gsink, ignore_errors=True)
+
     # reference mode: the reference writer's fixed encodings (RLEv1 ints,
     # raw strings, zstd-3) — the compressed-size baseline auto must beat
     agg_r = sink_pass(codec="reference")
@@ -282,6 +299,7 @@ def run_encode(spark, sf_dir: str, split_only: bool | None = None):
     out.update(
         {
             "grouped_encode_sec": round(dt_g, 3),
+            "grouped_sink_encode_sec": round(dt_gs, 3),
             "grouped_tokens_per_sec": round(int(agg_g["n_values"]) / dt_g),
             "reference_output_bytes": int(agg_r["output_bytes"]),
             "reference_bytes_per_token": round(int(agg_r["output_bytes"]) / n_tok, 4),
