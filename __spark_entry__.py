@@ -180,6 +180,50 @@ def q_string_raw_roundtrip(spark, sf_dir):
     return _roundtrip(ev, "event_id")
 
 
+def q_zlib_roundtrip(spark, sf_dir):
+    """Zlib block compression (the proto's ZLIB kind, orc_proto.proto:17)
+    through a full encode->decode."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_retailprice"
+    )
+    return _roundtrip(p, "p_partkey", compression="zlib")
+
+
+def q_lz4_roundtrip(spark, sf_dir):
+    """LZ4 block compression (the proto's LZ4 kind, orc_proto.proto:20)
+    through a full encode->decode."""
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    return _roundtrip(s, "s_suppkey", compression="lz4")
+
+
+def q_cshuffle_encode_roundtrip(spark, sf_dir):
+    """Compressed-shuffle grouped encode (encode_groups(shuffle=
+    "compressed")): map-side chunklet encode, exchange carries only
+    compressed bytes (~1/30th of the raw-row wire cost — the cluster
+    default for re-clustering jobs at 100 TB), per-group merge +
+    re-encode. Blobs are byte-identical to the row-shuffle path
+    (tests/test_spark_engine.py), so the pipeline roundtrips to the
+    original documents."""
+    from orc_format_spark import (
+        TOKENS_SCHEMA,
+        decode_blobs,
+        detokenize,
+        encode_groups,
+        tokenize_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokenize_documents(docs)
+    blobs = encode_groups(
+        toks, num_groups=8, key_col="doc_id", size_col="n_tok",
+        shuffle="compressed",
+    )
+    decoded = decode_blobs(blobs, TOKENS_SCHEMA)
+    return detokenize(decoded).select("doc_id", "text")
+
+
 def q_snappy_roundtrip(spark, sf_dir):
     """C3 block compression (snappy, 262144-byte blocks, store-original
     fallback — reference snappy.rs:14, compression.rs:146-163) through a
@@ -908,6 +952,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_roundtrip": q_composite_roundtrip,
         "snappy_roundtrip": q_snappy_roundtrip,
         "uncompressed_roundtrip": q_uncompressed_roundtrip,
+        "zlib_roundtrip": q_zlib_roundtrip,
+        "lz4_roundtrip": q_lz4_roundtrip,
+        "cshuffle_encode_roundtrip": q_cshuffle_encode_roundtrip,
         "projection_decode": q_projection_decode,
         "predicate_decode": q_predicate_decode,
         "bloom_filter_decode": q_bloom_filter_decode,
@@ -1041,6 +1088,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "uncompressed_roundtrip": (
             "SELECT c_custkey, c_name, c_acctbal FROM customer"
+        ),
+        "zlib_roundtrip": (
+            "SELECT p_partkey, p_brand, p_retailprice FROM part"
+        ),
+        "lz4_roundtrip": (
+            "SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier"
+        ),
+        "cshuffle_encode_roundtrip": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
         ),
         "projection_decode": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "

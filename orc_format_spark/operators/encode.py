@@ -21,6 +21,7 @@ import json
 from collections.abc import Iterator
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame
 
@@ -44,6 +45,57 @@ BLOB_SCHEMA = (
 BLOB_FILE_SCHEMA = BLOB_SCHEMA.replace("blob binary", "blob_path string")
 
 
+def _finish_group(
+    gid: int,
+    data: pa.Table,
+    codec,
+    compression: str,
+    row_index_stride,
+    bloom_columns,
+    blob_sink,
+) -> pa.Table:
+    """Encode one group's (already sorted) rows into its blob + lineage
+    row — the shared tail of every grouped-encode strategy, so row-,
+    compressed-, and staged-shuffle paths emit byte-identical blobs."""
+    blob, lineage = encode_table(
+        data,
+        codec=codec,
+        compression=compression,
+        stride=row_index_stride,
+        bloom_columns=bloom_columns,
+    )
+    leaf = [l for l in lineage if l["codec"] != "list"]
+    n_values = sum(l["n_present"] for l in leaf)
+    input_bytes = sum(l["input_bytes"] for l in lineage)
+    codecs = {l["column"]: l["codec"] for l in lineage}
+    if blob_sink is not None:
+        import os
+
+        dest = os.path.join(blob_sink, f"group-{gid:08d}.ofs")
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as out:
+            out.write(blob)
+        os.replace(tmp, dest)
+        payload = pa.array([dest], pa.string())
+        pname = "blob_path"
+    else:
+        payload = pa.array([blob], pa.binary())
+        pname = "blob"
+    return pa.table(
+        {
+            "group_id": pa.array([gid], pa.int64()),
+            "n_rows": pa.array([data.num_rows], pa.int64()),
+            "n_values": pa.array([n_values], pa.int64()),
+            "input_bytes": pa.array([input_bytes], pa.int64()),
+            "output_bytes": pa.array([len(blob)], pa.int64()),
+            "checksum": pa.array([table_checksum(data)], pa.string()),
+            "codecs": pa.array([json.dumps(codecs, sort_keys=True)], pa.string()),
+            "lineage": pa.array([json.dumps(lineage, sort_keys=True)], pa.string()),
+            pname: payload,
+        }
+    )
+
+
 def encode_groups(
     df: DataFrame,
     num_groups: int | None = None,
@@ -54,6 +106,7 @@ def encode_groups(
     row_index_stride: int | None = DEFAULT_ROW_INDEX_STRIDE,
     blob_sink: str | None = None,
     bloom_columns: list[str] | None = None,
+    shuffle: str = "rows",
 ) -> DataFrame:
     """Encode a DataFrame into per-group blobs + lineage.
 
@@ -65,11 +118,27 @@ def encode_groups(
     ``<sink>/group-<id>.ofs`` itself (atomic, deterministic name) and
     the returned row carries ``blob_path`` instead of ``blob`` — the
     encoded payload then never crosses the Python->JVM Arrow socket
-    (measured to dominate wall time at high core counts). The input
-    payload still pays the groupBy shuffle, which is the price of
-    re-clustering by key; when clustering is not required use
-    ``encode_parquet_splits`` (zero movement on both sides).
+    (measured to dominate wall time at high core counts).
+
+    ``shuffle`` picks how the re-clustering exchange moves the payload:
+
+    - ``"rows"``: the groupBy shuffles raw rows (UnsafeRow) — one
+      exchange, encode after. Simple, but token arrays cost ~8 B/token
+      on the wire.
+    - ``"compressed"``: two-phase. Each input partition first encodes
+      its rows per group into transient chunklet blobs map-side (no
+      exchange yet), the exchange then moves only COMPRESSED bytes
+      (~0.28 B/token here, a ~30x wire reduction), and each group's
+      task decodes its chunklets, re-sorts, and re-encodes the final
+      blob with full codec auto-selection. Output blobs, checksums,
+      and lineage are byte-identical to ``"rows"`` (asserted in
+      tests/test_spark_engine.py). CPU pays one extra cheap
+      encode+decode; the network pays ~1/30th — at 100 TB the shuffle
+      wire/spill cost dominates any re-clustering job, so this is the
+      cluster-default path.
     """
+    if shuffle not in ("rows", "compressed"):
+        raise ValueError(f"unknown shuffle strategy: {shuffle!r}")
     if "group_id" not in df.columns:
         if num_groups is None:
             num_groups = max(1, df.rdd.getNumPartitions())
@@ -81,50 +150,122 @@ def encode_groups(
 
         os.makedirs(blob_sink, exist_ok=True)
 
+    if shuffle == "compressed":
+        return _encode_groups_compressed(
+            df,
+            codec=codec,
+            compression=compression,
+            sort_key=sort_key,
+            row_index_stride=row_index_stride,
+            blob_sink=blob_sink,
+            bloom_columns=bloom_columns,
+        )
+
     def fn(tbl: pa.Table) -> pa.Table:
         limit_worker_threads()
         gid = tbl.column("group_id")[0].as_py() if tbl.num_rows else -1
         data = tbl.drop_columns(["group_id"]).sort_by(sort_key)
-        blob, lineage = encode_table(
-            data,
-            codec=codec,
-            compression=compression,
-            stride=row_index_stride,
-            bloom_columns=bloom_columns,
-        )
-        leaf = [l for l in lineage if l["codec"] != "list"]
-        n_values = sum(l["n_present"] for l in leaf)
-        input_bytes = sum(l["input_bytes"] for l in lineage)
-        codecs = {l["column"]: l["codec"] for l in lineage}
-        if blob_sink is not None:
-            import os
-
-            dest = os.path.join(blob_sink, f"group-{gid:08d}.ofs")
-            tmp = f"{dest}.tmp.{os.getpid()}"
-            with open(tmp, "wb") as out:
-                out.write(blob)
-            os.replace(tmp, dest)
-            payload = pa.array([dest], pa.string())
-            pname = "blob_path"
-        else:
-            payload = pa.array([blob], pa.binary())
-            pname = "blob"
-        return pa.table(
-            {
-                "group_id": pa.array([gid], pa.int64()),
-                "n_rows": pa.array([data.num_rows], pa.int64()),
-                "n_values": pa.array([n_values], pa.int64()),
-                "input_bytes": pa.array([input_bytes], pa.int64()),
-                "output_bytes": pa.array([len(blob)], pa.int64()),
-                "checksum": pa.array([table_checksum(data)], pa.string()),
-                "codecs": pa.array([json.dumps(codecs, sort_keys=True)], pa.string()),
-                "lineage": pa.array([json.dumps(lineage, sort_keys=True)], pa.string()),
-                pname: payload,
-            }
+        return _finish_group(
+            gid, data, codec, compression, row_index_stride, bloom_columns,
+            blob_sink,
         )
 
     return df.groupBy("group_id").applyInArrow(
         fn, BLOB_FILE_SCHEMA if blob_sink is not None else BLOB_SCHEMA
+    )
+
+
+# flush threshold for map-side chunklet accumulation: big enough that
+# per-chunklet codec/compression overhead amortizes, small enough that a
+# task never holds more than ~one parquet row group of raw rows
+_CHUNKLET_FLUSH_BYTES = 128 * 1024 * 1024
+
+
+def _encode_groups_compressed(
+    df: DataFrame,
+    codec,
+    compression: str,
+    sort_key: str,
+    row_index_stride,
+    blob_sink,
+    bloom_columns,
+) -> DataFrame:
+    """Two-phase grouped encode: map-side per-(partition, group)
+    chunklet encode -> compressed-byte exchange -> per-group merge +
+    final encode. See ``encode_groups(shuffle="compressed")``.
+
+    The chunklet is a plain container blob (stride=None, no bloom) —
+    transient wire format only; the final blob is re-encoded from the
+    merged, re-sorted rows so every strategy emits identical bytes.
+    The same move powers ``compact_blobs`` (operators/compact.py): at
+    scale, bytes on the exchange wire are the budget, so ship them
+    encoded.
+    """
+
+    def enc_parts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        limit_worker_threads()
+        pend: list[pa.RecordBatch] = []
+        pend_bytes = 0
+
+        def flush():
+            nonlocal pend, pend_bytes
+            if not pend:
+                return
+            tbl = pa.Table.from_batches(pend)
+            pend, pend_bytes = [], 0
+            gids = tbl.column("group_id")
+            # ship Spark's exact Arrow schema with each chunklet: the
+            # container's decode reconstructs types from type STRINGS,
+            # which loses nested field-name conventions (Spark names a
+            # list child "element", pyarrow defaults to "item"); the
+            # merge side casts back so final blobs match the row path
+            # byte-for-byte
+            aschema = (
+                tbl.drop_columns(["group_id"]).schema.serialize().to_pybytes()
+            )
+            for gid in pc.unique(gids).to_pylist():
+                sub = tbl.filter(pc.equal(gids, gid)).drop_columns(
+                    ["group_id"]
+                )
+                # cheap transient encode: auto codec, no stride/bloom
+                blob, _ = encode_table(sub, codec=codec, compression=compression)
+                yield pa.record_batch(
+                    [
+                        pa.array([gid], pa.int64()),
+                        pa.array([blob], pa.binary()),
+                        pa.array([aschema], pa.binary()),
+                    ],
+                    names=["group_id", "part", "aschema"],
+                )
+
+        for batch in batches:
+            pend.append(batch)
+            pend_bytes += batch.nbytes
+            if pend_bytes >= _CHUNKLET_FLUSH_BYTES:
+                yield from flush()
+        yield from flush()
+
+    parts = df.mapInArrow(
+        enc_parts, "group_id long, part binary, aschema binary"
+    )
+
+    def merge_fn(tbl: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        gid = tbl.column("group_id")[0].as_py() if tbl.num_rows else -1
+        target = pa.ipc.read_schema(
+            pa.BufferReader(tbl.column("aschema")[0].as_py())
+        )
+        chunks = [
+            decode_table(v.as_py()).cast(target) for v in tbl.column("part")
+        ]
+        data = pa.concat_tables(chunks).combine_chunks().sort_by(sort_key)
+        return _finish_group(
+            gid, data, codec, compression, row_index_stride, bloom_columns,
+            blob_sink,
+        )
+
+    return parts.groupBy("group_id").applyInArrow(
+        merge_fn, BLOB_FILE_SCHEMA if blob_sink is not None else BLOB_SCHEMA
     )
 
 
