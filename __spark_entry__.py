@@ -649,6 +649,18 @@ def q_ann_lsh(spark, sf_dir):
     return lsh_bucketed_topk(emb, k=5, n_queries=10, sign_dims=8, n_tables=4)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF (inverted-file) approximate top-k: deterministic stride-
+    sampled centroids (k-means stand-in), map-side max-cosine list
+    assignment, 3-probe search. The second ANN scale path next to LSH
+    buckets; fully deterministic, so the DuckDB oracle replicates
+    lists, probes, candidates, scores, and ranks exactly."""
+    from orc_format_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, k=5, n_queries=10, centroid_stride=59, nprobe=3)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary payload -> feature vectors via Arrow-batched mapInArrow;
     the feature array is serialized to a CSV string so the driver's
@@ -982,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
     }
@@ -996,6 +1009,7 @@ def oracle_sql() -> dict[str, str]:
     from orc_format_spark.functions.multimodal import extract_features_sql
     from orc_format_spark.functions.similarity import (
         brute_force_topk_sql,
+        ivf_topk_sql,
         lsh_bucketed_topk_sql,
         near_duplicate_pairs_sql,
     )
@@ -1198,6 +1212,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": near_duplicate_pairs_sql(threshold_e6=300000, max_id=300),
         "ann_topk": brute_force_topk_sql(k=5, n_queries=10),
         "ann_lsh": lsh_bucketed_topk_sql(k=5, n_queries=10, sign_dims=8, n_tables=4),
+        "ann_ivf": ivf_topk_sql(k=5, n_queries=10, centroid_stride=59, nprobe=3),
         "multimodal_features": extract_features_sql(),
         "frame_sample": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "

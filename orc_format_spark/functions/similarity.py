@@ -328,3 +328,152 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_e6")
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 10,
+    centroid_stride: int = 37,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index — the second
+    ANN scale path next to :func:`lsh_bucketed_topk`.
+
+    Index build: every ``centroid_stride``-th vector (id % stride == 0)
+    is a centroid — a deterministic stand-in for a k-means training run
+    (at real scale you'd train centroids offline and broadcast them; the
+    assignment/probing plan below is unchanged either way). Each corpus
+    vector is assigned to its max-cosine centroid (tie -> lowest centroid
+    id). Search: a query probes its ``nprobe`` nearest centroids' lists
+    and brute-forces only those lists.
+
+    Scale shape: the centroid set is metadata-sized (O(corpus/stride)
+    here, O(sqrt(corpus)) under k-means), so it is collected once and
+    inlined as literals — the assignment pass is then PURE MAP-SIDE
+    (no join, no shuffle; one window at the end ranks (queries x
+    candidates) rows only). Probing touches ~nprobe/n_lists of the
+    corpus instead of all of it. Fully deterministic -> exactly
+    reproduced by :func:`ivf_topk_sql` (same floor/sqrt operand order
+    as every other cosine here)."""
+    corpus = _with_quant(emb, id_col, vec_col).filter(F.col("norm2") > 0)
+    cents = sorted(
+        (r[0], r[1], r[2])
+        for r in corpus.filter(
+            (F.col(id_col) % centroid_stride) == 0
+        ).collect()
+    )
+    if not cents:
+        raise ValueError("no centroids: corpus has no id % stride == 0 rows")
+
+    def aff(cq: list, cnorm2: int) -> Column:
+        lit_q = F.array(*[F.lit(int(v)).cast("long") for v in cq])
+        return cosine_e6(
+            F.col("q"), lit_q, F.col("norm2"), F.lit(int(cnorm2)).cast("long")
+        )
+
+    # struct(aff, -cent_id): sort_array desc then ranks aff DESC,
+    # cent_id ASC on ties (larger negated id == smaller id)
+    affs = F.array(
+        *[
+            F.struct(
+                aff(cq, cn).alias("aff"),
+                F.lit(-cid).cast("long").alias("nid"),
+            )
+            for cid, cq, cn in cents
+        ]
+    )
+    ranked = F.sort_array(affs, asc=False)
+    assigned = corpus.withColumn(
+        "list_id", -F.element_at(ranked, 1)["nid"]
+    ).withColumn(
+        "probes",
+        F.transform(F.slice(ranked, 1, nprobe), lambda s: -s["nid"]),
+    )
+    queries = (
+        assigned.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("norm2").alias("qnorm2"),
+            F.explode("probes").alias("probe"),
+        )
+    )
+    scored = (
+        assigned.select(id_col, "q", "norm2", "list_id")
+        .join(F.broadcast(queries), F.col("list_id") == F.col("probe"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine_e6(
+                F.col("qq"), F.col("q"), F.col("qnorm2"), F.col("norm2")
+            ).alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_e6")
+    )
+
+
+def ivf_topk_sql(
+    k: int = 5,
+    n_queries: int = 10,
+    centroid_stride: int = 37,
+    nprobe: int = 4,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for :func:`ivf_topk` — same centroid selection,
+    assignment argmax (aff DESC, cent_id ASC), probe ranking, and
+    cosine operand order, so lists, candidates, scores, and ranks all
+    match exactly."""
+    quant = (
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+    )
+    cos = (
+        "CAST(floor("
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)])) "
+        "/ (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))) "
+        "* 1000000.0) AS BIGINT)"
+    )
+    aff = cos.format(a="n.qv", b="c.cq", na="n.norm2", nb="c.cnorm2")
+    score = cos.format(a="q.qq", b="v.qv", na="q.qnorm2", nb="v.norm2")
+    return f"""
+WITH n AS (
+  SELECT vec_id, {quant} AS qv,
+         list_sum(list_transform({quant}, x -> x * x)) AS norm2
+  FROM {table}
+), nn AS (
+  SELECT * FROM n WHERE norm2 > 0
+), c AS (
+  SELECT vec_id AS cent_id, qv AS cq, norm2 AS cnorm2
+  FROM nn WHERE vec_id % {centroid_stride} = 0
+), aff AS (
+  SELECT n.vec_id, n.qv, n.norm2, c.cent_id, {aff} AS aff,
+         row_number() OVER (PARTITION BY n.vec_id
+                            ORDER BY {aff} DESC, c.cent_id) AS arank
+  FROM nn n CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, qv, norm2, cent_id AS list_id FROM aff WHERE arank = 1
+), q AS (
+  SELECT vec_id AS query_id, qv AS qq, norm2 AS qnorm2, cent_id AS probe
+  FROM aff WHERE vec_id < {n_queries} AND arank <= {nprobe}
+), scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id, {score} AS cos_e6
+  FROM assigned v JOIN q
+    ON v.list_id = q.probe AND v.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY cos_e6 DESC, neighbor_id) AS INT) AS rank, cos_e6
+FROM scored
+QUALIFY rank <= {k}
+"""

@@ -105,3 +105,39 @@ def test_auto_sign_dims_scaling():
     # floors: tiny corpora and tiny vectors never go below 4 bits
     assert auto_sign_dims(10, 256, n_tables=4) == 4
     assert auto_sign_dims(10**9, 8, n_tables=4) == 4
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """IVF with nprobe >= n_lists degenerates to exact search: probing
+    every list makes the candidate set the whole corpus, so the top-k
+    must equal brute force bit-for-bit. (The approximate regime only
+    drops candidates, never re-scores them.)"""
+    from orc_format_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # stride 97 over 500 ids -> 6 centroids; nprobe=6 probes all lists
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_e6)
+        for r in brute_force_topk(emb, k=5, n_queries=8).collect()
+    }
+    ivf = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_e6)
+        for r in ivf_topk(
+            emb, k=5, n_queries=8, centroid_stride=97, nprobe=6
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_probe_bounds_candidates(spark):
+    """With nprobe=1 each query scores only its single probed list —
+    the candidate count per query must be bounded by the largest list,
+    not the corpus."""
+    from orc_format_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = ivf_topk(emb, k=1000, n_queries=4, centroid_stride=97, nprobe=1)
+    per_q = {r.query_id: r["cnt"] for r in out.groupBy("query_id").agg(
+        F.count("*").alias("cnt")).collect()}
+    n = emb.count()
+    assert per_q and all(c < n for c in per_q.values())
