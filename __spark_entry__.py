@@ -604,8 +604,13 @@ def q_minhash_lsh(spark, sf_dir):
     against a SQL oracle (production default stays xxhash64)."""
     from orc_format_spark.functions.dedup import lsh_candidate_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
-        F.col("doc_id") < 200
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        # the filter collapses the scan to ~1 partition; spread the
+        # expression-heavy signature stage across cores (at production
+        # scale the unfiltered corpus arrives already partitioned)
+        .repartition(32, "doc_id")
     )
     return lsh_candidate_pairs(docs, n=4, num_perm=32, bands=8, hasher="md5")
 
@@ -616,8 +621,10 @@ def q_simhash(spark, sf_dir):
     band join are oracle-checked."""
     from orc_format_spark.functions.dedup import simhash_near_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
-        F.col("doc_id") < 200
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .repartition(32, "doc_id")  # see q_minhash_lsh
     )
     return simhash_near_pairs(docs, n=4, max_hamming=10, hasher="md5")
 

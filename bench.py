@@ -66,8 +66,10 @@ HEADLINE = [
     "exact_dedup",
     "ngram_jaccard",
     "ann_topk",
+    "ann_ivf",
     "embedding_neardup",
     "multimodal_features",
+    "cshuffle_encode_roundtrip",
 ]
 
 
