@@ -860,6 +860,60 @@ def pa_schema_select(schema, names):
     return pa.schema([schema.field(n) for n in names])
 
 
+def q_iceberg_partition_scan(spark, sf_dir):
+    """Partition-pruned Iceberg scan driven for real: documents are
+    committed as a source-partitioned Iceberg table (one commit — hence
+    one manifest — per source), then ONE partition is encoded/decoded
+    through ``partition_filter=``. The two-level prune is asserted in
+    place: exactly one of the 20 manifests may be opened (scan_stats),
+    so the driver row match also certifies that pruning, not a full
+    scan, produced the rows. Table build is test scaffolding — at
+    production scale the partitioned table already exists and only the
+    pruned scan runs."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    from orc_format_spark import decode_blobs
+    from orc_format_spark.sources import iceberg_meta as im
+    from orc_format_spark.sources.iceberg import encode_iceberg_splits
+
+    work = tempfile.mkdtemp(prefix="ofs_icepart_")
+    try:
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"])
+        im.create_table(
+            work,
+            pa_schema_select(tbl.schema, ["doc_id", "text", "source"]),
+            partition_spec=[("source", "identity")],
+        )
+        sources = sorted(set(tbl.column("source").to_pylist()))
+        for src in sources:
+            part = tbl.filter(pc.equal(tbl.column("source"), src)).select(
+                ["doc_id", "text"]
+            )
+            path = f"{work}/{src}.parquet"
+            pq.write_table(part, path, row_group_size=100)
+            im.append_snapshot(work, [(path, {"source": src})], commit_key=src)
+        stats: dict = {}
+        im.list_data_files(work, partition_filter={"source": "src7"}, scan_stats=stats)
+        if stats["manifests_opened"] != 1 or stats["manifests_total"] != len(sources):
+            raise AssertionError(f"manifest prune did not engage: {stats}")
+        blobs = encode_iceberg_splits(
+            spark,
+            work,
+            columns=["doc_id", "text"],
+            partition_filter={"source": "src7"},
+        )
+        out = decode_blobs(blobs, "doc_id bigint, text string")
+        out = out.cache()
+        out.count()  # materialize before the table dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_stream_window_stats(spark, sf_dir):
     """Structured Streaming watermarked window aggregation (availableNow)
     over the tokens stream with md5-derived event times; append-mode
@@ -990,6 +1044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_stats": q_stream_window_stats,
         "encode_job_roundtrip": q_encode_job_roundtrip,
         "iceberg_manifest_scan": q_iceberg_manifest_scan,
+        "iceberg_partition_scan": q_iceberg_partition_scan,
         "sink_encode_roundtrip": q_sink_encode_roundtrip,
         "compact_roundtrip": q_compact_roundtrip,
         "struct_map_roundtrip": q_struct_map_roundtrip,
@@ -1044,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "iceberg_manifest_scan": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
+        "iceberg_partition_scan": "SELECT doc_id, text FROM documents WHERE source = 'src7'",
         "sink_encode_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "compact_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
         "rle_v2_roundtrip": "SELECT o_orderkey, o_custkey FROM orders",

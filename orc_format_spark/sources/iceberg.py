@@ -47,24 +47,41 @@ def _require(spark: SparkSession) -> None:
         )
 
 
-def read_tokens_table(spark: SparkSession, name: str) -> DataFrame:
+def read_tokens_table(
+    spark: SparkSession, name: str, partition_filter: dict | None = None
+) -> DataFrame:
     """Read the Iceberg tokens table (input_hint shape). Path-addressed
     tables read the manifest's data files directly (snapshot-consistent:
-    the file list comes from the pinned manifest, not a dir listing);
-    catalog names go through the Iceberg runtime."""
+    the file list comes from the pinned manifest, not a dir listing),
+    with ``partition_filter`` pruned against manifest metadata before
+    any data file is opened; catalog names go through the Iceberg
+    runtime."""
     if is_iceberg_table(name):
         from .iceberg_meta import list_data_files
 
-        files = sorted(p for p, _ in list_data_files(name))
+        files = sorted(
+            p for p, _ in list_data_files(name, partition_filter=partition_filter)
+        )
         if not files:
-            raise ValueError(f"iceberg table {name} has no data files")
+            raise ValueError(
+                f"iceberg table {name} has no data files"
+                + (f" matching {partition_filter}" if partition_filter else "")
+            )
         return spark.read.parquet(*files)
+    if partition_filter:
+        raise NotImplementedError(
+            "partition_filter on the catalog route: use a WHERE clause — "
+            "the Iceberg runtime prunes partitions from SQL predicates"
+        )
     _require(spark)
     return spark.read.table(name)
 
 
 def list_iceberg_splits(
-    spark: SparkSession, name: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    name: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> list[tuple[int, str, int]]:
     """Deterministic (split_id, file, row_group) list from the Iceberg
     manifest, row-group-exploded.
@@ -78,7 +95,14 @@ def list_iceberg_splits(
     import pyarrow.parquet as pq
 
     if is_iceberg_table(name):
-        return list_iceberg_splits_meta(name, snapshot_id)
+        return list_iceberg_splits_meta(
+            name, snapshot_id, partition_filter=partition_filter
+        )
+    if partition_filter:
+        raise NotImplementedError(
+            "partition_filter on the catalog route: filter the "
+            f"`{name}.files` metadata table on its partition struct"
+        )
     _require(spark)
     if snapshot_id is not None:
         raise NotImplementedError(
@@ -110,13 +134,18 @@ def encode_iceberg_splits(
     row_index_stride: int | None = None,
     snapshot_id: int | None = None,
     blob_sink: str | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Split-level encode of an Iceberg tokens table: the manifest
     supplies the splits; payload never crosses the JVM (same plan shape
-    as ``encode_parquet_splits``)."""
+    as ``encode_parquet_splits``). ``partition_filter`` narrows the
+    split list via manifest pruning — a single-partition encode of a
+    10^6-file table plans from the matching manifests only."""
     from .parquet_scan import encode_splits
 
-    splits = list_iceberg_splits(spark, name, snapshot_id=snapshot_id)
+    splits = list_iceberg_splits(
+        spark, name, snapshot_id=snapshot_id, partition_filter=partition_filter
+    )
     return encode_splits(
         spark,
         splits,

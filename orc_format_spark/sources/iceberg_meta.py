@@ -56,6 +56,20 @@ FORMAT_VERSION = 2
 # in avro, so we simply don't declare them — readers treat missing
 # optional columns as null per the Iceberg spec's column projection rule).
 
+# field_summary (spec field-ids 508-511, 518): per-partition-field bounds
+# carried by each manifest_file record so a scan can drop whole manifests
+# WITHOUT opening them — level 1 of the two-level prune.
+_FIELD_SUMMARY_SCHEMA = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"], "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"], "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "field-id": 511},
+    ],
+}
+
 _MANIFEST_FILE_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
@@ -73,39 +87,188 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
-    ],
-}
-
-_DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        {"name": "content", "type": "int", "field-id": 134},
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
         {
-            "name": "partition",
-            "type": {"type": "record", "name": "r102", "fields": []},
-            "field-id": 102,
+            "name": "partitions",
+            "type": [
+                "null",
+                {"type": "array", "items": _FIELD_SUMMARY_SCHEMA},
+            ],
+            "field-id": 507,
         },
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
     ],
 }
 
-_MANIFEST_ENTRY_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
-        {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
-        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
-    ],
-}
+
+def _data_file_schema(part_fields: list[dict]) -> dict:
+    """Manifest data_file record schema with the partition record (r102)
+    typed per the table's partition spec (field-ids 1000+)."""
+    return {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": "r102",
+                    "fields": [
+                        {
+                            "name": pf["name"],
+                            "type": ["null", _AVRO_PART_TYPES[pf["ptype"]]],
+                            "field-id": pf["field-id"],
+                        }
+                        for pf in part_fields
+                    ],
+                },
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        ],
+    }
+
+
+def _manifest_entry_schema(part_fields: list[dict]) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "field-id": 3},
+            {"name": "file_sequence_number", "type": ["null", "long"], "field-id": 4},
+            {"name": "data_file", "type": _data_file_schema(part_fields), "field-id": 2},
+        ],
+    }
 
 _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
+
+# ------------------------------------------------------ partition specs
+#
+# Identity and truncate[W] transforms (the Iceberg spec's order-preserving
+# transforms — the ones whose bounds admit range pruning). Partition specs
+# are given to create_table as [(source_column, transform)] and stored in
+# metadata JSON exactly per the spec (source-id = schema field id,
+# partition field-ids from 1000).
+
+_AVRO_PART_TYPES = {"string": "string", "int": "int", "long": "long", "date": "int"}
+
+
+def _parse_transform(t: str) -> tuple[str, int | None]:
+    if t == "identity":
+        return "identity", None
+    if t.startswith("truncate[") and t.endswith("]"):
+        w = int(t[len("truncate[") : -1])
+        if w <= 0:
+            raise ValueError(f"iceberg_meta: truncate width must be > 0, got {w}")
+        return "truncate", w
+    raise ValueError(
+        f"iceberg_meta: unsupported partition transform {t!r} "
+        "(identity and truncate[W] are implemented)"
+    )
+
+
+def _apply_transform(transform: str, value):
+    """Raw column value -> partition value (spec 'Partition Transforms')."""
+    if value is None:
+        return None
+    kind, w = _parse_transform(transform)
+    if kind == "identity":
+        return value
+    if isinstance(value, str):  # truncate: first W characters
+        return value[:w]
+    return value - (value % w)  # ints: floor to multiple of W
+
+
+def _partition_field_name(col: str, transform: str) -> str:
+    kind, _ = _parse_transform(transform)
+    return col if kind == "identity" else f"{col}_trunc"
+
+
+def _spec_part_fields(md: dict, spec_id: int) -> list[dict]:
+    """Resolved partition fields of ``spec_id``: name / field-id /
+    transform / source column name / partition value type ('ptype')."""
+    specs = {s["spec-id"]: s for s in md.get("partition-specs", [])}
+    if spec_id not in specs:
+        raise ValueError(f"iceberg_meta: partition spec {spec_id} not found")
+    schema = md["schemas"][md["current-schema-id"]]
+    by_id = {f["id"]: f for f in schema["fields"]}
+    out = []
+    for f in specs[spec_id]["fields"]:
+        src = by_id.get(f["source-id"])
+        if src is None:
+            raise ValueError(
+                f"iceberg_meta: partition source-id {f['source-id']} "
+                "not in schema"
+            )
+        t = src["type"]
+        if t not in _AVRO_PART_TYPES:
+            raise ValueError(
+                f"iceberg_meta: cannot partition on {src['name']} of type {t}"
+            )
+        out.append(
+            {
+                "name": f["name"],
+                "field-id": f["field-id"],
+                "transform": f["transform"],
+                "source-name": src["name"],
+                "ptype": t,
+            }
+        )
+    return out
+
+
+def _serialize_bound(ptype: str, value) -> bytes:
+    """Iceberg single-value binary serialization (Appendix D): strings as
+    UTF-8, int as 4-byte LE, long as 8-byte LE."""
+    import struct
+
+    if ptype == "string":
+        return str(value).encode("utf-8")
+    if ptype in ("int", "date"):
+        return struct.pack("<i", int(value))
+    return struct.pack("<q", int(value))
+
+
+def _deserialize_bound(ptype: str, blob: bytes):
+    import struct
+
+    if blob is None:
+        return None
+    if ptype == "string":
+        return blob.decode("utf-8")
+    if ptype in ("int", "date"):
+        return struct.unpack("<i", blob)[0]
+    return struct.unpack("<q", blob)[0]
+
+
+def _field_summaries(entries: list[dict], part_fields: list[dict]) -> list[dict]:
+    """Per-partition-field bounds over a manifest's live entries —
+    written into the manifest-list so scans prune manifests unopened."""
+    out = []
+    for pf in part_fields:
+        vals = [
+            e["data_file"]["partition"].get(pf["name"])
+            for e in entries
+            if e["status"] != _STATUS_DELETED
+        ]
+        present = [v for v in vals if v is not None]
+        out.append(
+            {
+                "contains_null": len(present) < len(vals),
+                "contains_nan": False,
+                "lower_bound": (
+                    _serialize_bound(pf["ptype"], min(present)) if present else None
+                ),
+                "upper_bound": (
+                    _serialize_bound(pf["ptype"], max(present)) if present else None
+                ),
+            }
+        )
+    return out
 
 
 # ------------------------------------------------------- iceberg schemas
@@ -165,16 +328,19 @@ def _write_manifest(
     seq: int,
     schema_json: dict,
     name: str,
+    part_fields: list[dict],
+    spec_fields_json: list[dict],
 ) -> dict:
-    """Write one manifest Avro; returns its manifest_file record."""
+    """Write one manifest Avro; returns its manifest_file record
+    (including the field summaries that let scans skip it unopened)."""
     path = os.path.join(meta_dir, name)
     blob = write_ocf(
-        _MANIFEST_ENTRY_SCHEMA,
+        _manifest_entry_schema(part_fields),
         entries,
         metadata={
             "schema": json.dumps(schema_json),
             "schema-id": "0",
-            "partition-spec": "[]",
+            "partition-spec": json.dumps(spec_fields_json),
             "partition-spec-id": "0",
             "format-version": str(FORMAT_VERSION),
             "content": "data",
@@ -200,10 +366,11 @@ def _write_manifest(
             e["data_file"]["record_count"] for e in existing
         ),
         "deleted_rows_count": 0,
+        "partitions": _field_summaries(entries, part_fields),
     }
 
 
-def _data_file_record(path: str) -> dict:
+def _data_file_record(path: str, partition: dict | None = None) -> dict:
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -211,7 +378,7 @@ def _data_file_record(path: str) -> dict:
         "content": 0,
         "file_path": os.path.abspath(path),
         "file_format": "PARQUET",
-        "partition": {},
+        "partition": partition or {},
         "record_count": md.num_rows,
         "file_size_in_bytes": os.path.getsize(path),
     }
@@ -232,11 +399,33 @@ def create_table(
     schema: pa.Schema,
     properties: dict[str, str] | None = None,
     ts_ms: int | None = None,
+    partition_spec: list[tuple[str, str]] | None = None,
 ) -> dict:
     """Create an empty Iceberg v2 table at ``table_dir`` (v1 metadata,
-    no snapshot). Data files are added with ``append_snapshot``."""
+    no snapshot). Data files are added with ``append_snapshot``.
+
+    ``partition_spec`` is ``[(source_column, transform)]`` with transform
+    ``"identity"`` or ``"truncate[W]"``. Partitioned appends then pass
+    per-file raw partition-column values; scans pass
+    ``partition_filter=`` to prune manifests and files without reading
+    data (see ``list_data_files``) — at 10^6 data files this metadata
+    prune is the difference between a scan and a full listing."""
     os.makedirs(os.path.join(table_dir, "metadata"), exist_ok=True)
     sj = iceberg_schema(schema)
+    by_name = {f["name"]: f for f in sj["fields"]}
+    spec_fields = []
+    for i, (col, transform) in enumerate(partition_spec or []):
+        _parse_transform(transform)  # validate early
+        if col not in by_name:
+            raise ValueError(f"iceberg_meta: partition column {col!r} not in schema")
+        spec_fields.append(
+            {
+                "name": _partition_field_name(col, transform),
+                "transform": transform,
+                "source-id": by_name[col]["id"],
+                "field-id": 1000 + i,
+            }
+        )
     md = {
         "format-version": FORMAT_VERSION,
         "table-uuid": str(uuid.uuid5(uuid.NAMESPACE_URL, os.path.abspath(table_dir))),
@@ -255,8 +444,8 @@ def create_table(
         "current-schema-id": 0,
         "schemas": [sj],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999,
+        "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+        "last-partition-id": 999 + len(spec_fields),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": properties or {},
@@ -271,11 +460,15 @@ def create_table(
 
 def append_snapshot(
     table_dir: str,
-    data_files: list[str],
+    data_files: list,
     commit_key: str | None = None,
     ts_ms: int | None = None,
 ) -> int:
-    """Commit ``data_files`` (parquet paths) as a new append snapshot.
+    """Commit ``data_files`` as a new append snapshot.
+
+    Each entry is a parquet path, or ``(path, {column: raw_value})`` for
+    a partitioned table — raw partition-column values are run through
+    the spec's transforms to produce the manifest partition record.
 
     Idempotent when ``commit_key`` is given: if any existing snapshot's
     summary already carries it, the commit is skipped and that snapshot
@@ -287,6 +480,24 @@ def append_snapshot(
         for s in md["snapshots"]:
             if s.get("summary", {}).get("commit-key") == commit_key:
                 return s["snapshot-id"]
+    spec_id = md.get("default-spec-id", 0)
+    part_fields = _spec_part_fields(md, spec_id)
+    norm: list[tuple[str, dict]] = []
+    for df in data_files:
+        path, raw = (df, {}) if isinstance(df, str) else (df[0], dict(df[1]))
+        missing = {pf["source-name"] for pf in part_fields} - set(raw)
+        if missing:
+            raise ValueError(
+                "iceberg_meta: partitioned append needs (path, values) "
+                f"covering {sorted(pf['source-name'] for pf in part_fields)}; "
+                f"missing {sorted(missing)} for {path}"
+            )
+        part = {
+            pf["name"]: _apply_transform(pf["transform"], raw[pf["source-name"]])
+            for pf in part_fields
+        }
+        norm.append((path, part))
+    norm.sort(key=lambda x: x[0])
     meta_dir = os.path.join(table_dir, "metadata")
     seq = md["last-sequence-number"] + 1
     snapshot_id = max([s["snapshot-id"] for s in md["snapshots"]], default=0) + 1
@@ -297,17 +508,20 @@ def append_snapshot(
             "snapshot_id": snapshot_id,
             "sequence_number": seq,
             "file_sequence_number": seq,
-            "data_file": _data_file_record(p),
+            "data_file": _data_file_record(p, partition=part),
         }
-        for p in sorted(data_files)
+        for p, part in norm
     ]
+    specs = {s["spec-id"]: s for s in md.get("partition-specs", [])}
     manifest = _write_manifest(
         meta_dir,
         entries,
         snapshot_id,
         seq,
         md["schemas"][md["current-schema-id"]],
-        f"manifest-{snapshot_id}-{uuid.uuid5(uuid.NAMESPACE_URL, str(sorted(data_files))).hex[:8]}.avro",
+        f"manifest-{snapshot_id}-{uuid.uuid5(uuid.NAMESPACE_URL, str([p for p, _ in norm])).hex[:8]}.avro",
+        part_fields,
+        specs[spec_id]["fields"],
     )
     # new manifest list = prior snapshot's manifests + the new one
     prior = _current_snapshot(md)
@@ -422,34 +636,104 @@ def snapshot_as_of(table_dir: str, ts_ms: int) -> int | None:
 
 
 def list_data_files(
-    table_dir: str, snapshot_id: int | None = None
+    table_dir: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+    scan_stats: dict | None = None,
 ) -> list[tuple[str, int]]:
     """Live (file_path, record_count) pairs of the current — or pinned —
-    snapshot, via manifest-list -> manifests. Deleted entries dropped."""
+    snapshot, via manifest-list -> manifests. Deleted entries dropped.
+
+    ``partition_filter`` maps partition SOURCE column names to equality
+    values; pruning is two-level, mirroring a real Iceberg scan:
+
+    1. manifest level — each manifest_file carries per-partition-field
+       bounds (field summaries); a manifest whose [lower, upper] range
+       excludes the transformed filter value is skipped WITHOUT opening
+       its Avro. At 10^6 data files this keeps a single-partition scan's
+       metadata I/O proportional to the matching manifests, not the
+       table.
+    2. file level — surviving manifests' entries are matched on their
+       partition record values.
+
+    ``scan_stats`` (optional dict) receives ``manifests_total`` /
+    ``manifests_opened`` / ``files_matched`` so callers (and tests) can
+    assert the prune actually skipped metadata."""
     md = read_table_metadata(table_dir)
     snap = _current_snapshot(md, snapshot_id)
+    stats = scan_stats if scan_stats is not None else {}
+    stats.update(manifests_total=0, manifests_opened=0, files_matched=0)
     if snap is None:
         return []
+    want: dict[str, object] = {}
+    if partition_filter:
+        part_fields = _spec_part_fields(md, md.get("default-spec-id", 0))
+        by_src = {pf["source-name"]: pf for pf in part_fields}
+        for col, val in partition_filter.items():
+            if col not in by_src:
+                raise ValueError(
+                    f"iceberg_meta: {col!r} is not a partition source column "
+                    f"(spec has {sorted(by_src)})"
+                )
+            pf = by_src[col]
+            want[pf["name"]] = (pf, _apply_transform(pf["transform"], val))
     out: list[tuple[str, int]] = []
     for mf in _read_manifest_list(snap):
+        stats["manifests_total"] += 1
+        summaries = mf.get("partitions")
+        if want and summaries:
+            # summaries are ordered like the spec fields
+            md_fields = _spec_part_fields(md, mf.get("partition_spec_id", 0))
+            skip = False
+            for pf, s in zip(md_fields, summaries):
+                if pf["name"] not in want:
+                    continue
+                _, tv = want[pf["name"]]
+                if tv is None:
+                    if not s["contains_null"]:
+                        skip = True
+                        break
+                    continue
+                lo = _deserialize_bound(pf["ptype"], s["lower_bound"])
+                hi = _deserialize_bound(pf["ptype"], s["upper_bound"])
+                if lo is None or tv < lo or tv > hi:
+                    skip = True
+                    break
+            if skip:
+                continue
+        stats["manifests_opened"] += 1
         with open(mf["manifest_path"], "rb") as f:
             entries, _, _ = read_ocf(f.read())
         for e in entries:
-            if e["status"] != _STATUS_DELETED:
-                df = e["data_file"]
-                out.append((df["file_path"], df["record_count"]))
+            if e["status"] == _STATUS_DELETED:
+                continue
+            df = e["data_file"]
+            if want and any(
+                df["partition"].get(name) != tv for name, (_, tv) in want.items()
+            ):
+                continue
+            stats["files_matched"] += 1
+            out.append((df["file_path"], df["record_count"]))
     return out
 
 
 def list_iceberg_splits_meta(
-    table_dir: str, snapshot_id: int | None = None
+    table_dir: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> list[tuple[int, str, int]]:
     """Deterministic (split_id, file, row_group) list from the manifest —
     the Iceberg twin of ``list_parquet_splits`` (same sort, same
-    explosion), no JVM involved."""
+    explosion), no JVM involved. ``partition_filter`` prunes manifests
+    and files before any parquet footer is touched."""
     import pyarrow.parquet as pq
 
-    files = sorted(p for p, _ in list_data_files(table_dir, snapshot_id))
+    files = sorted(
+        p
+        for p, _ in list_data_files(
+            table_dir, snapshot_id, partition_filter=partition_filter
+        )
+    )
     out: list[tuple[int, str, int]] = []
     sid = 0
     for f in files:
