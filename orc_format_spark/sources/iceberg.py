@@ -82,6 +82,7 @@ def list_iceberg_splits(
     name: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    column_predicates: list | None = None,
 ) -> list[tuple[int, str, int]]:
     """Deterministic (split_id, file, row_group) list from the Iceberg
     manifest, row-group-exploded.
@@ -96,9 +97,12 @@ def list_iceberg_splits(
 
     if is_iceberg_table(name):
         return list_iceberg_splits_meta(
-            name, snapshot_id, partition_filter=partition_filter
+            name,
+            snapshot_id,
+            partition_filter=partition_filter,
+            column_predicates=column_predicates,
         )
-    if partition_filter:
+    if partition_filter or column_predicates:
         raise NotImplementedError(
             "partition_filter on the catalog route: filter the "
             f"`{name}.files` metadata table on its partition struct"
@@ -135,6 +139,7 @@ def encode_iceberg_splits(
     snapshot_id: int | None = None,
     blob_sink: str | None = None,
     partition_filter: dict | None = None,
+    column_predicates: list | None = None,
 ) -> DataFrame:
     """Split-level encode of an Iceberg tokens table: the manifest
     supplies the splits; payload never crosses the JVM (same plan shape
@@ -144,7 +149,11 @@ def encode_iceberg_splits(
     from .parquet_scan import encode_splits
 
     splits = list_iceberg_splits(
-        spark, name, snapshot_id=snapshot_id, partition_filter=partition_filter
+        spark,
+        name,
+        snapshot_id=snapshot_id,
+        partition_filter=partition_filter,
+        column_predicates=column_predicates,
     )
     return encode_splits(
         spark,

@@ -99,9 +99,28 @@ _MANIFEST_FILE_SCHEMA = {
 }
 
 
+def _kv_array(name: str, key_id: int, val_id: int, val_type: str) -> dict:
+    """Iceberg's logical map<int, T> encoded as an Avro array of
+    key/value records (the spec's k*_v* shape)."""
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": val_type, "field-id": val_id},
+            ],
+        },
+        "logicalType": "map",
+    }
+
+
 def _data_file_schema(part_fields: list[dict]) -> dict:
     """Manifest data_file record schema with the partition record (r102)
-    typed per the table's partition spec (field-ids 1000+)."""
+    typed per the table's partition spec (field-ids 1000+) and the
+    per-column stats maps (value/null counts, typed bounds) that drive
+    predicate file skipping."""
     return {
         "type": "record",
         "name": "r2",
@@ -127,6 +146,26 @@ def _data_file_schema(part_fields: list[dict]) -> dict:
             },
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "value_counts",
+                "type": ["null", _kv_array("k119_v120", 119, 120, "long")],
+                "field-id": 117,
+            },
+            {
+                "name": "null_value_counts",
+                "type": ["null", _kv_array("k121_v122", 121, 122, "long")],
+                "field-id": 110,
+            },
+            {
+                "name": "lower_bounds",
+                "type": ["null", _kv_array("k126_v127", 126, 127, "bytes")],
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _kv_array("k129_v130", 129, 130, "bytes")],
+                "field-id": 128,
+            },
         ],
     }
 
@@ -243,6 +282,134 @@ def _deserialize_bound(ptype: str, blob: bytes):
     if ptype in ("int", "date"):
         return struct.unpack("<i", blob)[0]
     return struct.unpack("<q", blob)[0]
+
+
+# Iceberg single-value serialization for data-column bounds (maps keyed
+# by field id; Appendix D). Only order-preserving primitive types get
+# bounds — doubles/floats included (IEEE order matches numeric order for
+# the non-NaN values parquet stats report).
+_BOUND_TYPES = {"string", "int", "date", "long", "float", "double", "timestamp"}
+
+
+def _serialize_col_bound(itype: str, value) -> bytes | None:
+    import struct
+
+    if value is None:
+        return None
+    if itype == "string":
+        return str(value).encode("utf-8")
+    if itype in ("int", "date"):
+        return struct.pack("<i", int(value))
+    if itype == "long":
+        return struct.pack("<q", int(value))
+    if itype == "float":
+        return struct.pack("<f", float(value))
+    if itype == "double":
+        return struct.pack("<d", float(value))
+    if itype == "timestamp":  # micros since epoch
+        return struct.pack("<q", int(value))
+    return None
+
+
+def _deserialize_col_bound(itype: str, blob: bytes | None):
+    import struct
+
+    if blob is None:
+        return None
+    if itype == "string":
+        return blob.decode("utf-8")
+    if itype in ("int", "date"):
+        return struct.unpack("<i", blob)[0]
+    if itype in ("long", "timestamp"):
+        return struct.unpack("<q", blob)[0]
+    if itype == "float":
+        return struct.unpack("<f", blob)[0]
+    if itype == "double":
+        return struct.unpack("<d", blob)[0]
+    return None
+
+
+def _column_stats(path: str, schema_json: dict) -> dict:
+    """Per-column stats for a data file from its parquet footer —
+    value_counts / null_value_counts / lower_bounds / upper_bounds maps
+    keyed by Iceberg field id (spec data_file fields 117/110/125/128).
+
+    Driver-side metadata I/O: one footer read per appended file, no data
+    pages touched. These are what makes non-partition predicates prune
+    FILES at scan time (``column_predicates=``) — the manifest answers
+    min/max for 10^6 files without opening any of them."""
+    import pyarrow.parquet as pq
+
+    by_name = {
+        f["name"]: f
+        for f in schema_json["fields"]
+        if isinstance(f["type"], str) and f["type"] in _BOUND_TYPES
+    }
+    md = pq.ParquetFile(path).metadata
+    value_counts: dict[int, int] = {}
+    null_counts: dict[int, int] = {}
+    lowers: dict[int, object] = {}
+    uppers: dict[int, object] = {}
+    no_nulls: set[int] = set()   # fids whose null counts are unknowable
+    no_bounds: set[int] = set()  # fids whose bounds are unknowable
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            f = by_name.get(col.path_in_schema)
+            if f is None:
+                continue
+            fid = f["id"]
+            value_counts[fid] = value_counts.get(fid, 0) + col.num_values
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                no_nulls.add(fid)
+                no_bounds.add(fid)
+                continue
+            null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+            if st.has_min_max:
+                lo = _normalize_stat(f["type"], st.min)
+                hi = _normalize_stat(f["type"], st.max)
+                lowers[fid] = lo if fid not in lowers else min(lowers[fid], lo)
+                uppers[fid] = hi if fid not in uppers else max(uppers[fid], hi)
+            elif st.null_count != col.num_values:
+                # a row group with values but no bounds -> bounds unknown
+                no_bounds.add(fid)
+    types = {f["id"]: f["type"] for f in schema_json["fields"]}
+    return {
+        "value_counts": [
+            {"key": k, "value": v} for k, v in sorted(value_counts.items())
+        ],
+        "null_value_counts": [
+            {"key": k, "value": v}
+            for k, v in sorted(null_counts.items())
+            if k not in no_nulls
+        ],
+        "lower_bounds": [
+            {"key": k, "value": _serialize_col_bound(types[k], v)}
+            for k, v in sorted(lowers.items())
+            if k not in no_bounds
+        ],
+        "upper_bounds": [
+            {"key": k, "value": _serialize_col_bound(types[k], v)}
+            for k, v in sorted(uppers.items())
+            if k not in no_bounds
+        ],
+    }
+
+
+def _normalize_stat(itype: str, v):
+    """Parquet footer stat -> Iceberg bound value (timestamps to epoch
+    micros, dates to epoch days; naive datetimes treated as UTC)."""
+    import datetime
+
+    if itype == "timestamp" and isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if itype == "date" and isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    return v
 
 
 def _field_summaries(entries: list[dict], part_fields: list[dict]) -> list[dict]:
@@ -370,10 +537,22 @@ def _write_manifest(
     }
 
 
-def _data_file_record(path: str, partition: dict | None = None) -> dict:
+def _data_file_record(
+    path: str, partition: dict | None = None, schema_json: dict | None = None
+) -> dict:
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
+    stats = (
+        _column_stats(path, schema_json)
+        if schema_json is not None
+        else {
+            "value_counts": None,
+            "null_value_counts": None,
+            "lower_bounds": None,
+            "upper_bounds": None,
+        }
+    )
     return {
         "content": 0,
         "file_path": os.path.abspath(path),
@@ -381,6 +560,7 @@ def _data_file_record(path: str, partition: dict | None = None) -> dict:
         "partition": partition or {},
         "record_count": md.num_rows,
         "file_size_in_bytes": os.path.getsize(path),
+        **stats,
     }
 
 
@@ -508,7 +688,11 @@ def append_snapshot(
             "snapshot_id": snapshot_id,
             "sequence_number": seq,
             "file_sequence_number": seq,
-            "data_file": _data_file_record(p, partition=part),
+            "data_file": _data_file_record(
+                p,
+                partition=part,
+                schema_json=md["schemas"][md["current-schema-id"]],
+            ),
         }
         for p, part in norm
     ]
@@ -635,11 +819,60 @@ def snapshot_as_of(table_dir: str, ts_ms: int) -> int | None:
     return best["snapshot-id"] if best else None
 
 
+def _kv_dict(maybe_list) -> dict:
+    return {e["key"]: e["value"] for e in maybe_list} if maybe_list else {}
+
+
+def _file_matches_predicates(
+    df: dict, preds: list[tuple[str, str, object]], fields: dict
+) -> bool:
+    """min/max + null-count file skipping (Iceberg 'metrics evaluation'):
+    True when the file MIGHT contain matching rows. Missing stats never
+    prune — absence of evidence keeps the file."""
+    vc = _kv_dict(df.get("value_counts"))
+    nc = _kv_dict(df.get("null_value_counts"))
+    lob = _kv_dict(df.get("lower_bounds"))
+    upb = _kv_dict(df.get("upper_bounds"))
+    for col, op, val in preds:
+        if col not in fields:
+            raise ValueError(f"iceberg_meta: predicate column {col!r} not in schema")
+        fid, itype = fields[col]
+        all_null = fid in vc and fid in nc and nc[fid] == vc[fid] and vc[fid] > 0
+        if op == "is_null":
+            if fid in nc and nc[fid] == 0:
+                return False
+            continue
+        if op == "not_null":
+            if all_null:
+                return False
+            continue
+        if all_null:
+            return False  # comparison predicates never match nulls
+        lo = _deserialize_col_bound(itype, lob.get(fid))
+        hi = _deserialize_col_bound(itype, upb.get(fid))
+        if lo is None or hi is None:
+            continue
+        if op == "=" and (val < lo or val > hi):
+            return False
+        if op == "<" and lo >= val:
+            return False
+        if op == "<=" and lo > val:
+            return False
+        if op == ">" and hi <= val:
+            return False
+        if op == ">=" and hi < val:
+            return False
+        if op not in ("=", "<", "<=", ">", ">=", "is_null", "not_null"):
+            raise ValueError(f"iceberg_meta: unsupported predicate op {op!r}")
+    return True
+
+
 def list_data_files(
     table_dir: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
     scan_stats: dict | None = None,
+    column_predicates: list[tuple[str, str, object]] | None = None,
 ) -> list[tuple[str, int]]:
     """Live (file_path, record_count) pairs of the current — or pinned —
     snapshot, via manifest-list -> manifests. Deleted entries dropped.
@@ -655,6 +888,12 @@ def list_data_files(
        table.
     2. file level — surviving manifests' entries are matched on their
        partition record values.
+
+    ``column_predicates`` — ``[(column, op, value)]`` with op in
+    ``= < <= > >= is_null not_null`` — additionally skips files whose
+    manifest-recorded column bounds / null counts prove no row can
+    match (Iceberg metrics evaluation; sound, not complete: files
+    without stats are kept).
 
     ``scan_stats`` (optional dict) receives ``manifests_total`` /
     ``manifests_opened`` / ``files_matched`` so callers (and tests) can
@@ -677,6 +916,15 @@ def list_data_files(
                 )
             pf = by_src[col]
             want[pf["name"]] = (pf, _apply_transform(pf["transform"], val))
+    preds = column_predicates or []
+    pred_fields: dict[str, tuple[int, str]] = {}
+    if preds:
+        schema = md["schemas"][md["current-schema-id"]]
+        pred_fields = {
+            f["name"]: (f["id"], f["type"])
+            for f in schema["fields"]
+            if isinstance(f["type"], str)
+        }
     out: list[tuple[str, int]] = []
     for mf in _read_manifest_list(snap):
         stats["manifests_total"] += 1
@@ -712,6 +960,8 @@ def list_data_files(
                 df["partition"].get(name) != tv for name, (_, tv) in want.items()
             ):
                 continue
+            if preds and not _file_matches_predicates(df, preds, pred_fields):
+                continue
             stats["files_matched"] += 1
             out.append((df["file_path"], df["record_count"]))
     return out
@@ -721,17 +971,22 @@ def list_iceberg_splits_meta(
     table_dir: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    column_predicates: list[tuple[str, str, object]] | None = None,
 ) -> list[tuple[int, str, int]]:
     """Deterministic (split_id, file, row_group) list from the manifest —
     the Iceberg twin of ``list_parquet_splits`` (same sort, same
     explosion), no JVM involved. ``partition_filter`` prunes manifests
-    and files before any parquet footer is touched."""
+    and files, and ``column_predicates`` skips files via manifest column
+    bounds, before any parquet footer is touched."""
     import pyarrow.parquet as pq
 
     files = sorted(
         p
         for p, _ in list_data_files(
-            table_dir, snapshot_id, partition_filter=partition_filter
+            table_dir,
+            snapshot_id,
+            partition_filter=partition_filter,
+            column_predicates=column_predicates,
         )
     )
     out: list[tuple[int, str, int]] = []

@@ -209,3 +209,94 @@ def test_partitioned_splits_and_encode(spark, tmp_path):
     out = decode_blobs(blobs, TOKENS_SCHEMA)
     rows = out.select("doc_id").collect()
     assert sorted(r.doc_id for r in rows) == [f"d{40 + i:05d}" for i in range(30)]
+
+
+# ------------------------------------------------- column-stats pruning
+
+
+def test_manifest_column_stats(tmp_path):
+    """Appends record per-column value/null counts and typed bounds from
+    the parquet footer, keyed by Iceberg field id."""
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    f1 = _pfile(tmp_path / "a.parquet", 0, 20, "web", 5, rg=10)
+    im.append_snapshot(tdir, [f1], ts_ms=2_000)
+    md = im.read_table_metadata(tdir)
+    (mf,) = im._read_manifest_list(im._current_snapshot(md))
+    from orc_format_spark.sources.avro_ocf import read_ocf
+
+    with open(mf["manifest_path"], "rb") as fh:
+        (entry,), _, _ = read_ocf(fh.read())
+    df = entry["data_file"]
+    ids = {f["name"]: f["id"] for f in md["schemas"][0]["fields"]}
+    vc = im._kv_dict(df["value_counts"])
+    nc = im._kv_dict(df["null_value_counts"])
+    lob = im._kv_dict(df["lower_bounds"])
+    upb = im._kv_dict(df["upper_bounds"])
+    # scalar leaves only (tokens list has no top-level footer stats here)
+    assert vc[ids["doc_id"]] == 20 and nc[ids["doc_id"]] == 0
+    assert im._deserialize_col_bound("string", lob[ids["doc_id"]]) == "d00000"
+    assert im._deserialize_col_bound("string", upb[ids["doc_id"]]) == "d00019"
+    assert im._deserialize_col_bound("long", lob[ids["day"]]) == 5
+    assert im._deserialize_col_bound("long", upb[ids["day"]]) == 5
+    assert im._deserialize_col_bound("int", lob[ids["n_tok"]]) == 2
+
+
+def test_predicate_file_skipping(tmp_path):
+    """Files whose bounds exclude the predicate are dropped without any
+    footer read; files without stats are conservatively kept."""
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    f1 = _pfile(tmp_path / "a.parquet", 0, 10, "web", 100)      # days all 100
+    f2 = _pfile(tmp_path / "b.parquet", 10, 10, "web", 200)     # days all 200
+    f3 = _pfile(tmp_path / "c.parquet", 20, 10, "web", 300)
+    im.append_snapshot(tdir, [f1, f2, f3], ts_ms=2_000)
+
+    def files(preds):
+        return sorted(
+            p for p, _ in im.list_data_files(tdir, column_predicates=preds)
+        )
+
+    assert files([("day", "=", 200)]) == [f2]
+    assert files([("day", "<", 200)]) == [f1]
+    assert files([("day", "<=", 200)]) == [f1, f2]
+    assert files([("day", ">", 250)]) == [f3]
+    assert files([("day", ">=", 200)]) == [f2, f3]
+    assert files([("day", "=", 150)]) == []
+    # string bounds
+    assert files([("doc_id", "=", "d00015")]) == [f2]
+    # conjunction
+    assert files([("day", ">", 100), ("doc_id", "<", "d00020")]) == [f2]
+    # null predicates: no nulls anywhere -> is_null prunes all
+    assert files([("day", "is_null", None)]) == []
+    assert files([("day", "not_null", None)]) == [f1, f2, f3]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not in schema"):
+        files([("nope", "=", 1)])
+    with _pt.raises(ValueError, match="unsupported predicate op"):
+        files([("day", "!=", 1)])
+
+
+def test_predicate_splits_and_partition_combo(spark, tmp_path):
+    """column_predicates compose with partition_filter down the split
+    listing; all-null files are skipped for comparison predicates."""
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, partition_spec=[("source", "identity")], ts_ms=1_000)
+    fw1 = _pfile(tmp_path / "w1.parquet", 0, 10, "web", 1)
+    fw2 = _pfile(tmp_path / "w2.parquet", 10, 10, "web", 9)
+    fc = _pfile(tmp_path / "c.parquet", 20, 10, "cc", 9)
+    im.append_snapshot(
+        tdir,
+        [(fw1, {"source": "web"}), (fw2, {"source": "web"}), (fc, {"source": "cc"})],
+        ts_ms=2_000,
+    )
+    from orc_format_spark.sources import iceberg
+
+    splits = iceberg.list_iceberg_splits(
+        spark,
+        tdir,
+        partition_filter={"source": "web"},
+        column_predicates=[("day", ">=", 5)],
+    )
+    assert [s[1] for s in splits] == [fw2]
