@@ -744,6 +744,241 @@ def append_snapshot(
     return snapshot_id
 
 
+def rewrite_snapshot(
+    table_dir: str,
+    removed_files: list[str],
+    added_files: list,
+    commit_key: str | None = None,
+    ts_ms: int | None = None,
+) -> int:
+    """Commit a rewrite (the metadata half of compaction): ``added_files``
+    replace ``removed_files`` in one atomic snapshot.
+
+    Manifests are immutable, so prior manifests that reference no removed
+    file are carried forward untouched; each affected manifest is
+    rewritten once with its surviving entries as EXISTING (original
+    snapshot/sequence numbers kept) and removed entries as DELETED. Time
+    travel to pre-rewrite snapshots still resolves the old files — their
+    manifests are never mutated. Idempotent per ``commit_key`` like
+    ``append_snapshot``. Scale shape: metadata I/O is O(affected
+    manifests), not O(table); the data movement itself is the caller's
+    distributed job (operators/compact.py), never the driver's."""
+    md = read_table_metadata(table_dir)
+    if commit_key is not None:
+        for s in md["snapshots"]:
+            if s.get("summary", {}).get("commit-key") == commit_key:
+                return s["snapshot-id"]
+    removed = {os.path.abspath(p) for p in removed_files}
+    prior = _current_snapshot(md)
+    if prior is None:
+        raise ValueError("iceberg_meta: rewrite on a table with no snapshot")
+    spec_id = md.get("default-spec-id", 0)
+    part_fields = _spec_part_fields(md, spec_id)
+    specs = {s["spec-id"]: s for s in md.get("partition-specs", [])}
+    schema_json = md["schemas"][md["current-schema-id"]]
+    meta_dir = os.path.join(table_dir, "metadata")
+    seq = md["last-sequence-number"] + 1
+    snapshot_id = max([s["snapshot-id"] for s in md["snapshots"]], default=0) + 1
+    ts = ts_ms if ts_ms is not None else int(time.time() * 1000)
+
+    manifests: list[dict] = []
+    seen_removed: set[str] = set()
+    n_deleted = rows_deleted = 0
+    for i, mf in enumerate(_read_manifest_list(prior)):
+        with open(mf["manifest_path"], "rb") as f:
+            entries, _, _ = read_ocf(f.read())
+        live = [e for e in entries if e["status"] != _STATUS_DELETED]
+        hit = [e for e in live if e["data_file"]["file_path"] in removed]
+        if not hit:
+            manifests.append(mf)
+            continue
+        seen_removed.update(e["data_file"]["file_path"] for e in hit)
+        n_deleted += len(hit)
+        rows_deleted += sum(e["data_file"]["record_count"] for e in hit)
+        rewritten = []
+        for e in live:
+            if e["data_file"]["file_path"] in removed:
+                rewritten.append(
+                    {**e, "status": _STATUS_DELETED, "snapshot_id": snapshot_id}
+                )
+            else:
+                rewritten.append({**e, "status": _STATUS_EXISTING})
+        manifests.append(
+            _write_manifest(
+                meta_dir,
+                rewritten,
+                snapshot_id,
+                seq,
+                schema_json,
+                f"manifest-{snapshot_id}-rw{i}-"
+                f"{uuid.uuid5(uuid.NAMESPACE_URL, mf['manifest_path']).hex[:8]}.avro",
+                part_fields,
+                specs[spec_id]["fields"],
+            )
+        )
+    missing = removed - seen_removed
+    if missing:
+        raise ValueError(
+            f"iceberg_meta: rewrite removes files not live in the current "
+            f"snapshot: {sorted(missing)[:3]}"
+        )
+    norm: list[tuple[str, dict]] = []
+    for df in added_files:
+        path, raw = (df, {}) if isinstance(df, str) else (df[0], dict(df[1]))
+        missing_cols = {pf["source-name"] for pf in part_fields} - set(raw)
+        if missing_cols:
+            raise ValueError(
+                "iceberg_meta: partitioned rewrite needs (path, values) "
+                f"covering {sorted(pf['source-name'] for pf in part_fields)}; "
+                f"missing {sorted(missing_cols)} for {path}"
+            )
+        part = {
+            pf["name"]: _apply_transform(pf["transform"], raw[pf["source-name"]])
+            for pf in part_fields
+        }
+        norm.append((path, part))
+    norm.sort(key=lambda x: x[0])
+    if norm:
+        entries = [
+            {
+                "status": _STATUS_ADDED,
+                "snapshot_id": snapshot_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": _data_file_record(
+                    p, partition=part, schema_json=schema_json
+                ),
+            }
+            for p, part in norm
+        ]
+        manifests.append(
+            _write_manifest(
+                meta_dir,
+                entries,
+                snapshot_id,
+                seq,
+                schema_json,
+                f"manifest-{snapshot_id}-"
+                f"{uuid.uuid5(uuid.NAMESPACE_URL, str([p for p, _ in norm])).hex[:8]}.avro",
+                part_fields,
+                specs[spec_id]["fields"],
+            )
+        )
+    ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-manifest-list.avro")
+    with open(ml_path, "wb") as f:
+        f.write(
+            write_ocf(
+                _MANIFEST_FILE_SCHEMA,
+                manifests,
+                metadata={"format-version": str(FORMAT_VERSION)},
+            )
+        )
+    snap = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": ml_path,
+        "summary": {
+            "operation": "replace",
+            "added-data-files": str(len(norm)),
+            "deleted-data-files": str(n_deleted),
+            "deleted-records": str(rows_deleted),
+            **({"commit-key": commit_key} if commit_key is not None else {}),
+        },
+        "schema-id": md["current-schema-id"],
+    }
+    md["snapshots"].append(snap)
+    md["current-snapshot-id"] = snapshot_id
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = ts
+    md["snapshot-log"].append({"timestamp-ms": ts, "snapshot-id": snapshot_id})
+    _write_metadata_json(table_dir, md, _current_version(table_dir) + 1)
+    return snapshot_id
+
+
+def expire_snapshots(
+    table_dir: str,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+    delete_orphan_data: bool = False,
+    ts_ms: int | None = None,
+) -> dict:
+    """Metadata maintenance: drop expired snapshots and delete the
+    manifest-list / manifest files only they referenced (and, with
+    ``delete_orphan_data``, data files referenced by no surviving
+    snapshot). The current snapshot always survives. Returns counts.
+
+    At 10^5 snapshots this is what keeps the metadata dir (and every
+    future manifest-list read) bounded; file deletion is reference-
+    counted against the SURVIVING snapshots, so time travel to any kept
+    snapshot stays intact."""
+    md = read_table_metadata(table_dir)
+    snaps = md["snapshots"]
+    if not snaps:
+        return {"expired": 0, "manifests_deleted": 0, "data_files_deleted": 0}
+    current = md.get("current-snapshot-id")
+    keep: set[int] = {current}
+    if keep_last is not None:
+        for s in sorted(snaps, key=lambda s: s["sequence-number"])[-keep_last:]:
+            keep.add(s["snapshot-id"])
+    if older_than_ms is not None:
+        for s in snaps:
+            if s["timestamp-ms"] >= older_than_ms:
+                keep.add(s["snapshot-id"])
+    elif keep_last is None:
+        raise ValueError(
+            "iceberg_meta: expire_snapshots needs keep_last or older_than_ms"
+        )
+    kept = [s for s in snaps if s["snapshot-id"] in keep]
+    expired = [s for s in snaps if s["snapshot-id"] not in keep]
+    if not expired:
+        return {"expired": 0, "manifests_deleted": 0, "data_files_deleted": 0}
+
+    def _refs(snapshot):
+        mfs = _read_manifest_list(snapshot)
+        files = set()
+        for mf in mfs:
+            with open(mf["manifest_path"], "rb") as f:
+                entries, _, _ = read_ocf(f.read())
+            files.update(
+                e["data_file"]["file_path"]
+                for e in entries
+                if e["status"] != _STATUS_DELETED
+            )
+        return {mf["manifest_path"] for mf in mfs}, files
+    kept_manifests: set[str] = set()
+    kept_data: set[str] = set()
+    for s in kept:
+        m, d = _refs(s)
+        kept_manifests |= m
+        kept_data |= d
+    manifests_deleted = data_deleted = 0
+    for s in expired:
+        mfs, files = _refs(s)
+        for path in mfs - kept_manifests:
+            if os.path.exists(path):
+                os.remove(path)
+                manifests_deleted += 1
+        if delete_orphan_data:
+            for path in files - kept_data:
+                if os.path.exists(path):
+                    os.remove(path)
+                    data_deleted += 1
+        if os.path.exists(s["manifest-list"]):
+            os.remove(s["manifest-list"])
+    md["snapshots"] = kept
+    md["snapshot-log"] = [
+        e for e in md.get("snapshot-log", []) if e["snapshot-id"] in keep
+    ]
+    md["last-updated-ms"] = ts_ms if ts_ms is not None else int(time.time() * 1000)
+    _write_metadata_json(table_dir, md, _current_version(table_dir) + 1)
+    return {
+        "expired": len(expired),
+        "manifests_deleted": manifests_deleted,
+        "data_files_deleted": data_deleted,
+    }
+
+
 # ------------------------------------------------------------------ read
 
 

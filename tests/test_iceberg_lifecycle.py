@@ -1,0 +1,188 @@
+"""Iceberg table lifecycle: rewrite (compaction) snapshots and snapshot
+expiration — the metadata-maintenance half of running the encode engine
+against a long-lived table.
+
+Contracts under test: a rewrite atomically swaps files while keeping
+every pre-rewrite snapshot time-travelable (manifests are immutable);
+expiration deletes exactly the metadata (and optionally data) that no
+surviving snapshot references."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from orc_format_spark.sources import iceberg_meta as im
+
+SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),
+        ("n_tok", pa.int32()),
+        ("source", pa.string()),
+    ]
+)
+
+
+def _pfile(path, start, n, source="web"):
+    t = pa.table(
+        {
+            "doc_id": [f"d{start + i:05d}" for i in range(n)],
+            "n_tok": pa.array([2] * n, pa.int32()),
+            "source": [source] * n,
+        },
+        schema=SCHEMA,
+    )
+    pq.write_table(t, path)
+    return str(path)
+
+
+def test_rewrite_swaps_files_keeps_history(tmp_path):
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    small = [
+        _pfile(tmp_path / f"s{i}.parquet", 10 * i, 10) for i in range(4)
+    ]
+    s1 = im.append_snapshot(tdir, small[:2], ts_ms=2_000)
+    s2 = im.append_snapshot(tdir, small[2:], ts_ms=3_000)
+    big = _pfile(tmp_path / "big.parquet", 0, 40)
+    s3 = im.rewrite_snapshot(tdir, small, [big], commit_key="compact-1", ts_ms=4_000)
+    # current view: only the compacted file
+    assert [p for p, n in im.list_data_files(tdir)] == [big]
+    assert im.list_data_files(tdir)[0][1] == 40
+    # time travel: both pre-rewrite snapshots intact
+    assert sorted(p for p, _ in im.list_data_files(tdir, snapshot_id=s1)) == sorted(small[:2])
+    assert sorted(p for p, _ in im.list_data_files(tdir, snapshot_id=s2)) == sorted(small)
+    # idempotent per commit_key
+    assert im.rewrite_snapshot(tdir, small, [big], commit_key="compact-1") == s3
+    md = im.read_table_metadata(tdir)
+    snap = im._current_snapshot(md)
+    assert snap["summary"]["operation"] == "replace"
+    assert snap["summary"]["deleted-data-files"] == "4"
+
+
+def test_rewrite_partial_and_untouched_manifests(tmp_path):
+    """A rewrite touching one manifest carries the other forward
+    unchanged (same manifest file path — no rewrite amplification)."""
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    a = _pfile(tmp_path / "a.parquet", 0, 10)
+    b = _pfile(tmp_path / "b.parquet", 10, 10)
+    im.append_snapshot(tdir, [a], ts_ms=2_000)
+    im.append_snapshot(tdir, [b], ts_ms=3_000)
+    before = {
+        mf["manifest_path"]
+        for mf in im._read_manifest_list(
+            im._current_snapshot(im.read_table_metadata(tdir))
+        )
+    }
+    c = _pfile(tmp_path / "c.parquet", 0, 10)
+    im.rewrite_snapshot(tdir, [a], [c], ts_ms=4_000)
+    after = im._read_manifest_list(
+        im._current_snapshot(im.read_table_metadata(tdir))
+    )
+    assert sorted(p for p, _ in im.list_data_files(tdir)) == sorted([b, c])
+    # b's manifest is carried forward byte-identically (same path)
+    carried = {mf["manifest_path"] for mf in after} & before
+    assert len(carried) == 1
+
+
+def test_rewrite_missing_file_raises(tmp_path):
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    a = _pfile(tmp_path / "a.parquet", 0, 10)
+    im.append_snapshot(tdir, [a], ts_ms=2_000)
+    with pytest.raises(ValueError, match="not live"):
+        im.rewrite_snapshot(tdir, [str(tmp_path / "nope.parquet")], [], ts_ms=3_000)
+
+
+def test_rewrite_partitioned(tmp_path):
+    tdir = str(tmp_path / "tbl")
+    im.create_table(
+        tdir, SCHEMA, partition_spec=[("source", "identity")], ts_ms=1_000
+    )
+    a = _pfile(tmp_path / "a.parquet", 0, 10, "web")
+    b = _pfile(tmp_path / "b.parquet", 10, 10, "web")
+    im.append_snapshot(tdir, [(a, {"source": "web"}), (b, {"source": "web"})], ts_ms=2_000)
+    big = _pfile(tmp_path / "big.parquet", 0, 20, "web")
+    with pytest.raises(ValueError, match="partitioned rewrite"):
+        im.rewrite_snapshot(tdir, [a, b], [big], ts_ms=3_000)
+    im.rewrite_snapshot(tdir, [a, b], [(big, {"source": "web"})], ts_ms=3_000)
+    stats: dict = {}
+    got = im.list_data_files(tdir, partition_filter={"source": "web"}, scan_stats=stats)
+    assert [p for p, _ in got] == [big]
+
+
+def test_expire_snapshots(tmp_path):
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    files = [_pfile(tmp_path / f"f{i}.parquet", 10 * i, 10) for i in range(3)]
+    s1 = im.append_snapshot(tdir, [files[0]], ts_ms=2_000)
+    s2 = im.append_snapshot(tdir, [files[1]], ts_ms=3_000)
+    s3 = im.append_snapshot(tdir, [files[2]], ts_ms=4_000)
+    with pytest.raises(ValueError, match="keep_last or older_than_ms"):
+        im.expire_snapshots(tdir)
+    res = im.expire_snapshots(tdir, keep_last=2, ts_ms=5_000)
+    assert res["expired"] == 1
+    md = im.read_table_metadata(tdir)
+    assert [s["snapshot-id"] for s in md["snapshots"]] == [s2, s3]
+    assert md["current-snapshot-id"] == s3
+    # s1's manifest survives (s2/s3 reference it: append carries forward)
+    assert sorted(p for p, _ in im.list_data_files(tdir)) == sorted(files)
+    assert sorted(p for p, _ in im.list_data_files(tdir, snapshot_id=s2)) == sorted(files[:2])
+    with pytest.raises(ValueError, match="snapshot .* not found"):
+        im.list_data_files(tdir, snapshot_id=s1)
+    # nothing further to expire
+    assert im.expire_snapshots(tdir, keep_last=2, ts_ms=6_000)["expired"] == 0
+
+
+def test_expire_after_rewrite_deletes_orphans(tmp_path):
+    """After compaction + expiration of the pre-rewrite history, the
+    small files' manifests AND (opt-in) the small data files themselves
+    are physically removed; the compacted current snapshot is intact."""
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    small = [_pfile(tmp_path / f"s{i}.parquet", 10 * i, 10) for i in range(3)]
+    im.append_snapshot(tdir, small, ts_ms=2_000)
+    big = _pfile(tmp_path / "big.parquet", 0, 30)
+    im.rewrite_snapshot(tdir, small, [big], ts_ms=3_000)
+    res = im.expire_snapshots(
+        tdir, keep_last=1, delete_orphan_data=True, ts_ms=4_000
+    )
+    assert res["expired"] == 1
+    assert res["data_files_deleted"] == 3
+    assert all(not os.path.exists(p) for p in small)
+    assert os.path.exists(big)
+    assert [p for p, _ in im.list_data_files(tdir)] == [big]
+    md = im.read_table_metadata(tdir)
+    assert len(md["snapshots"]) == 1
+    # older_than_ms variant keeps everything newer
+    assert (
+        im.expire_snapshots(tdir, older_than_ms=3_500, ts_ms=5_000)["expired"] == 0
+    )
+
+
+def test_compact_then_rewrite_end_to_end(spark, tmp_path):
+    """Full maintenance cycle on a live table: encode-splits output
+    equality before/after a rewrite driven by real parquet rewrites."""
+    from orc_format_spark.sources import iceberg
+
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    small = [_pfile(tmp_path / f"s{i}.parquet", 10 * i, 10) for i in range(4)]
+    im.append_snapshot(tdir, small, ts_ms=2_000)
+    rows_before = sorted(
+        r.doc_id for r in iceberg.read_tokens_table(spark, tdir).collect()
+    )
+    # "compaction job": concatenate the files (here driver-side; at scale
+    # a distributed rewrite), then swap via rewrite_snapshot
+    merged = pa.concat_tables([pq.read_table(p) for p in sorted(small)])
+    big = str(tmp_path / "big.parquet")
+    pq.write_table(merged, big)
+    im.rewrite_snapshot(tdir, small, [big], commit_key="c0", ts_ms=3_000)
+    rows_after = sorted(
+        r.doc_id for r in iceberg.read_tokens_table(spark, tdir).collect()
+    )
+    assert rows_before == rows_after
+    splits = iceberg.list_iceberg_splits(spark, tdir)
+    assert [s[1] for s in splits] == [big]
