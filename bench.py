@@ -58,6 +58,7 @@ HEADLINE = [
     "predicate_decode",
     "bloom_filter_decode",
     "iceberg_manifest_scan",
+    "iceberg_partition_scan",
     "sink_encode_roundtrip",
     "compact_roundtrip",
     "minhash_lsh",
