@@ -51,10 +51,14 @@ def _strip_file(path: str) -> str:
     return path[len("file:") :] if path.startswith("file:") else path
 
 
-def _commit_wave_metrics(metrics_dir: str, blobs_path: str, wave: int) -> None:
-    """Write wave ``wave``'s lineage rows (blob column dropped) to
-    ``metrics_dir/wave-<w>.parquet`` and commit it to the metrics Iceberg
-    table at ``metrics_dir`` (created on first wave)."""
+def commit_lineage_metrics(
+    metrics_dir: str, part_dir: str, name: str, commit_key: str
+) -> None:
+    """Commit one unit-of-work's lineage rows (blob column dropped) as a
+    snapshot of the metrics Iceberg table at ``metrics_dir`` (created on
+    first commit). Idempotent per ``commit_key`` — the shared
+    exactly-once commit used by batch waves (``run_encode_job``) and
+    streaming micro-batches (``streaming/encode_stream.py``)."""
     import os
 
     import pyarrow.dataset as ds
@@ -62,11 +66,11 @@ def _commit_wave_metrics(metrics_dir: str, blobs_path: str, wave: int) -> None:
 
     from ..sources.iceberg_meta import append_snapshot, create_table, is_iceberg_table
 
-    local = blobs_path[len("file:") :] if blobs_path.startswith("file:") else blobs_path
+    local = part_dir[len("file:") :] if part_dir.startswith("file:") else part_dir
     mlocal = (
         metrics_dir[len("file:") :] if metrics_dir.startswith("file:") else metrics_dir
     )
-    tbl = ds.dataset(f"{local}/wave={wave}", format="parquet").to_table()
+    tbl = ds.dataset(local, format="parquet").to_table()
     # drop the payload (absent in sink-mode waves, which carry only
     # blob_path) AND the Spark row-metadata KV pair the wave files
     # carry: Spark trusts org.apache.spark.sql.parquet.row.metadata over
@@ -75,11 +79,17 @@ def _commit_wave_metrics(metrics_dir: str, blobs_path: str, wave: int) -> None:
         tbl = tbl.drop_columns(["blob"])
     tbl = tbl.replace_schema_metadata(None)
     os.makedirs(mlocal, exist_ok=True)
-    path = os.path.join(mlocal, f"wave-{wave}.parquet")
+    path = os.path.join(mlocal, f"{name}.parquet")
     pq.write_table(tbl, path)
     if not is_iceberg_table(mlocal):
         create_table(mlocal, tbl.schema, properties={"table-kind": "codec-metrics"})
-    append_snapshot(mlocal, [path], commit_key=f"wave={wave}")
+    append_snapshot(mlocal, [path], commit_key=commit_key)
+
+
+def _commit_wave_metrics(metrics_dir: str, blobs_path: str, wave: int) -> None:
+    commit_lineage_metrics(
+        metrics_dir, f"{blobs_path}/wave={wave}", f"wave-{wave}", f"wave={wave}"
+    )
 
 
 def run_encode_job(

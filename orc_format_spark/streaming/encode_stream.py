@@ -35,6 +35,7 @@ def encode_stream(
     size_col: str | None = "n_tok",
     available_now: bool = True,
     blob_sink: str | None = None,
+    metrics_dir: str | None = None,
 ):
     """Start a streaming query encoding each micro-batch into blob rows.
 
@@ -49,6 +50,14 @@ def encode_stream(
     deterministic bytes, so a retried micro-batch overwrites
     identically. Streams that accumulate many small per-batch blobs
     feed ``compact_blobs``.
+
+    ``metrics_dir``: commit each micro-batch's lineage rows as a
+    snapshot of the metrics Iceberg table there, exactly-once per batch
+    id (``commit_key="batch=N"``) — a replayed batch after a
+    write-succeeded/commit-failed crash overwrites its parquet
+    deterministically and the Iceberg commit de-dups on the key, so the
+    metrics table sees each batch exactly once. Same table shape as
+    ``run_encode_job``'s wave metrics.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -68,6 +77,15 @@ def encode_stream(
         # idempotent replay: a retried micro-batch overwrites its own
         # directory instead of appending duplicate rows
         blobs.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        if metrics_dir is not None:
+            from ..operators.job import commit_lineage_metrics
+
+            commit_lineage_metrics(
+                metrics_dir,
+                f"{out_dir}/batch_id={batch_id}",
+                f"batch-{batch_id}",
+                f"batch={batch_id}",
+            )
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)

@@ -76,3 +76,33 @@ def test_stream_encode_blob_sink(spark, tokens_dir, tmp_path):
     a = {(r.doc_id, tuple(r.tokens)) for r in decoded.collect()}
     b = {(r.doc_id, tuple(r.tokens)) for r in batch.collect()}
     assert a == b
+
+
+def test_stream_metrics_iceberg_commits(spark, tokens_dir, tmp_path):
+    """metrics_dir: each micro-batch's lineage lands as one snapshot of
+    the metrics Iceberg table, keyed batch=N; a replayed commit for the
+    same batch id is a no-op (exactly-once), and a checkpointed restart
+    adds no snapshots."""
+    from orc_format_spark import read_metrics
+    from orc_format_spark.operators.job import commit_lineage_metrics
+    from orc_format_spark.sources import iceberg_meta as im
+
+    out = str(tmp_path / "blobs")
+    ckpt = str(tmp_path / "ckpt")
+    mdir = str(tmp_path / "metrics")
+    schema = spark.read.parquet(tokens_dir).schema
+    stream = spark.readStream.schema(schema).parquet(tokens_dir)
+    encode_stream(stream, out, ckpt, num_groups=4, metrics_dir=mdir).awaitTermination(120)
+    assert im.is_iceberg_table(mdir)
+    md = im.read_table_metadata(mdir)
+    keys = sorted(s["summary"]["commit-key"] for s in md["snapshots"])
+    assert keys == ["batch=0"]  # availableNow file source -> one batch
+    m = spark.read.parquet(*[p for p, _ in im.list_data_files(mdir)])
+    assert m.count() == 4 and "blob" not in m.columns
+    # replay of the same batch: deterministic overwrite + key'd commit
+    commit_lineage_metrics(mdir, f"{out}/batch_id=0", "batch-0", "batch=0")
+    assert len(im.read_table_metadata(mdir)["snapshots"]) == 1
+    # restart with the same checkpoint: no new batches, no new snapshots
+    stream2 = spark.readStream.schema(schema).parquet(tokens_dir)
+    encode_stream(stream2, out, ckpt, num_groups=4, metrics_dir=mdir).awaitTermination(120)
+    assert len(im.read_table_metadata(mdir)["snapshots"]) == 1
