@@ -952,18 +952,27 @@ def expire_snapshots(
         m, d = _refs(s)
         kept_manifests |= m
         kept_data |= d
-    manifests_deleted = data_deleted = 0
+    # resolve every expired snapshot's references BEFORE deleting
+    # anything: expired snapshots routinely share manifests (appends
+    # carry manifests forward), and deleting mid-scan would break the
+    # next snapshot's read
+    expired_manifests: set[str] = set()
+    expired_data: set[str] = set()
     for s in expired:
         mfs, files = _refs(s)
-        for path in mfs - kept_manifests:
+        expired_manifests |= mfs
+        expired_data |= files
+    manifests_deleted = data_deleted = 0
+    for path in expired_manifests - kept_manifests:
+        if os.path.exists(path):
+            os.remove(path)
+            manifests_deleted += 1
+    if delete_orphan_data:
+        for path in expired_data - kept_data:
             if os.path.exists(path):
                 os.remove(path)
-                manifests_deleted += 1
-        if delete_orphan_data:
-            for path in files - kept_data:
-                if os.path.exists(path):
-                    os.remove(path)
-                    data_deleted += 1
+                data_deleted += 1
+    for s in expired:
         if os.path.exists(s["manifest-list"]):
             os.remove(s["manifest-list"])
     md["snapshots"] = kept

@@ -186,3 +186,24 @@ def test_compact_then_rewrite_end_to_end(spark, tmp_path):
     assert rows_before == rows_after
     splits = iceberg.list_iceberg_splits(spark, tdir)
     assert [s[1] for s in splits] == [big]
+
+
+def test_expire_many_snapshots_sharing_manifests(tmp_path):
+    """Expired snapshots share manifests (appends carry them forward);
+    expiration must resolve all references before deleting anything."""
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    files = [_pfile(tmp_path / f"f{i}.parquet", 10 * i, 10) for i in range(4)]
+    for i, f in enumerate(files):
+        im.append_snapshot(tdir, [f], ts_ms=2_000 + i)
+    big = _pfile(tmp_path / "big.parquet", 0, 40)
+    im.rewrite_snapshot(tdir, files, [big], ts_ms=6_000)
+    # expire the 4 appends at once (keep only the rewrite)
+    res = im.expire_snapshots(tdir, keep_last=1, delete_orphan_data=True, ts_ms=7_000)
+    assert res["expired"] == 4
+    assert res["data_files_deleted"] == 4
+    assert [p for p, _ in im.list_data_files(tdir)] == [big]
+    # every surviving manifest-list entry still resolves
+    md = im.read_table_metadata(tdir)
+    for mf in im._read_manifest_list(im._current_snapshot(md)):
+        assert os.path.exists(mf["manifest_path"])
