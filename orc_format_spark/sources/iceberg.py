@@ -57,7 +57,7 @@ def read_tokens_table(
     any data file is opened; catalog names go through the Iceberg
     runtime."""
     if is_iceberg_table(name):
-        from .iceberg_meta import list_data_files
+        from .iceberg_meta import list_data_files, list_delete_entries
 
         files = sorted(
             p for p, _ in list_data_files(name, partition_filter=partition_filter)
@@ -67,7 +67,37 @@ def read_tokens_table(
                 f"iceberg table {name} has no data files"
                 + (f" matching {partition_filter}" if partition_filter else "")
             )
-        return spark.read.parquet(*files)
+        df = spark.read.parquet(*files)
+        deletes = list_delete_entries(name)
+        if deletes:
+            # merge-on-read, Spark-first: the parquet source's hidden
+            # _metadata.file_path/row_index identify each physical row,
+            # and one broadcast anti-join applies ALL positional deletes
+            # in a single map-side pass — no per-file Python, no shuffle
+            # of the data side. Delete sets are metadata-scale (until
+            # compaction folds them in), so broadcast is the right plan
+            # at 10^12 rows too.
+            from pyspark.sql import functions as F
+
+            cols = df.columns
+            dels = spark.createDataFrame(
+                deletes, "_del_path string, _del_pos long"
+            )
+            df = (
+                df.withColumn(
+                    "_fp",
+                    F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+                )
+                .withColumn("_pos", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(dels),
+                    (F.col("_fp") == F.col("_del_path"))
+                    & (F.col("_pos") == F.col("_del_pos")),
+                    "left_anti",
+                )
+                .select(*cols)
+            )
+        return df
     if partition_filter:
         raise NotImplementedError(
             "partition_filter on the catalog route: use a WHERE clause — "

@@ -744,6 +744,154 @@ def append_snapshot(
     return snapshot_id
 
 
+def append_delete_snapshot(
+    table_dir: str,
+    deletes: list[tuple[str, int]],
+    commit_key: str | None = None,
+    ts_ms: int | None = None,
+) -> int:
+    """Commit positional deletes (Iceberg v2 merge-on-read): ``deletes``
+    is ``[(data_file_path, row_position)]``. One delete parquet
+    (columns ``file_path``/``pos``, the spec's reserved field ids
+    2147483546/2147483545) is written under ``metadata/`` and committed
+    through a ``content=1`` delete manifest; data manifests are carried
+    forward untouched. Readers apply the deletes at scan time
+    (``list_delete_entries`` → anti-join in ``iceberg.read_tokens_table``);
+    compaction (``rewrite_snapshot``) is what physically drops the rows.
+    Idempotent per ``commit_key``."""
+    import pyarrow.parquet as pq
+
+    md = read_table_metadata(table_dir)
+    if commit_key is not None:
+        for s in md["snapshots"]:
+            if s.get("summary", {}).get("commit-key") == commit_key:
+                return s["snapshot-id"]
+    prior = _current_snapshot(md)
+    if prior is None:
+        raise ValueError("iceberg_meta: delete on a table with no snapshot")
+    live = {os.path.abspath(p) for p, _ in list_data_files(table_dir)}
+    norm = sorted((os.path.abspath(p), int(pos)) for p, pos in deletes)
+    missing = {p for p, _ in norm} - live
+    if missing:
+        raise ValueError(
+            "iceberg_meta: deletes target files not live in the current "
+            f"snapshot: {sorted(missing)[:3]}"
+        )
+    if not norm:
+        raise ValueError("iceberg_meta: empty delete set")
+    meta_dir = os.path.join(table_dir, "metadata")
+    seq = md["last-sequence-number"] + 1
+    snapshot_id = max([s["snapshot-id"] for s in md["snapshots"]], default=0) + 1
+    ts = ts_ms if ts_ms is not None else int(time.time() * 1000)
+    del_path = os.path.join(
+        meta_dir,
+        f"delete-{snapshot_id}-{uuid.uuid5(uuid.NAMESPACE_URL, str(norm)).hex[:8]}.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([p for p, _ in norm], pa.string()),
+                "pos": pa.array([pos for _, pos in norm], pa.int64()),
+            }
+        ),
+        del_path,
+    )
+    spec_id = md.get("default-spec-id", 0)
+    part_fields = _spec_part_fields(md, spec_id)
+    specs = {s["spec-id"]: s for s in md.get("partition-specs", [])}
+    entry = {
+        "status": _STATUS_ADDED,
+        "snapshot_id": snapshot_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 1,  # positional deletes
+            "file_path": del_path,
+            "file_format": "PARQUET",
+            "partition": {pf["name"]: None for pf in part_fields},
+            "record_count": len(norm),
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "value_counts": None,
+            "null_value_counts": None,
+            "lower_bounds": None,
+            "upper_bounds": None,
+        },
+    }
+    manifest = _write_manifest(
+        meta_dir,
+        [entry],
+        snapshot_id,
+        seq,
+        md["schemas"][md["current-schema-id"]],
+        f"manifest-{snapshot_id}-del.avro",
+        part_fields,
+        specs[spec_id]["fields"],
+    )
+    manifest["content"] = 1  # delete manifest
+    manifests = _read_manifest_list(prior) + [manifest]
+    ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-manifest-list.avro")
+    with open(ml_path, "wb") as f:
+        f.write(
+            write_ocf(
+                _MANIFEST_FILE_SCHEMA,
+                manifests,
+                metadata={"format-version": str(FORMAT_VERSION)},
+            )
+        )
+    snap = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": ml_path,
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": "1",
+            "added-position-deletes": str(len(norm)),
+            **({"commit-key": commit_key} if commit_key is not None else {}),
+        },
+        "schema-id": md["current-schema-id"],
+    }
+    md["snapshots"].append(snap)
+    md["current-snapshot-id"] = snapshot_id
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = ts
+    md["snapshot-log"].append({"timestamp-ms": ts, "snapshot-id": snapshot_id})
+    _write_metadata_json(table_dir, md, _current_version(table_dir) + 1)
+    return snapshot_id
+
+
+def list_delete_entries(
+    table_dir: str, snapshot_id: int | None = None
+) -> list[tuple[str, int]]:
+    """Live positional-delete entries ``(data_file_path, pos)`` of the
+    current (or pinned) snapshot, resolved through ``content=1``
+    manifests. Deletes whose target file is no longer live (rewritten
+    away) are dropped — a rewrite both applies and retires them."""
+    import pyarrow.parquet as pq
+
+    md = read_table_metadata(table_dir)
+    snap = _current_snapshot(md, snapshot_id)
+    if snap is None:
+        return []
+    live = {p for p, _ in list_data_files(table_dir, snapshot_id)}
+    out: list[tuple[str, int]] = []
+    for mf in _read_manifest_list(snap):
+        if mf.get("content") != 1:
+            continue
+        with open(mf["manifest_path"], "rb") as f:
+            entries, _, _ = read_ocf(f.read())
+        for e in entries:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            t = pq.read_table(e["data_file"]["file_path"])
+            for p, pos in zip(
+                t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+            ):
+                if p in live:
+                    out.append((p, pos))
+    return sorted(set(out))
+
+
 def rewrite_snapshot(
     table_dir: str,
     removed_files: list[str],
@@ -1171,6 +1319,8 @@ def list_data_files(
         }
     out: list[tuple[str, int]] = []
     for mf in _read_manifest_list(snap):
+        if mf.get("content") == 1:
+            continue  # delete manifest: not data (see list_delete_entries)
         stats["manifests_total"] += 1
         summaries = mf.get("partitions")
         if want and summaries:
@@ -1233,6 +1383,15 @@ def list_iceberg_splits_meta(
             column_predicates=column_predicates,
         )
     )
+    dirty = {p for p, _ in list_delete_entries(table_dir, snapshot_id)} & set(files)
+    if dirty:
+        raise ValueError(
+            f"iceberg_meta: {len(dirty)} selected data file(s) carry live "
+            "positional deletes; split-encode reads raw row groups and "
+            "would resurrect deleted rows. Compact first "
+            "(rewrite_snapshot) or read via read_tokens_table "
+            "(merge-on-read)."
+        )
     out: list[tuple[int, str, int]] = []
     sid = 0
     for f in files:

@@ -207,3 +207,85 @@ def test_expire_many_snapshots_sharing_manifests(tmp_path):
     md = im.read_table_metadata(tdir)
     for mf in im._read_manifest_list(im._current_snapshot(md)):
         assert os.path.exists(mf["manifest_path"])
+
+
+# --------------------------------------------- positional deletes (MoR)
+
+
+def test_delete_commit_and_entries(tmp_path):
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    a = _pfile(tmp_path / "a.parquet", 0, 10)
+    b = _pfile(tmp_path / "b.parquet", 10, 10)
+    im.append_snapshot(tdir, [a, b], ts_ms=2_000)
+    with pytest.raises(ValueError, match="not live"):
+        im.append_delete_snapshot(tdir, [(str(tmp_path / "x.parquet"), 0)])
+    with pytest.raises(ValueError, match="empty delete set"):
+        im.append_delete_snapshot(tdir, [])
+    s = im.append_delete_snapshot(
+        tdir, [(a, 1), (a, 3), (b, 0)], commit_key="d0", ts_ms=3_000
+    )
+    assert im.append_delete_snapshot(tdir, [(a, 1)], commit_key="d0") == s
+    assert im.list_delete_entries(tdir) == [(a, 1), (a, 3), (b, 0)]
+    # data listing unaffected by the delete manifest
+    assert sorted(p for p, _ in im.list_data_files(tdir)) == sorted([a, b])
+    # pre-delete snapshot has no entries
+    md = im.read_table_metadata(tdir)
+    pre = md["snapshots"][0]["snapshot-id"]
+    assert im.list_delete_entries(tdir, snapshot_id=pre) == []
+    assert md["snapshots"][-1]["summary"]["operation"] == "delete"
+
+
+def test_merge_on_read(spark, tmp_path):
+    """read_tokens_table anti-joins live positional deletes via the
+    parquet _metadata columns; time travel sees the undeleted view."""
+    from orc_format_spark.sources import iceberg
+
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    a = _pfile(tmp_path / "a.parquet", 0, 10)
+    b = _pfile(tmp_path / "b.parquet", 10, 10)
+    s1 = im.append_snapshot(tdir, [a, b], ts_ms=2_000)
+    im.append_delete_snapshot(tdir, [(a, 0), (a, 9), (b, 5)], ts_ms=3_000)
+    got = sorted(r.doc_id for r in iceberg.read_tokens_table(spark, tdir).collect())
+    expect = sorted(
+        f"d{i:05d}" for i in range(20) if i not in (0, 9, 15)
+    )
+    assert got == expect
+
+
+def test_split_encode_refuses_dirty_files(spark, tmp_path):
+    from orc_format_spark.sources import iceberg
+
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    a = _pfile(tmp_path / "a.parquet", 0, 10)
+    im.append_snapshot(tdir, [a], ts_ms=2_000)
+    im.append_delete_snapshot(tdir, [(a, 2)], ts_ms=3_000)
+    with pytest.raises(ValueError, match="positional deletes"):
+        iceberg.list_iceberg_splits(spark, tdir)
+
+
+def test_rewrite_applies_and_retires_deletes(spark, tmp_path):
+    """Compaction materializes the merge-on-read view and retires the
+    delete entries; the split-encode path unblocks."""
+    from orc_format_spark.sources import iceberg
+
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    a = _pfile(tmp_path / "a.parquet", 0, 10)
+    im.append_snapshot(tdir, [a], ts_ms=2_000)
+    im.append_delete_snapshot(tdir, [(a, 2), (a, 7)], ts_ms=3_000)
+    merged = iceberg.read_tokens_table(spark, tdir)  # MoR view: 8 rows
+    keep = sorted(r.doc_id for r in merged.collect())
+    assert len(keep) == 8
+    compacted = str(tmp_path / "compacted.parquet")
+    t = pq.read_table(a)
+    mask = [i not in (2, 7) for i in range(t.num_rows)]
+    pq.write_table(t.filter(pa.array(mask)), compacted)
+    im.rewrite_snapshot(tdir, [a], [compacted], ts_ms=4_000)
+    assert im.list_delete_entries(tdir) == []  # retired: target not live
+    splits = iceberg.list_iceberg_splits(spark, tdir)
+    assert [s[1] for s in splits] == [compacted]
+    got = sorted(r.doc_id for r in iceberg.read_tokens_table(spark, tdir).collect())
+    assert got == keep
