@@ -57,7 +57,12 @@ def read_tokens_table(
     any data file is opened; catalog names go through the Iceberg
     runtime."""
     if is_iceberg_table(name):
-        from .iceberg_meta import list_data_files, list_delete_entries
+        from .iceberg_meta import (
+            iceberg_to_spark_ddl,
+            list_data_files,
+            list_delete_entries,
+            read_table_metadata,
+        )
 
         files = sorted(
             p for p, _ in list_data_files(name, partition_filter=partition_filter)
@@ -67,7 +72,12 @@ def read_tokens_table(
                 f"iceberg table {name} has no data files"
                 + (f" matching {partition_filter}" if partition_filter else "")
             )
-        df = spark.read.parquet(*files)
+        # explicit current-schema read = Iceberg projection semantics:
+        # columns added since a file was written come back null, dropped
+        # columns are not requested (schema evolution without rewrites)
+        df = spark.read.schema(
+            iceberg_to_spark_ddl(read_table_metadata(name))
+        ).parquet(*files)
         deletes = list_delete_entries(name)
         if deletes:
             # merge-on-read, Spark-first: the parquet source's hidden

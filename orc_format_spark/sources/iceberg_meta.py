@@ -744,6 +744,89 @@ def append_snapshot(
     return snapshot_id
 
 
+_ICEBERG_TO_SPARK = {
+    "string": "string",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "binary": "binary",
+    "timestamp": "timestamp",
+    "date": "date",
+}
+
+
+def iceberg_to_spark_ddl(md: dict) -> str:
+    """Current Iceberg schema -> Spark DDL string. Reading data files
+    under this EXPLICIT schema is what makes schema evolution work at
+    scan time: columns added after a file was written come back null,
+    dropped columns are simply not requested."""
+    parts = []
+    for f in md["schemas"][md["current-schema-id"]]["fields"]:
+        t = f["type"]
+        if isinstance(t, dict) and t.get("type") == "list":
+            st = f"array<{_ICEBERG_TO_SPARK[t['element']]}>"
+        else:
+            st = _ICEBERG_TO_SPARK[t]
+        parts.append(f"`{f['name']}` {st}")
+    return ", ".join(parts)
+
+
+def evolve_schema(
+    table_dir: str,
+    add: list[tuple[str, str]] | None = None,
+    drop: list[str] | None = None,
+    ts_ms: int | None = None,
+) -> dict:
+    """Schema evolution (metadata-only, no data rewrite): ``add`` new
+    columns as ``[(name, iceberg_type)]`` with freshly assigned field
+    ids, ``drop`` existing ones by name. The new schema is appended to
+    the metadata's schema list with a bumped schema-id; existing data
+    files are untouched — added columns read as null from pre-evolution
+    files, dropped columns stop being projected (see
+    ``iceberg_to_spark_ddl`` / ``read_tokens_table``). Field ids are
+    never reused (``last-column-id`` only grows), per the spec, so a
+    re-added name is a NEW column and old stats maps never misbind.
+    Partition source columns cannot be dropped."""
+    md = read_table_metadata(table_dir)
+    cur = md["schemas"][md["current-schema-id"]]
+    fields = [dict(f) for f in cur["fields"]]
+    by_name = {f["name"]: f for f in fields}
+    part_srcs = {
+        pf["source-name"]
+        for pf in _spec_part_fields(md, md.get("default-spec-id", 0))
+    }
+    for name in drop or []:
+        if name not in by_name:
+            raise ValueError(f"iceberg_meta: cannot drop unknown column {name!r}")
+        if name in part_srcs:
+            raise ValueError(
+                f"iceberg_meta: cannot drop partition source column {name!r}"
+            )
+        fields.remove(by_name.pop(name))
+    next_id = md["last-column-id"]
+    for name, itype in add or []:
+        if name in by_name:
+            raise ValueError(f"iceberg_meta: column {name!r} already exists")
+        if itype not in _ICEBERG_TO_SPARK:
+            raise ValueError(f"iceberg_meta: unsupported added type {itype!r}")
+        next_id += 1
+        f = {"id": next_id, "name": name, "required": False, "type": itype}
+        fields.append(f)
+        by_name[name] = f
+    if not fields:
+        raise ValueError("iceberg_meta: evolution would drop every column")
+    new_id = max(s["schema-id"] for s in md["schemas"]) + 1
+    schema = {"type": "struct", "schema-id": new_id, "fields": fields}
+    md["schemas"].append(schema)
+    md["current-schema-id"] = new_id
+    md["last-column-id"] = next_id
+    md["last-updated-ms"] = ts_ms if ts_ms is not None else int(time.time() * 1000)
+    _write_metadata_json(table_dir, md, _current_version(table_dir) + 1)
+    return schema
+
+
 def append_delete_snapshot(
     table_dir: str,
     deletes: list[tuple[str, int]],

@@ -289,3 +289,66 @@ def test_rewrite_applies_and_retires_deletes(spark, tmp_path):
     assert [s[1] for s in splits] == [compacted]
     got = sorted(r.doc_id for r in iceberg.read_tokens_table(spark, tdir).collect())
     assert got == keep
+
+
+# ------------------------------------------------------ schema evolution
+
+
+def test_evolve_schema_metadata(tmp_path):
+    tdir = str(tmp_path / "tbl")
+    im.create_table(
+        tdir, SCHEMA, partition_spec=[("source", "identity")], ts_ms=1_000
+    )
+    last0 = im.read_table_metadata(tdir)["last-column-id"]
+    sch = im.evolve_schema(tdir, add=[("lang", "string"), ("score", "double")], ts_ms=2_000)
+    md = im.read_table_metadata(tdir)
+    assert md["current-schema-id"] == 1 and len(md["schemas"]) == 2
+    names = [f["name"] for f in sch["fields"]]
+    assert names == ["doc_id", "n_tok", "source", "lang", "score"]
+    assert md["last-column-id"] == last0 + 2
+    # ids are fresh, never reused
+    ids = [f["id"] for f in sch["fields"]]
+    assert ids[-2:] == [last0 + 1, last0 + 2]
+    im.evolve_schema(tdir, drop=["lang"], ts_ms=3_000)
+    sch3 = im.evolve_schema(tdir, add=[("lang", "string")], ts_ms=4_000)
+    # re-added name gets a NEW id (old stats maps can never misbind)
+    assert next(f["id"] for f in sch3["fields"] if f["name"] == "lang") == last0 + 3
+    with pytest.raises(ValueError, match="partition source"):
+        im.evolve_schema(tdir, drop=["source"])
+    with pytest.raises(ValueError, match="unknown column"):
+        im.evolve_schema(tdir, drop=["nope"])
+    with pytest.raises(ValueError, match="already exists"):
+        im.evolve_schema(tdir, add=[("doc_id", "string")])
+    with pytest.raises(ValueError, match="unsupported added type"):
+        im.evolve_schema(tdir, add=[("m", "map<int,int>")])
+
+
+def test_evolution_read_semantics(spark, tmp_path):
+    """Old files under the evolved schema: added column reads null,
+    dropped column disappears, no data rewrite."""
+    from orc_format_spark.sources import iceberg
+
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    a = _pfile(tmp_path / "a.parquet", 0, 5)
+    im.append_snapshot(tdir, [a], ts_ms=2_000)
+    im.evolve_schema(tdir, add=[("score", "double")], drop=["n_tok"], ts_ms=3_000)
+    df = iceberg.read_tokens_table(spark, tdir)
+    assert df.columns == ["doc_id", "source", "score"]
+    rows = df.collect()
+    assert len(rows) == 5 and all(r.score is None for r in rows)
+    # a post-evolution file carries the new column; both eras coexist
+    t = pa.table(
+        {
+            "doc_id": [f"e{i}" for i in range(3)],
+            "source": ["web"] * 3,
+            "score": [0.5, 1.5, 2.5],
+        }
+    )
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(t, b)
+    im.append_snapshot(tdir, [b], ts_ms=4_000)
+    got = iceberg.read_tokens_table(spark, tdir)
+    assert got.count() == 8
+    scores = {r.doc_id: r.score for r in got.collect()}
+    assert scores["e1"] == 1.5 and scores["d00001"] is None
