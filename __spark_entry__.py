@@ -987,6 +987,49 @@ def q_curation_pipeline(spark, sf_dir):
     return detokenize(decode_blobs(blobs, TOKENS_SCHEMA)).select("doc_id", "text")
 
 
+def q_seq_pack(spark, sf_dir):
+    """Sequence packing: concat each md5-group's token stream in doc_id
+    order, cut into 2048-token training windows (drop remainder). One
+    shuffle on group_id, vectorized concat+reshape map-side — never a
+    token-level explode. Chunks compared to the oracle as hex of the
+    packed byte-token payload."""
+    from orc_format_spark import tokenize_documents
+    from orc_format_spark.functions.token_pipeline import chunk_hex, pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(
+        tokenize_documents(docs), seq_len=2048, num_groups=8, hasher="md5"
+    )
+    return packed.select(
+        "group_id", "chunk_id", chunk_hex(F.col("tokens")).alias("chunk_hex")
+    )
+
+
+def q_token_histogram(spark, sf_dir):
+    """Vocabulary histogram over the token stream: per-batch np.unique
+    partials inside mapInArrow, then one |vocab|-bounded groupBy — the
+    shuffle never carries one row per token occurrence. Top-50 with
+    deterministic tie-break on token id."""
+    from orc_format_spark import tokenize_documents
+    from orc_format_spark.functions.token_pipeline import token_histogram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_histogram(tokenize_documents(docs), top_k=50)
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic per-source mixture sampling (domain re-weighting):
+    keep iff md5_hash60(doc_id) % 1e6 < rate_ppm[source] — a pure
+    map-side filter, zero shuffle, identical subset on resume."""
+    from orc_format_spark.functions.token_pipeline import mixture_sample
+
+    rates = {f"src{i}": (750000 if i % 2 == 0 else 250000) for i in range(20)}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "source"), rates
+    )
+
+
 def q_codec_lineage(spark, sf_dir):
     """Codec lineage rows: deterministic md5-based grouping so group
     membership, row counts, and value counts (3 scalar leaves + the
@@ -1059,6 +1102,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "seq_pack": q_seq_pack,
+        "token_histogram": q_token_histogram,
+        "mixture_sample": q_mixture_sample,
     }
 
 
@@ -1076,6 +1122,11 @@ def oracle_sql() -> dict[str, str]:
         near_duplicate_pairs_sql,
     )
     from orc_format_spark.functions.text import quality_e6_sql, text_profile_sql
+    from orc_format_spark.functions.token_pipeline import (
+        mixture_sample_sql,
+        pack_sequences_sql,
+        token_histogram_sql,
+    )
 
     stats_longs = " UNION ALL ".join(
         f"SELECT '{c}' AS column, COUNT(*) AS n_values, COUNT({c}) AS n_present, "
@@ -1289,5 +1340,10 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) % 4 AS group_id, COUNT(*) AS n_rows, "
             "CAST(3 * COUNT(*) + SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) "
             "AS n_values FROM documents GROUP BY 1"
+        ),
+        "seq_pack": pack_sequences_sql(seq_len=2048, num_groups=8),
+        "token_histogram": token_histogram_sql(top_k=50),
+        "mixture_sample": mixture_sample_sql(
+            {f"src{i}": (750000 if i % 2 == 0 else 250000) for i in range(20)}
         ),
     }

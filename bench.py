@@ -71,6 +71,9 @@ HEADLINE = [
     "embedding_neardup",
     "multimodal_features",
     "cshuffle_encode_roundtrip",
+    "seq_pack",
+    "token_histogram",
+    "mixture_sample",
 ]
 
 

@@ -1,0 +1,171 @@
+"""Unit tests for the token-pipeline operators (sequence packing,
+vocabulary histogram, mixture sampling) — semantics and edge cases; the
+driver-contract oracle parity at sf0.01 is covered by
+tests/test_entry_contract.py (seq_pack / token_histogram /
+mixture_sample)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from orc_format_spark.functions.token_pipeline import (
+    chunk_hex,
+    mixture_sample,
+    pack_sequences,
+    token_histogram,
+)
+
+
+def _toks(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=d, tokens=t, n_tok=len(t), source="s") for d, t in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+
+
+def test_pack_single_group_semantics(spark):
+    # one group: docs in doc_id string order, concat, cut at seq_len=4
+    rows = [("a", [1, 2, 3]), ("b", [4, 5]), ("c", [6, 7, 8, 9, 10])]
+    packed = pack_sequences(
+        _toks(spark, rows), seq_len=4, num_groups=1, hasher="md5"
+    ).collect()
+    got = {r.chunk_id: (r.tokens, r.doc_starts) for r in packed}
+    # stream = 1 2 3 4 5 6 7 8 9 10 -> chunks [1..4], [5..8]; 9,10 dropped
+    assert got[0] == ([1, 2, 3, 4], [0, 3])  # doc a at 0, doc b at 3
+    assert got[1] == ([5, 6, 7, 8], [1])  # doc c starts at stream pos 5
+    assert len(got) == 2
+
+
+def test_pack_drop_remainder_and_empty(spark):
+    # total 3 tokens < seq_len -> zero chunks
+    assert (
+        pack_sequences(
+            _toks(spark, [("a", [1, 2, 3])]), seq_len=8, num_groups=1
+        ).count()
+        == 0
+    )
+    # empty input -> zero chunks, stable schema
+    empty = pack_sequences(_toks(spark, []), seq_len=4, num_groups=2)
+    assert empty.count() == 0
+    assert empty.columns == ["group_id", "chunk_id", "tokens", "doc_starts"]
+
+
+def test_pack_empty_docs_are_boundaries(spark):
+    rows = [("a", [1, 2]), ("b", []), ("c", [3, 4])]
+    packed = pack_sequences(
+        _toks(spark, rows), seq_len=4, num_groups=1
+    ).collect()
+    assert len(packed) == 1
+    # empty doc b "starts" at position 2, same as c
+    assert packed[0].tokens == [1, 2, 3, 4]
+    assert packed[0].doc_starts == [0, 2, 2]
+
+
+def test_pack_deterministic_across_partitioning(spark):
+    rows = [(f"d{i:03d}", list(range(i % 7 + 1))) for i in range(50)]
+    df1 = _toks(spark, rows).repartition(1)
+    df8 = _toks(spark, rows).repartition(8, "doc_id")
+    a = {
+        (r.group_id, r.chunk_id): (r.tokens, r.doc_starts)
+        for r in pack_sequences(df1, seq_len=16, num_groups=4).collect()
+    }
+    b = {
+        (r.group_id, r.chunk_id): (r.tokens, r.doc_starts)
+        for r in pack_sequences(df8, seq_len=16, num_groups=4).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_pack_rejects_bad_seq_len(spark):
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(_toks(spark, []), seq_len=0)
+
+
+def test_chunk_hex(spark):
+    df = _toks(spark, [("a", [0, 15, 255])]).select(
+        chunk_hex(F.col("tokens")).alias("h")
+    )
+    assert df.collect()[0].h == "000fff"
+
+
+def test_token_histogram_counts(spark):
+    rows = [("a", [5, 5, 7]), ("b", [5, 900001]), ("c", [])]
+    got = {
+        r.token: r.cnt for r in token_histogram(_toks(spark, rows)).collect()
+    }
+    assert got == {5: 3, 7: 1, 900001: 1}
+
+
+def test_token_histogram_topk_tiebreak(spark):
+    # 4 tokens all with count 1: top-2 must be the lowest token ids
+    rows = [("a", [9, 3, 7, 1])]
+    got = [
+        (r.token, r.cnt)
+        for r in token_histogram(_toks(spark, rows), top_k=2).collect()
+    ]
+    assert got == [(1, 1), (3, 1)]
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=str(i), source=("web" if i % 2 else "code")) for i in range(2000)],
+        "doc_id string, source string",
+    )
+    kept = mixture_sample(df, {"web": 500_000, "code": 0}, seed=9)
+    rows = kept.collect()
+    assert all(r.source == "web" for r in rows)
+    # ~half of the 1000 web docs at 500000 ppm (md5 is uniform)
+    assert 380 <= len(rows) <= 620
+    again = set((r.doc_id, r.source) for r in kept.collect())
+    assert again == set((r.doc_id, r.source) for r in rows)
+    # unknown source falls to default_ppm
+    extra = mixture_sample(
+        df, {"web": 0}, default_ppm=1_000_000
+    )  # code rows all kept, web rows none
+    assert sorted(r.source for r in extra.collect()) == ["code"] * 1000
+
+
+def test_mixture_sample_xxh_path(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=str(i), source="web") for i in range(500)],
+        "doc_id string, source string",
+    )
+    n = mixture_sample(df, {"web": 250_000}, hasher="xxh").count()
+    assert 60 <= n <= 190  # ~125 expected
+
+
+def test_pack_matches_numpy_reference(spark):
+    """Cross-check the whole packed stream against a plain numpy
+    reimplementation on a bigger random-ish fixture."""
+    rng = np.random.RandomState(7)
+    rows = [
+        (f"x{i:04d}", [int(v) for v in rng.randint(0, 1000, rng.randint(0, 40))])
+        for i in range(200)
+    ]
+    seq_len, groups = 64, 3
+    packed = pack_sequences(
+        _toks(spark, rows), seq_len=seq_len, num_groups=groups, hasher="md5"
+    ).collect()
+    from orc_format_spark.functions.dedup import md5_hash60  # noqa: F401
+
+    # reference: group by the same md5 hash computed via Spark once
+    gids = {
+        r.doc_id: r.g
+        for r in _toks(spark, rows)
+        .select("doc_id", (md5_hash60(F.col("doc_id"), seed=0) % groups).alias("g"))
+        .collect()
+    }
+    for g in range(groups):
+        stream = []
+        for d, t in sorted(rows):
+            if gids[d] == g:
+                stream.extend(t)
+        want = [
+            stream[k * seq_len : (k + 1) * seq_len]
+            for k in range(len(stream) // seq_len)
+        ]
+        got = sorted(
+            (r.chunk_id, r.tokens) for r in packed if r.group_id == g
+        )
+        assert [t for _, t in got] == want
