@@ -1005,6 +1005,34 @@ def q_seq_pack(spark, sf_dir):
     )
 
 
+def q_pack_encode_roundtrip(spark, sf_dir):
+    """Pack -> columnar-encode -> decode: the north-star composition
+    (fixed-length pre-tokenized training sequences through the codec
+    engine). pack_sequences' group_id is reused by encode_groups (no
+    re-grouping pass), chunk_id is the in-group sort key, and the
+    decoded chunks must hex-match the packing oracle exactly — the
+    encode/decode leg is lossless on array<int32> payloads."""
+    from orc_format_spark import decode_blobs, encode_groups, tokenize_documents
+    from orc_format_spark.functions.token_pipeline import chunk_hex, pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(
+        tokenize_documents(docs), seq_len=2048, num_groups=8, hasher="md5"
+    )
+    # encode_groups consumes the group_id column as the (dropped)
+    # grouping key, so carry the group id as an explicit payload column
+    packed = packed.withColumn("grp", F.col("group_id"))
+    blobs = encode_groups(packed, key_col="chunk_id")
+    out = decode_blobs(
+        blobs, "chunk_id int, tokens array<int>, doc_starts array<int>, grp int"
+    )
+    return out.select(
+        F.col("grp").alias("group_id"),
+        "chunk_id",
+        chunk_hex(F.col("tokens")).alias("chunk_hex"),
+    )
+
+
 def q_token_histogram(spark, sf_dir):
     """Vocabulary histogram over the token stream: per-batch np.unique
     partials inside mapInArrow, then one |vocab|-bounded groupBy — the
@@ -1103,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "seq_pack": q_seq_pack,
+        "pack_encode_roundtrip": q_pack_encode_roundtrip,
         "token_histogram": q_token_histogram,
         "mixture_sample": q_mixture_sample,
     }
@@ -1342,6 +1371,7 @@ def oracle_sql() -> dict[str, str]:
             "AS n_values FROM documents GROUP BY 1"
         ),
         "seq_pack": pack_sequences_sql(seq_len=2048, num_groups=8),
+        "pack_encode_roundtrip": pack_sequences_sql(seq_len=2048, num_groups=8),
         "token_histogram": token_histogram_sql(top_k=50),
         "mixture_sample": mixture_sample_sql(
             {f"src{i}": (750000 if i % 2 == 0 else 250000) for i in range(20)}

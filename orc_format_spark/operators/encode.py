@@ -383,6 +383,36 @@ def _normalize_schema(schema: str) -> str:
     return re.sub(r"(?i)\b(?:var)?char\s*\(\s*\d+\s*\)", "string", schema)
 
 
+def _ddl_names(schema: str) -> list[str]:
+    """Top-level field names of a DDL schema string (commas inside
+    array<>/struct<>/map<>/decimal() do not split fields)."""
+    fields, cur, depth = [], [], 0
+    for ch in schema:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            fields.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        fields.append("".join(cur))
+    return [f.strip().split()[0].strip("`") for f in fields]
+
+
+def _check_decoded_names(tbl: pa.Table, expected: list[str]) -> None:
+    """Loud mismatch instead of a JVM ArrayIndexOutOfBounds: the blob's
+    stored columns must match the caller-declared output schema exactly
+    (encode_groups consumes the grouping column, a common surprise)."""
+    if tbl.column_names != expected:
+        raise ValueError(
+            f"decode schema mismatch: blob holds columns {tbl.column_names} "
+            f"but the declared output schema names {expected}"
+        )
+
+
 def decode_blobs(
     blobs: DataFrame,
     schema: str,
@@ -405,6 +435,7 @@ def decode_blobs(
     runtime representation (see ``_normalize_schema``).
     """
     schema = _normalize_schema(schema)
+    expected = _ddl_names(schema)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         limit_worker_threads()
@@ -414,6 +445,7 @@ def decode_blobs(
                 tbl = decode_table(
                     v.as_py(), columns=columns, rows=rows, predicate=predicate
                 )
+                _check_decoded_names(tbl, expected)
                 yield from tbl.to_batches()
 
     return blobs.select("blob").mapInArrow(fn, schema)
@@ -431,6 +463,7 @@ def decode_blob_files(
     The worker opens each blob file itself — like the encode side, the
     payload never crosses the JVM; only paths do."""
     schema = _normalize_schema(schema)
+    expected = _ddl_names(schema)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         limit_worker_threads()
@@ -441,6 +474,7 @@ def decode_blob_files(
                     tbl = decode_table(
                         f.read(), columns=columns, rows=rows, predicate=predicate
                     )
+                _check_decoded_names(tbl, expected)
                 yield from tbl.to_batches()
 
     return blobs.select("blob_path").mapInArrow(fn, schema)

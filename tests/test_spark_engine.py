@@ -337,3 +337,24 @@ def test_encode_groups_compressed_shuffle_mixed_types(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_decode_schema_mismatch_is_loud(spark, docs):
+    """Declaring a decode schema whose names don't match the blob's
+    stored columns raises a clear ValueError in the worker — never a
+    JVM ArrayIndexOutOfBounds (encode_groups consumes the grouping
+    column, so off-by-one schemas are an easy mistake)."""
+    toks = tokenize_documents(docs.limit(50))
+    blobs = encode_groups(toks, num_groups=2, key_col="doc_id")
+    bad = decode_blobs(blobs, "group_id int, " + TOKENS_SCHEMA)
+    with pytest.raises(Exception, match="decode schema mismatch"):
+        bad.count()
+
+
+def test_ddl_names_nested_types():
+    from orc_format_spark.operators.encode import _ddl_names
+
+    assert _ddl_names(
+        "`a` array<int>, b struct<x:int,y:string>, c map<string,int>, "
+        "d decimal(20,2), e string"
+    ) == ["a", "b", "c", "d", "e"]
