@@ -726,6 +726,64 @@ def q_stream_encode_roundtrip(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming cross-batch dedup ledger: docs (plus synthetic
+    duplicates) arrive in 3 deterministic micro-batches (one file per
+    trigger, mtime-ordered); each fingerprint is admitted exactly once
+    — first batch wins, min doc_id inside that batch. The oracle
+    replays the same rule as a window over (batch, doc_id)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from orc_format_spark.functions.text import fingerprint
+    from orc_format_spark.streaming import stream_dedup
+
+    work = tempfile.mkdtemp(prefix="ofs_sdedup_")
+    try:
+        base = _docs_with_dups(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            fingerprint(F.col("text")).alias("fp"),
+            (F.col("doc_id") % 3).cast("int").alias("batch"),
+        )
+        src = f"{work}/src"
+        os.makedirs(src)
+        t0 = time.time() - 600
+        seen_files: set[str] = set()
+        for b in range(3):
+            base.filter(F.col("batch") == b).drop("batch").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            # strictly increasing mtimes fix the FileStreamSource order
+            for name in sorted(os.listdir(src)):
+                if name.startswith("part-") and name not in seen_files:
+                    os.utime(f"{src}/{name}", (t0 + b * 60, t0 + b * 60))
+                    seen_files.add(name)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = stream_dedup(stream, fingerprint_col="fp", key_col="doc_id")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{work}/out")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.read.parquet(f"{work}/out").select("doc_id", "fp")
+        res = res.cache()
+        res.count()  # materialize before the scratch dir disappears
+        return res
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_encode_job_roundtrip(spark, sf_dir):
     """The full wave-checkpointed job (F1 writer/finish analog) driven
     end-to-end: run_encode_job -> read_encoded -> detokenize == the
@@ -1113,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "stream_encode_roundtrip": q_stream_encode_roundtrip,
         "stream_window_stats": q_stream_window_stats,
+        "stream_dedup": q_stream_dedup,
         "encode_job_roundtrip": q_encode_job_roundtrip,
         "iceberg_manifest_scan": q_iceberg_manifest_scan,
         "iceberg_partition_scan": q_iceberg_partition_scan,
@@ -1369,6 +1428,22 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) % 4 AS group_id, COUNT(*) AS n_rows, "
             "CAST(3 * COUNT(*) + SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) "
             "AS n_values FROM documents GROUP BY 1"
+        ),
+        "stream_dedup": (
+            "WITH u AS ("
+            "SELECT doc_id, text FROM documents "
+            "UNION ALL "
+            "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
+            "WHERE doc_id % 7 = 0"
+            "), f AS ("
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp, "
+            "doc_id % 3 AS batch FROM u"
+            "), r AS ("
+            "SELECT doc_id, fp, "
+            "row_number() OVER (PARTITION BY fp ORDER BY batch, doc_id) AS rn "
+            "FROM f) "
+            "SELECT doc_id, fp FROM r WHERE rn = 1"
         ),
         "seq_pack": pack_sequences_sql(seq_len=2048, num_groups=8),
         "pack_encode_roundtrip": pack_sequences_sql(seq_len=2048, num_groups=8),
