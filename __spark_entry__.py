@@ -972,6 +972,60 @@ def q_iceberg_partition_scan(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_iceberg_equality_delete(spark, sf_dir):
+    """Iceberg v2 equality deletes (merge-on-read, content=2) driven end
+    to end: documents are committed (seq 1), sources src3/src5 are
+    equality-deleted (seq 2), the src3 rows are re-appended (seq 3, so
+    they survive — the spec's strictly-before sequence rule), then every
+    doc_id divisible by 7 is equality-deleted (seq 4, erases from BOTH
+    eras). ``read_tokens_table`` applies all of it as broadcast null-safe
+    anti-joins; the oracle states the surviving set in plain SQL. Table
+    build is test scaffolding — at scale only the MoR read runs."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from orc_format_spark.sources import iceberg_meta as im
+    from orc_format_spark.sources.iceberg import read_tokens_table
+
+    work = tempfile.mkdtemp(prefix="ofs_iceeq_")
+    try:
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+        )
+        im.create_table(work, tbl.schema)
+        full = f"{work}/docs.parquet"
+        pq.write_table(tbl, full)
+        im.append_snapshot(work, [full], commit_key="load")  # seq 1
+        im.append_equality_delete_snapshot(  # seq 2
+            work,
+            [{"source": "src3"}, {"source": "src5"}],
+            ["source"],
+            commit_key="del-sources",
+        )
+        sub = tbl.filter(pc.equal(tbl.column("source"), "src3"))
+        subp = f"{work}/src3-readd.parquet"
+        pq.write_table(sub, subp)
+        im.append_snapshot(work, [subp], commit_key="re-add")  # seq 3
+        sevens = sorted(
+            {int(i) for i in tbl.column("doc_id").to_pylist() if i % 7 == 0}
+        )
+        im.append_equality_delete_snapshot(  # seq 4
+            work,
+            [{"doc_id": i} for i in sevens],
+            ["doc_id"],
+            commit_key="del-sevens",
+        )
+        out = read_tokens_table(spark, work).select("doc_id", "text", "source")
+        out = out.cache()
+        out.count()  # materialize before the table dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_stream_window_stats(spark, sf_dir):
     """Structured Streaming watermarked window aggregation (availableNow)
     over the tokens stream with md5-derived event times; append-mode
@@ -1175,6 +1229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_job_roundtrip": q_encode_job_roundtrip,
         "iceberg_manifest_scan": q_iceberg_manifest_scan,
         "iceberg_partition_scan": q_iceberg_partition_scan,
+        "iceberg_equality_delete": q_iceberg_equality_delete,
         "sink_encode_roundtrip": q_sink_encode_roundtrip,
         "compact_roundtrip": q_compact_roundtrip,
         "struct_map_roundtrip": q_struct_map_roundtrip,
@@ -1239,6 +1294,10 @@ def oracle_sql() -> dict[str, str]:
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "iceberg_manifest_scan": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "iceberg_partition_scan": "SELECT doc_id, text FROM documents WHERE source = 'src7'",
+        "iceberg_equality_delete": (
+            "SELECT doc_id, text, source FROM documents "
+            "WHERE source <> 'src5' AND doc_id % 7 <> 0"
+        ),
         "sink_encode_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "compact_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
         "rle_v2_roundtrip": "SELECT o_orderkey, o_custkey FROM orders",

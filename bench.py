@@ -59,6 +59,7 @@ HEADLINE = [
     "bloom_filter_decode",
     "iceberg_manifest_scan",
     "iceberg_partition_scan",
+    "iceberg_equality_delete",
     "sink_encode_roundtrip",
     "compact_roundtrip",
     "minhash_lsh",

@@ -21,6 +21,8 @@ split ids immutable => exact resume, the same determinism story as
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .iceberg_meta import is_iceberg_table, list_iceberg_splits_meta
@@ -59,8 +61,10 @@ def read_tokens_table(
     if is_iceberg_table(name):
         from .iceberg_meta import (
             iceberg_to_spark_ddl,
+            list_data_file_seqs,
             list_data_files,
             list_delete_entries,
+            list_equality_delete_entries,
             read_table_metadata,
         )
 
@@ -79,34 +83,69 @@ def read_tokens_table(
             iceberg_to_spark_ddl(read_table_metadata(name))
         ).parquet(*files)
         deletes = list_delete_entries(name)
-        if deletes:
+        eq_deletes = list_equality_delete_entries(name)
+        if deletes or eq_deletes:
             # merge-on-read, Spark-first: the parquet source's hidden
             # _metadata.file_path/row_index identify each physical row,
-            # and one broadcast anti-join applies ALL positional deletes
-            # in a single map-side pass — no per-file Python, no shuffle
-            # of the data side. Delete sets are metadata-scale (until
-            # compaction folds them in), so broadcast is the right plan
-            # at 10^12 rows too.
+            # and broadcast anti-joins apply ALL deletes in map-side
+            # passes — no per-file Python, no shuffle of the data side.
+            # Delete sets are metadata-scale (until compaction folds
+            # them in), so broadcast is the right plan at 10^12 rows too.
             from pyspark.sql import functions as F
 
             cols = df.columns
-            dels = spark.createDataFrame(
-                deletes, "_del_path string, _del_pos long"
+            df = df.withColumn(
+                "_fp",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
             )
-            df = (
-                df.withColumn(
-                    "_fp",
-                    F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/"),
+            if deletes:
+                dels = spark.createDataFrame(
+                    deletes, "_del_path string, _del_pos long"
                 )
-                .withColumn("_pos", F.col("_metadata.row_index"))
-                .join(
-                    F.broadcast(dels),
-                    (F.col("_fp") == F.col("_del_path"))
-                    & (F.col("_pos") == F.col("_del_pos")),
-                    "left_anti",
+                df = (
+                    df.withColumn("_pos", F.col("_metadata.row_index"))
+                    .join(
+                        F.broadcast(dels),
+                        (F.col("_fp") == F.col("_del_path"))
+                        & (F.col("_pos") == F.col("_del_pos")),
+                        "left_anti",
+                    )
+                    .drop("_pos")
                 )
-                .select(*cols)
-            )
+            if eq_deletes:
+                # the spec's sequence rule: an equality delete at seq S
+                # erases matching rows only from data files whose seq < S
+                # (rows re-appended after the delete survive — upserts).
+                # File seq rides in on a broadcast map keyed by file path;
+                # one null-safe anti-join per delete file's column set.
+                seq_rows = [
+                    (os.path.abspath(p.removeprefix("file:")), int(s))
+                    for p, s in list_data_file_seqs(name).items()
+                ]
+                seq_df = spark.createDataFrame(
+                    seq_rows, "_sq_path string, _data_seq long"
+                )
+                df = df.join(
+                    F.broadcast(seq_df),
+                    F.col("_fp") == F.col("_sq_path"),
+                    "left",
+                ).drop("_sq_path")
+                by_cols: dict[tuple, list[dict]] = {}
+                for e in eq_deletes:
+                    by_cols.setdefault(tuple(e["cols"]), []).append(e)
+                for cset, group in sorted(by_cols.items()):
+                    dels = None
+                    for e in group:
+                        part = spark.read.parquet(e["path"]).select(
+                            *[F.col(c).alias(f"_eq_{c}") for c in cset],
+                            F.lit(e["seq"]).alias("_del_seq"),
+                        )
+                        dels = part if dels is None else dels.unionAll(part)
+                    cond = F.col("_data_seq") < F.col("_del_seq")
+                    for c in cset:
+                        cond = cond & F.col(c).eqNullSafe(F.col(f"_eq_{c}"))
+                    df = df.join(F.broadcast(dels), cond, "left_anti")
+            df = df.select(*cols)
         return df
     if partition_filter:
         raise NotImplementedError(

@@ -166,6 +166,17 @@ def _data_file_schema(part_fields: list[dict]) -> dict:
                 "type": ["null", _kv_array("k129_v130", 129, 130, "bytes")],
                 "field-id": 128,
             },
+            {
+                # spec field 135: schema field ids an equality delete file
+                # (content=2) matches on. Null for data/positional files.
+                # "default" keeps pre-equality call sites valid, and old
+                # manifests decode through their own embedded writer
+                # schema, so both eras coexist.
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+                "field-id": 135,
+                "default": None,
+            },
         ],
     }
 
@@ -966,6 +977,8 @@ def list_delete_entries(
         for e in entries:
             if e["status"] == _STATUS_DELETED:
                 continue
+            if e["data_file"].get("content") != 1:
+                continue  # equality deletes: list_equality_delete_entries
             t = pq.read_table(e["data_file"]["file_path"])
             for p, pos in zip(
                 t.column("file_path").to_pylist(), t.column("pos").to_pylist()
@@ -973,6 +986,245 @@ def list_delete_entries(
                 if p in live:
                     out.append((p, pos))
     return sorted(set(out))
+
+
+# Iceberg primitive types an equality delete may match on. Floats are
+# deliberately absent (the spec warns against float equality; NaN/-0.0
+# make "equals" ill-defined), as are nested types.
+_EQ_DELETE_ARROW = {
+    "string": pa.string,
+    "int": pa.int32,
+    "long": pa.int64,
+    "date": pa.date32,
+    "boolean": pa.bool_,
+}
+
+
+def append_equality_delete_snapshot(
+    table_dir: str,
+    rows: list[dict],
+    equality_cols: list[str],
+    commit_key: str | None = None,
+    ts_ms: int | None = None,
+) -> int:
+    """Commit equality deletes (Iceberg v2 merge-on-read, ``content=2``):
+    each row of ``rows`` maps every name in ``equality_cols`` to a value
+    (``None`` matches null), and deletes ALL data rows with those values
+    in data files whose sequence number is STRICTLY LESS than this
+    delete's — rows (re-)added after the delete survive, which is what
+    makes upserts expressible without rewriting data. One delete parquet
+    holding just the equality columns is committed through a delete
+    manifest whose entry carries ``equality_ids`` (the matched schema
+    field ids). Readers apply it as a broadcast null-safe anti-join
+    (``iceberg.read_tokens_table``); float/nested columns are refused.
+    Idempotent per ``commit_key``."""
+    import pyarrow.parquet as pq
+
+    md = read_table_metadata(table_dir)
+    if commit_key is not None:
+        for s in md["snapshots"]:
+            if s.get("summary", {}).get("commit-key") == commit_key:
+                return s["snapshot-id"]
+    prior = _current_snapshot(md)
+    if prior is None:
+        raise ValueError("iceberg_meta: equality delete on a table with no snapshot")
+    if not rows:
+        raise ValueError("iceberg_meta: empty equality-delete set")
+    if not equality_cols:
+        raise ValueError("iceberg_meta: equality_cols must be non-empty")
+    schema = md["schemas"][md["current-schema-id"]]
+    by_name = {f["name"]: f for f in schema["fields"]}
+    field_ids: list[int] = []
+    col_types: dict[str, str] = {}
+    for col in equality_cols:
+        f = by_name.get(col)
+        if f is None:
+            raise ValueError(
+                f"iceberg_meta: equality column {col!r} not in the current "
+                f"schema (has {sorted(by_name)})"
+            )
+        t = f["type"]
+        if not isinstance(t, str) or t not in _EQ_DELETE_ARROW:
+            raise ValueError(
+                f"iceberg_meta: equality delete on column {col!r} of type "
+                f"{t!r} unsupported (allowed: {sorted(_EQ_DELETE_ARROW)})"
+            )
+        field_ids.append(f["id"])
+        col_types[col] = t
+    for r in rows:
+        missing = set(equality_cols) - set(r)
+        if missing:
+            raise ValueError(
+                f"iceberg_meta: delete row {r!r} missing equality column(s) "
+                f"{sorted(missing)}"
+            )
+    norm = sorted(
+        (tuple(r[c] for c in equality_cols) for r in rows), key=repr
+    )
+    meta_dir = os.path.join(table_dir, "metadata")
+    seq = md["last-sequence-number"] + 1
+    snapshot_id = max([s["snapshot-id"] for s in md["snapshots"]], default=0) + 1
+    ts = ts_ms if ts_ms is not None else int(time.time() * 1000)
+    del_path = os.path.join(
+        meta_dir,
+        f"eqdelete-{snapshot_id}-"
+        f"{uuid.uuid5(uuid.NAMESPACE_URL, repr((equality_cols, norm))).hex[:8]}.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                c: pa.array(
+                    [v[i] for v in norm], _EQ_DELETE_ARROW[col_types[c]]()
+                )
+                for i, c in enumerate(equality_cols)
+            }
+        ),
+        del_path,
+    )
+    spec_id = md.get("default-spec-id", 0)
+    part_fields = _spec_part_fields(md, spec_id)
+    specs = {s["spec-id"]: s for s in md.get("partition-specs", [])}
+    entry = {
+        "status": _STATUS_ADDED,
+        "snapshot_id": snapshot_id,
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": 2,  # equality deletes
+            "file_path": del_path,
+            "file_format": "PARQUET",
+            "partition": {pf["name"]: None for pf in part_fields},
+            "record_count": len(norm),
+            "file_size_in_bytes": os.path.getsize(del_path),
+            "value_counts": None,
+            "null_value_counts": None,
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": field_ids,
+        },
+    }
+    manifest = _write_manifest(
+        meta_dir,
+        [entry],
+        snapshot_id,
+        seq,
+        schema,
+        f"manifest-{snapshot_id}-eqdel.avro",
+        part_fields,
+        specs[spec_id]["fields"],
+    )
+    manifest["content"] = 1  # delete manifest
+    manifests = _read_manifest_list(prior) + [manifest]
+    ml_path = os.path.join(meta_dir, f"snap-{snapshot_id}-manifest-list.avro")
+    with open(ml_path, "wb") as f:
+        f.write(
+            write_ocf(
+                _MANIFEST_FILE_SCHEMA,
+                manifests,
+                metadata={"format-version": str(FORMAT_VERSION)},
+            )
+        )
+    snap = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": ts,
+        "manifest-list": ml_path,
+        "summary": {
+            "operation": "delete",
+            "added-delete-files": "1",
+            "added-equality-deletes": str(len(norm)),
+            **({"commit-key": commit_key} if commit_key is not None else {}),
+        },
+        "schema-id": md["current-schema-id"],
+    }
+    md["snapshots"].append(snap)
+    md["current-snapshot-id"] = snapshot_id
+    md["last-sequence-number"] = seq
+    md["last-updated-ms"] = ts
+    md["snapshot-log"].append({"timestamp-ms": ts, "snapshot-id": snapshot_id})
+    _write_metadata_json(table_dir, md, _current_version(table_dir) + 1)
+    return snapshot_id
+
+
+def list_data_file_seqs(
+    table_dir: str, snapshot_id: int | None = None
+) -> dict[str, int]:
+    """Live data files of the current (or pinned) snapshot mapped to
+    their data sequence number — the quantity the equality-delete rule
+    compares against (delete applies iff file seq < delete seq)."""
+    md = read_table_metadata(table_dir)
+    snap = _current_snapshot(md, snapshot_id)
+    if snap is None:
+        return {}
+    out: dict[str, int] = {}
+    for mf in _read_manifest_list(snap):
+        if mf.get("content") == 1:
+            continue
+        with open(mf["manifest_path"], "rb") as f:
+            entries, _, _ = read_ocf(f.read())
+        for e in entries:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            seq = e.get("sequence_number")
+            out[e["data_file"]["file_path"]] = (
+                int(seq) if seq is not None else int(mf["sequence_number"])
+            )
+    return out
+
+
+def list_equality_delete_entries(
+    table_dir: str, snapshot_id: int | None = None
+) -> list[dict]:
+    """Live, still-applicable equality-delete files of the current (or
+    pinned) snapshot: ``[{"path", "cols", "seq"}]`` sorted by (seq,
+    path). Field ids are resolved against the CURRENT schema — a delete
+    matching a since-dropped column cannot be applied and raises rather
+    than silently resurrecting rows. Entries whose sequence number is <=
+    every live data file's (so they can match nothing — e.g. after a
+    rewrite re-sequenced all data) are retired from the listing."""
+    md = read_table_metadata(table_dir)
+    snap = _current_snapshot(md, snapshot_id)
+    if snap is None:
+        return []
+    by_id = {
+        f["id"]: f["name"]
+        for f in md["schemas"][md["current-schema-id"]]["fields"]
+    }
+    seqs = list_data_file_seqs(table_dir, snapshot_id)
+    min_seq = min(seqs.values(), default=None)
+    out: list[dict] = []
+    for mf in _read_manifest_list(snap):
+        if mf.get("content") != 1:
+            continue
+        with open(mf["manifest_path"], "rb") as f:
+            entries, _, _ = read_ocf(f.read())
+        for e in entries:
+            if e["status"] == _STATUS_DELETED:
+                continue
+            df = e["data_file"]
+            if df.get("content") != 2:
+                continue
+            ids = df.get("equality_ids") or []
+            dropped = [i for i in ids if i not in by_id]
+            if dropped:
+                raise ValueError(
+                    f"iceberg_meta: equality delete {df['file_path']} "
+                    f"matches on dropped field id(s) {dropped}; it cannot "
+                    "be applied under the current schema"
+                )
+            seq = e.get("sequence_number")
+            seq = int(seq) if seq is not None else int(mf["sequence_number"])
+            if min_seq is None or seq <= min_seq:
+                continue  # applies to no live data file
+            out.append(
+                {
+                    "path": df["file_path"],
+                    "cols": [by_id[i] for i in ids],
+                    "seq": seq,
+                }
+            )
+    out.sort(key=lambda d: (d["seq"], d["path"]))
+    return out
 
 
 def rewrite_snapshot(
@@ -1475,6 +1727,19 @@ def list_iceberg_splits_meta(
             "(rewrite_snapshot) or read via read_tokens_table "
             "(merge-on-read)."
         )
+    eqs = list_equality_delete_entries(table_dir, snapshot_id)
+    if eqs:
+        seqs = list_data_file_seqs(table_dir, snapshot_id)
+        max_del = max(e["seq"] for e in eqs)
+        hit = [f for f in files if seqs.get(f, 0) < max_del]
+        if hit:
+            raise ValueError(
+                f"iceberg_meta: {len(hit)} selected data file(s) predate a "
+                "live equality delete; split-encode reads raw row groups "
+                "and would resurrect deleted rows. Compact first "
+                "(rewrite_snapshot) or read via read_tokens_table "
+                "(merge-on-read)."
+            )
     out: list[tuple[int, str, int]] = []
     sid = 0
     for f in files:
