@@ -1170,6 +1170,38 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment: a pure
+    map-side expression of md5_hash60(doc_id), so a doc never migrates
+    between splits on resume or corpus growth."""
+    from orc_format_spark.functions.token_pipeline import train_val_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return train_val_split(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "source"),
+        val_ppm=100_000,
+        test_ppm=50_000,
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (doc_id >= 40) sharing >= 3
+    distinct 24-grams with any 'benchmark' doc (doc_id < 40 stands in
+    for the eval set). Benchmark gram postings broadcast; corpus probed
+    map-side — the contamination sweep a 100 TB pipeline runs pre-ship."""
+    from orc_format_spark.functions.dedup import benchmark_contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return benchmark_contamination(
+        docs.filter(F.col("doc_id") >= 40),
+        docs.filter(F.col("doc_id") < 40),
+        n=24,
+        min_common=3,
+    )
+
+
 def q_codec_lineage(spark, sf_dir):
     """Codec lineage rows: deterministic md5-based grouping so group
     membership, row counts, and value counts (3 scalar leaves + the
@@ -1248,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_encode_roundtrip": q_pack_encode_roundtrip,
         "token_histogram": q_token_histogram,
         "mixture_sample": q_mixture_sample,
+        "train_val_split": q_train_val_split,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1265,10 +1299,12 @@ def oracle_sql() -> dict[str, str]:
         near_duplicate_pairs_sql,
     )
     from orc_format_spark.functions.text import quality_e6_sql, text_profile_sql
+    from orc_format_spark.functions.dedup import benchmark_contamination_sql
     from orc_format_spark.functions.token_pipeline import (
         mixture_sample_sql,
         pack_sequences_sql,
         token_histogram_sql,
+        train_val_split_sql,
     )
 
     stats_longs = " UNION ALL ".join(
@@ -1510,4 +1546,6 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": mixture_sample_sql(
             {f"src{i}": (750000 if i % 2 == 0 else 250000) for i in range(20)}
         ),
+        "train_val_split": train_val_split_sql(val_ppm=100_000, test_ppm=50_000),
+        "decontaminate": benchmark_contamination_sql(n=24, min_common=3),
     }

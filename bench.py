@@ -75,6 +75,8 @@ HEADLINE = [
     "seq_pack",
     "token_histogram",
     "mixture_sample",
+    "train_val_split",
+    "decontaminate",
 ]
 
 

@@ -206,6 +206,69 @@ WHERE common / (sa.n_grams + sb.n_grams - common) >= {threshold}
 """
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 24,
+    min_common: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least
+    ``min_common`` distinct character ``n``-grams with any benchmark
+    (eval-set) document — the overlap check a training pipeline runs
+    before a corpus ships. Returns (doc_id, bench_id, common).
+
+    Scale shape: the benchmark side is metadata-scale next to the corpus
+    (thousands of eval rows vs 10^12 training rows), so its gram
+    postings are BROADCAST and the corpus side is probed map-side — the
+    only shuffle is the (doc_id, bench_id) partial-count agg, whose key
+    fan-out per corpus gram is bounded by |bench|, never by corpus df.
+    ``char_ngrams`` is distinct-per-doc, so count(*) counts distinct
+    shared grams. Long grams (n≈24+) are the standard contamination
+    signal; short grams measure vocabulary, not leakage."""
+    cg = docs.select(
+        "doc_id", F.explode(char_ngrams(F.col("text"), n)).alias("g")
+    )
+    bg = bench.select(
+        F.col("doc_id").alias("bench_id"),
+        F.explode(char_ngrams(F.col("text"), n)).alias("g"),
+    )
+    return (
+        cg.join(F.broadcast(bg), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+
+
+def benchmark_contamination_sql(
+    n: int = 24,
+    min_common: int = 3,
+    corpus_where: str = "doc_id >= 40",
+    bench_where: str = "doc_id < 40",
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for ``benchmark_contamination`` (same gram
+    machinery as ``ngram_jaccard_pairs_sql``)."""
+    grams = (
+        f"unnest(list_distinct(list_transform("
+        f"range(1, length(text) - {n} + 2), "
+        f"i -> substr(text, CAST(i AS INT), {n})))) AS g"
+    )
+    return f"""
+WITH cg AS (
+  SELECT doc_id, {grams} FROM {table}
+  WHERE ({corpus_where}) AND length(text) >= {n}
+), bg AS (
+  SELECT doc_id AS bench_id, {grams} FROM {table}
+  WHERE ({bench_where}) AND length(text) >= {n}
+)
+SELECT cg.doc_id, bg.bench_id, COUNT(*) AS common
+FROM cg JOIN bg USING (g)
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_common}
+"""
+
+
 # ------------------------------------------------------------ MinHash/LSH
 
 

@@ -286,3 +286,54 @@ def mixture_sample_sql(
     case = f"CASE {whens} ELSE {int(default_ppm)} END" if whens else str(int(default_ppm))
     h = _md5_hash60_sql(key_expr, seed=seed)
     return f"SELECT {select} FROM {table} WHERE {h} % 1000000 < {case}"
+
+
+def train_val_split(
+    df: DataFrame,
+    val_ppm: int = 100_000,
+    test_ppm: int = 0,
+    key_col: str = "doc_id",
+    seed: int = 17,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Deterministic train/val(/test) assignment: adds a ``split``
+    column from hash(key) % 1e6 — 'val' below ``val_ppm``, 'test' in
+    the next ``test_ppm``, 'train' above. Membership is a pure function
+    of the key, so the split is stable across retries, resume, cluster
+    sizes, AND corpus growth (a doc never migrates between splits when
+    new data arrives — the property random assignment lacks).
+
+    Scale: one map-side expression, no shuffle, no UDF; survives as a
+    partition-prunable predicate when the split column is written out.
+    ``hasher="md5"`` is DuckDB-reproducible; ``"xxh"`` is the cheaper
+    JVM path when oracle parity is not needed."""
+    if hasher == "md5":
+        h = md5_hash60(F.col(key_col).cast("string"), seed=seed) % 1_000_000
+    else:
+        h = (
+            F.abs(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed)))
+            % 1_000_000
+        )
+    split = (
+        F.when(h < F.lit(int(val_ppm)), F.lit("val"))
+        .when(h < F.lit(int(val_ppm + test_ppm)), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def train_val_split_sql(
+    val_ppm: int = 100_000,
+    test_ppm: int = 0,
+    key_expr: str = "CAST(doc_id AS VARCHAR)",
+    seed: int = 17,
+    table: str = "documents",
+    select: str = "CAST(doc_id AS VARCHAR) AS doc_id, source",
+) -> str:
+    """DuckDB oracle for ``train_val_split(..., hasher='md5')``."""
+    h = f"({_md5_hash60_sql(key_expr, seed=seed)} % 1000000)"
+    return (
+        f"SELECT {select}, CASE WHEN {h} < {int(val_ppm)} THEN 'val' "
+        f"WHEN {h} < {int(val_ppm + test_ppm)} THEN 'test' "
+        f"ELSE 'train' END AS split FROM {table}"
+    )

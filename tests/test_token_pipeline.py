@@ -169,3 +169,91 @@ def test_pack_matches_numpy_reference(spark):
             (r.chunk_id, r.tokens) for r in packed if r.group_id == g
         )
         assert [t for _, t in got] == want
+
+
+# ------------------------------------------------------- train/val split
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [Row(doc_id=str(i), source=f"s{i % 3}") for i in ids],
+        "doc_id string, source string",
+    )
+
+
+def test_train_val_split_partitions_and_fractions(spark):
+    from orc_format_spark.functions.token_pipeline import train_val_split
+
+    out = train_val_split(
+        _docs(spark, range(2000)), val_ppm=200_000, test_ppm=100_000
+    )
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000  # a partition: every doc, once
+    assert set(counts) == {"train", "val", "test"}
+    # hash split tracks the requested ppm within sampling noise
+    assert 0.14 < counts["val"] / 2000 < 0.26
+    assert 0.05 < counts["test"] / 2000 < 0.16
+
+
+def test_train_val_split_stable_under_corpus_growth(spark):
+    """A doc's split is a pure function of its key: assignments computed
+    on a subset equal those computed on the grown corpus."""
+    from orc_format_spark.functions.token_pipeline import train_val_split
+
+    small = train_val_split(_docs(spark, range(100)))
+    big = train_val_split(_docs(spark, range(1000)))
+    sm = {r["doc_id"]: r["split"] for r in small.collect()}
+    bg = {r["doc_id"]: r["split"] for r in big.collect()}
+    assert all(bg[k] == v for k, v in sm.items())
+
+
+def test_train_val_split_xxh_is_map_side(spark):
+    from orc_format_spark.functions.token_pipeline import train_val_split
+
+    out = train_val_split(_docs(spark, range(10)), hasher="xxh")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one map-side expression, no shuffle
+
+
+# ------------------------------------------------------- decontamination
+
+
+def test_benchmark_contamination_flags_exact_substring(spark):
+    from orc_format_spark.functions.dedup import benchmark_contamination
+
+    leak = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=f"prefix {leak} suffix"),   # contains bench text
+            Row(doc_id=11, text="z" * 100),                 # unrelated
+            Row(doc_id=12, text=leak[:30]),                 # 30-char overlap
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=1, text=leak)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.bench_id)
+        for r in benchmark_contamination(corpus, bench, n=24, min_common=3).collect()
+    }
+    # doc 10 shares every 24-gram of leak; doc 12 shares 30-24+1=7 >= 3;
+    # doc 11 shares none
+    assert got == {(10, 1), (12, 1)}
+    strict = benchmark_contamination(corpus, bench, n=24, min_common=10)
+    assert {r.doc_id for r in strict.collect()} == {10}
+
+
+def test_benchmark_contamination_broadcasts_bench_side(spark):
+    from orc_format_spark.functions.dedup import benchmark_contamination
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=10, text="x" * 50)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=1, text="y" * 50)], "doc_id long, text string"
+    )
+    out = benchmark_contamination(corpus, bench, n=24)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # eval set never shuffles the corpus
