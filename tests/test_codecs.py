@@ -544,3 +544,71 @@ def test_blob_engine_version_tag():
     assert blob_engine_version(chunked) == ENCODER_VERSION
     legacy = _serialize_v1_legacy(deserialize_blob(plain))
     assert blob_engine_version(legacy) == "<pre-3.0>"
+
+
+# ------------------------------------------------------- float codecs
+
+
+def test_float_split_golden_bytes():
+    """Byte-stream split is a pure transpose: stream j holds byte j of
+    every value, in order (the Parquet BYTE_STREAM_SPLIT layout)."""
+    import numpy as np
+
+    from orc_format_spark.codecs import raw
+
+    v = np.array([1.0, 2.0], "<f8")
+    got = raw.encode_float_split(v, double=True)
+    le = v.tobytes()
+    expect = bytes(le[j + 8 * k] for j in range(8) for k in range(2))
+    assert got == expect
+    assert raw.decode_float_split(got, double=True).tobytes() == le
+    v32 = np.array([1.5, -2.5, 3.25], "<f4")
+    g32 = raw.encode_float_split(v32, double=False)
+    le32 = v32.tobytes()
+    assert g32 == bytes(le32[j + 4 * k] for j in range(4) for k in range(3))
+
+
+def test_float_codec_selection_measures_compressed():
+    import numpy as np
+
+    from orc_format_spark.codecs.selector import select_float_codec
+
+    rng = np.random.default_rng(7)
+    low_card = rng.choice([0.0, 0.05, 0.08, 0.1], 50_000)
+    best, est = select_float_codec(low_card, double=True)
+    assert best == "dict_float" and est["dict_float"] < est["raw"]
+    high_entropy = rng.random(50_000) * 1e5
+    best2, est2 = select_float_codec(high_entropy, double=True)
+    assert best2 in ("raw_double", "float_split")
+    smooth = np.cumsum(rng.normal(0, 0.01, 50_000)) + 100.0
+    best3, est3 = select_float_codec(smooth, double=True)
+    assert best3 == "float_split"  # exponent/high-mantissa runs win
+
+
+def test_float_codecs_roundtrip_bit_exact_through_container():
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_format_spark.codecs.container import decode_table, encode_table
+
+    specials = [0.0, -0.0, float("nan"), float("inf"), float("-inf"), 5e-324]
+    rng = np.random.default_rng(1)
+    for codec in ("raw_double", "float_split", "dict_float"):
+        vals = list(rng.choice(specials + [1.25, -7.5], 30_005))
+        t = pa.table({"x": pa.array(vals, pa.float64())})
+        blob, lin = encode_table(t, codec={"x": codec}, stride=10_000)
+        assert lin[0]["codec"] == codec
+        back = decode_table(blob)
+        assert (
+            back.column("x").to_numpy().tobytes()
+            == t.column("x").to_numpy().tobytes()
+        )
+    # float32 through dict (sign-extension path)
+    t32 = pa.table({"y": pa.array([1.5, -0.0, 2.5] * 1000, pa.float32())})
+    blob, lin = encode_table(t32, codec={"y": "dict_float"})
+    assert lin[0]["codec"] == "dict_float"
+    back = decode_table(blob)
+    assert (
+        back.column("y").to_numpy().astype("<f4").tobytes()
+        == t32.column("y").to_numpy().tobytes()
+    )
