@@ -617,6 +617,16 @@ def q_text_profile(spark, sf_dir):
     return text_profile(docs)
 
 
+def q_repetition_profile(spark, sf_dir):
+    """Gopher-style intra-document repetition metrics (duplicate-word
+    mass, top word/bigram share) — the curation filters that drop
+    boilerplate and degenerate docs before training."""
+    from orc_format_spark.functions.text import repetition_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_profile(docs)
+
+
 def _docs_with_dups(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
@@ -1312,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": q_compact_roundtrip,
         "struct_map_roundtrip": q_struct_map_roundtrip,
         "text_profile": q_text_profile,
+        "repetition_profile": q_repetition_profile,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1344,7 +1355,11 @@ def oracle_sql() -> dict[str, str]:
         lsh_bucketed_topk_sql,
         near_duplicate_pairs_sql,
     )
-    from orc_format_spark.functions.text import quality_e6_sql, text_profile_sql
+    from orc_format_spark.functions.text import (
+        quality_e6_sql,
+        repetition_profile_sql,
+        text_profile_sql,
+    )
     from orc_format_spark.functions.dedup import benchmark_contamination_sql
     from orc_format_spark.functions.token_pipeline import (
         mixture_sample_sql,
@@ -1539,6 +1554,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM dd WHERE rn = 1"
         ),
         "text_profile": text_profile_sql(),
+        "repetition_profile": repetition_profile_sql(),
         "exact_dedup": (
             "WITH alldocs AS ("
             "SELECT doc_id, text FROM documents "

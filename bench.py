@@ -67,6 +67,7 @@ HEADLINE = [
     "minhash_lsh",
     "simhash",
     "text_profile",
+    "repetition_profile",
     "exact_dedup",
     "ngram_jaccard",
     "ann_topk",

@@ -199,3 +199,105 @@ def text_profile_sql(table: str = "documents") -> str:
         f"{fp} AS fingerprint "
         f"FROM {table}"
     )
+
+
+def repetition_profile(docs: DataFrame) -> DataFrame:
+    """Per-document repetition metrics — the Gopher-style repetition
+    filters (duplicate-word mass, most-common word / bigram share) a
+    curation pipeline thresholds on before training. All-integer output
+    so the SQL oracle is exact.
+
+    Columns: n_words, n_distinct_words, n_dup_words (occurrences beyond
+    each word's first), dup_word_chars (chars across ALL occurrences of
+    words seen more than once), top_word_n, top_bigram_n.
+
+    Scale shape: explode -> two map-side-combined aggs keyed by
+    (doc_id, word) then doc_id — the fan-out is words-per-doc, the
+    shuffle carries (doc_id, word, cnt) partials, never raw text twice.
+    No UDFs; everything stays in whole-stage codegen."""
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("w"),
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    per_word = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count("*").alias("n_distinct_words"),
+        (F.sum("cnt") - F.count("*")).alias("n_dup_words"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.length(F.col("w")) * F.col("cnt")).otherwise(0)
+        ).alias("dup_word_chars"),
+        F.max("cnt").alias("top_word_n"),
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bg"),
+    )
+    per_bigram = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram_n"))
+    )
+    return per_word.join(per_bigram, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        "n_dup_words",
+        "dup_word_chars",
+        "top_word_n",
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).alias("top_bigram_n"),
+    )
+
+
+def repetition_profile_sql(table: str = "documents") -> str:
+    """DuckDB oracle for ``repetition_profile``."""
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM {table}
+), wc AS (
+  SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2
+), per_word AS (
+  SELECT doc_id,
+         SUM(cnt) AS n_words,
+         COUNT(*) AS n_distinct_words,
+         SUM(cnt) - COUNT(*) AS n_dup_words,
+         SUM(CASE WHEN cnt > 1 THEN length(w) * cnt ELSE 0 END) AS dup_word_chars,
+         MAX(cnt) AS top_word_n
+  FROM wc GROUP BY 1
+), toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+  FROM {table}
+), bigrams AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(ws) >= 2 THEN
+           list_transform(range(1, len(ws)), i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])
+           ELSE [] END) AS bg
+  FROM toks
+), per_bigram AS (
+  SELECT doc_id, MAX(cnt) AS top_bigram_n FROM (
+    SELECT doc_id, bg, COUNT(*) AS cnt FROM bigrams GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(p.n_words AS BIGINT) AS n_words,
+       CAST(p.n_distinct_words AS BIGINT) AS n_distinct_words,
+       CAST(p.n_dup_words AS BIGINT) AS n_dup_words,
+       CAST(p.dup_word_chars AS BIGINT) AS dup_word_chars,
+       CAST(p.top_word_n AS BIGINT) AS top_word_n,
+       CAST(COALESCE(b.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+FROM per_word p LEFT JOIN per_bigram b USING (doc_id)
+"""
