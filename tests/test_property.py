@@ -293,3 +293,36 @@ def test_predicate_decode_fuzz():
         # row-order within the blob is preserved by both paths
         assert got.num_rows == want.num_rows, (preds, n, stride)
         assert got.equals(want), (preds, n, stride)
+
+
+FLOATS = st.floats(
+    allow_nan=True, allow_infinity=True, allow_subnormal=True, width=64
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(FLOATS, max_size=400))
+def test_float_split_roundtrip(xs):
+    from orc_format_spark.codecs import raw
+
+    v = np.array(xs, "<f8")
+    back = raw.decode_float_split(raw.encode_float_split(v, True), True)
+    assert back.tobytes() == v.tobytes()  # bit-exact incl NaN payloads
+    v32 = v.astype("<f4")
+    back32 = raw.decode_float_split(raw.encode_float_split(v32, False), False)
+    assert back32.astype("<f4").tobytes() == v32.tobytes()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(FLOATS, max_size=400))
+def test_dict_float_roundtrip(xs):
+    from orc_format_spark.codecs.selector import _encode_float, _float_bits
+
+    v = np.array(xs, "<f8")
+    blob = _encode_float("dict_float", v, True)
+    bits = dictionary.decode_dict_int(blob, True)
+    assert bits.view(np.float64).tobytes() == v.tobytes()
+    v32 = v.astype("<f4")
+    blob32 = _encode_float("dict_float", v32, False)
+    bits32 = dictionary.decode_dict_int(blob32, True)
+    assert bits32.astype(np.int32).view(np.float32).tobytes() == v32.tobytes()
