@@ -1026,6 +1026,45 @@ def q_iceberg_partition_scan(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_iceberg_incremental_encode(spark, sf_dir):
+    """Incremental encode: documents are committed in two snapshots and
+    only the files appended after the first (the job's watermark) are
+    planned and encoded — the daily-append shape where each run
+    processes the delta, with metadata cost O(current manifests). The
+    oracle states the second batch in plain SQL."""
+    import shutil
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from orc_format_spark import decode_blobs
+    from orc_format_spark.sources import iceberg_meta as im
+    from orc_format_spark.sources.iceberg import encode_iceberg_splits
+
+    work = tempfile.mkdtemp(prefix="ofs_iceinc_")
+    try:
+        tbl = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        im.create_table(work, tbl.schema)
+        lo = tbl.filter(pc.less(tbl.column("doc_id"), 250))
+        hi = tbl.filter(pc.greater_equal(tbl.column("doc_id"), 250))
+        pq.write_table(lo, f"{work}/batch1.parquet")
+        s1 = im.append_snapshot(work, [f"{work}/batch1.parquet"], commit_key="b1")
+        pq.write_table(hi, f"{work}/batch2.parquet")
+        im.append_snapshot(work, [f"{work}/batch2.parquet"], commit_key="b2")
+        blobs = encode_iceberg_splits(
+            spark, work, columns=["doc_id", "text"], since_snapshot_id=s1
+        )
+        out = decode_blobs(blobs, "doc_id bigint, text string")
+        out = out.cache()
+        out.count()  # materialize before the table dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_equality_delete(spark, sf_dir):
     """Iceberg v2 equality deletes (merge-on-read, content=2) driven end
     to end: documents are committed (seq 1), sources src3/src5 are
@@ -1318,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_manifest_scan": q_iceberg_manifest_scan,
         "iceberg_partition_scan": q_iceberg_partition_scan,
         "iceberg_equality_delete": q_iceberg_equality_delete,
+        "iceberg_incremental_encode": q_iceberg_incremental_encode,
         "sink_encode_roundtrip": q_sink_encode_roundtrip,
         "compact_roundtrip": q_compact_roundtrip,
         "struct_map_roundtrip": q_struct_map_roundtrip,
@@ -1402,6 +1442,9 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_equality_delete": (
             "SELECT doc_id, text, source FROM documents "
             "WHERE source <> 'src5' AND doc_id % 7 <> 0"
+        ),
+        "iceberg_incremental_encode": (
+            "SELECT doc_id, text FROM documents WHERE doc_id >= 250"
         ),
         "sink_encode_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "compact_roundtrip": "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",

@@ -162,9 +162,11 @@ def list_iceberg_splits(
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
     column_predicates: list | None = None,
+    since_snapshot_id: int | None = None,
 ) -> list[tuple[int, str, int]]:
     """Deterministic (split_id, file, row_group) list from the Iceberg
-    manifest, row-group-exploded.
+    manifest, row-group-exploded. ``since_snapshot_id`` returns only the
+    files appended after that snapshot (incremental encode).
 
     Path-addressed tables go through the pure-Python manifest reader
     (no jar, no JVM); catalog names use the `<table>.files` metadata
@@ -180,6 +182,12 @@ def list_iceberg_splits(
             snapshot_id,
             partition_filter=partition_filter,
             column_predicates=column_predicates,
+            since_snapshot_id=since_snapshot_id,
+        )
+    if since_snapshot_id is not None:
+        raise NotImplementedError(
+            "incremental scan on the catalog route: diff the `.files` "
+            "metadata table between VERSION AS OF snapshots"
         )
     if partition_filter or column_predicates:
         raise NotImplementedError(
@@ -219,12 +227,15 @@ def encode_iceberg_splits(
     blob_sink: str | None = None,
     partition_filter: dict | None = None,
     column_predicates: list | None = None,
+    since_snapshot_id: int | None = None,
 ) -> DataFrame:
     """Split-level encode of an Iceberg tokens table: the manifest
     supplies the splits; payload never crosses the JVM (same plan shape
     as ``encode_parquet_splits``). ``partition_filter`` narrows the
     split list via manifest pruning — a single-partition encode of a
-    10^6-file table plans from the matching manifests only."""
+    10^6-file table plans from the matching manifests only.
+    ``since_snapshot_id`` encodes only files appended after that
+    snapshot — the incremental daily-append job."""
     from .parquet_scan import encode_splits
 
     splits = list_iceberg_splits(
@@ -233,6 +244,7 @@ def encode_iceberg_splits(
         snapshot_id=snapshot_id,
         partition_filter=partition_filter,
         column_predicates=column_predicates,
+        since_snapshot_id=since_snapshot_id,
     )
     return encode_splits(
         spark,

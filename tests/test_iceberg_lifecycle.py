@@ -508,3 +508,34 @@ def test_evolution_read_semantics(spark, tmp_path):
     assert got.count() == 8
     scores = {r.doc_id: r.score for r in got.collect()}
     assert scores["e1"] == 1.5 and scores["d00001"] is None
+
+
+# --------------------------------------------------- incremental scans
+
+
+def test_incremental_splits_since_snapshot(spark, tmp_path):
+    """since_snapshot_id plans only files appended after the watermark;
+    a rewrite re-sequences its output so compacted data is re-encoded;
+    an unknown watermark raises."""
+    from orc_format_spark.sources import iceberg
+
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, SCHEMA, ts_ms=1_000)
+    a = _pfile(tmp_path / "a.parquet", 0, 10)
+    s1 = im.append_snapshot(tdir, [a], ts_ms=2_000)
+    b = _pfile(tmp_path / "b.parquet", 10, 10)
+    s2 = im.append_snapshot(tdir, [b], ts_ms=3_000)
+    inc = iceberg.list_iceberg_splits(spark, tdir, since_snapshot_id=s1)
+    assert sorted({f for _, f, _ in inc}) == [b]
+    assert iceberg.list_iceberg_splits(spark, tdir, since_snapshot_id=s2) == []
+    # full scan unchanged
+    full = iceberg.list_iceberg_splits(spark, tdir)
+    assert sorted({f for _, f, _ in full}) == sorted([a, b])
+    # rewrite a -> c: c gets a fresh sequence number, so it IS the delta
+    c = str(tmp_path / "c.parquet")
+    pq.write_table(pq.read_table(a), c)
+    im.rewrite_snapshot(tdir, [a], [c], ts_ms=4_000)
+    inc2 = iceberg.list_iceberg_splits(spark, tdir, since_snapshot_id=s2)
+    assert sorted({f for _, f, _ in inc2}) == [c]
+    with pytest.raises(ValueError, match="unknown snapshot id"):
+        iceberg.list_iceberg_splits(spark, tdir, since_snapshot_id=999)
