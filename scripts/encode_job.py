@@ -48,6 +48,13 @@ def main() -> None:
     ap.add_argument("--waves", type=int, default=8)
     ap.add_argument("--num-groups", type=int, default=None)
     ap.add_argument(
+        "--since-snapshot",
+        type=int,
+        default=None,
+        help="splits mode, Iceberg input: encode only data files appended "
+        "after this snapshot id (incremental daily-append job)",
+    )
+    ap.add_argument(
         "--blob-sink",
         default=None,
         help="splits mode: directory tasks write blobs into (zero-ferry); "
@@ -69,6 +76,7 @@ def main() -> None:
                 codec=args.codec,
                 compression=args.compression,
                 blob_sink=args.blob_sink,
+                since_snapshot_id=args.since_snapshot,
             )
         else:
             from orc_format_spark.sources.iceberg_meta import is_iceberg_table
@@ -82,10 +90,16 @@ def main() -> None:
                     codec=args.codec,
                     compression=args.compression,
                     blob_sink=args.blob_sink,
+                    since_snapshot_id=args.since_snapshot,
                 )
             else:
                 from orc_format_spark import encode_parquet_splits
 
+                if args.since_snapshot is not None:
+                    raise SystemExit(
+                        "--since-snapshot requires an Iceberg input "
+                        "(snapshot watermarks come from its metadata)"
+                    )
                 blobs = encode_parquet_splits(
                     spark,
                     args.input,
@@ -102,6 +116,11 @@ def main() -> None:
     else:
         from orc_format_spark import run_encode_job
 
+        if args.since_snapshot is not None:
+            raise SystemExit(
+                "--since-snapshot is a splits-mode option (grouped mode "
+                "re-clusters the full merge-on-read view)"
+            )
         if args.input.startswith("iceberg:"):
             from orc_format_spark.sources.iceberg import read_tokens_table
 
