@@ -425,6 +425,70 @@ def _check_decoded_names(tbl: pa.Table, expected: list[str]) -> None:
         )
 
 
+def _arrow_target_schema(ddl: str) -> "pa.Schema":
+    """Arrow schema Spark expects for a DDL string (driver-side)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import _parse_datatype_string
+
+    return to_arrow_schema(_parse_datatype_string(ddl))
+
+
+def _type_kind(t: pa.DataType) -> str:
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"  # child names differ (Spark "element" vs pa "item")
+    if pa.types.is_struct(t):
+        return "struct"
+    if pa.types.is_map(t):
+        return "map"
+    return str(t)  # other: only exact or castable-same-repr
+
+
+def _align_decoded_types(tbl: pa.Table, target: "pa.Schema") -> pa.Table:
+    """Cast stored columns to the DECLARED arrow types, or raise a clear
+    error naming the column — never let a type mismatch reach the JVM
+    accessor as a cryptic UnsupportedOperationException. Casts stay
+    within a type kind (int widths, timestamp units/zones, string
+    reprs); cross-kind declarations (e.g. ``date`` for a stored
+    timestamp) raise instead of silently truncating, and lossy in-kind
+    casts (int overflow) fail via arrow's safe-cast check."""
+    if tbl.schema.equals(target):
+        return tbl
+    cols = []
+    for i, f in enumerate(target):
+        c = tbl.column(i)
+        if c.type.equals(f.type):
+            cols.append(c)
+            continue
+        if _type_kind(c.type) != _type_kind(f.type):
+            raise ValueError(
+                f"decode schema mismatch: column {f.name!r} is stored as "
+                f"{c.type} but declared as {f.type}; declare the stored "
+                "type and convert in Spark if a different one is wanted"
+            )
+        try:
+            cols.append(c.cast(f.type))
+        except Exception as e:
+            raise ValueError(
+                f"decode schema mismatch: column {f.name!r} stored as "
+                f"{c.type} cannot losslessly cast to declared {f.type}: {e}"
+            ) from e
+    return pa.Table.from_arrays(cols, schema=target)
+
+
 def decode_blobs(
     blobs: DataFrame,
     schema: str,
@@ -448,6 +512,7 @@ def decode_blobs(
     """
     schema = _normalize_schema(schema)
     expected = _ddl_names(schema)
+    target = _arrow_target_schema(schema)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         limit_worker_threads()
@@ -458,7 +523,7 @@ def decode_blobs(
                     v.as_py(), columns=columns, rows=rows, predicate=predicate
                 )
                 _check_decoded_names(tbl, expected)
-                yield from tbl.to_batches()
+                yield from _align_decoded_types(tbl, target).to_batches()
 
     return blobs.select("blob").mapInArrow(fn, schema)
 
@@ -476,6 +541,7 @@ def decode_blob_files(
     payload never crosses the JVM; only paths do."""
     schema = _normalize_schema(schema)
     expected = _ddl_names(schema)
+    target = _arrow_target_schema(schema)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         limit_worker_threads()
@@ -487,7 +553,7 @@ def decode_blob_files(
                         f.read(), columns=columns, rows=rows, predicate=predicate
                     )
                 _check_decoded_names(tbl, expected)
-                yield from tbl.to_batches()
+                yield from _align_decoded_types(tbl, target).to_batches()
 
     return blobs.select("blob_path").mapInArrow(fn, schema)
 

@@ -104,6 +104,7 @@ def run_encode_job(
     size_col: str | None = "n_tok",
     tokens_per_group: int | None = None,
     blob_sink: bool = False,
+    cluster_by: list[str] | None = None,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir/blobs`` with wave-level checkpointing.
 
@@ -117,6 +118,10 @@ def run_encode_job(
     only lineage + ``blob_path``. Use it when groups are large enough
     that ferrying encoded payload into the JVM parquet writer dominates
     (it does from ~1M tokens/group up).
+
+    ``cluster_by`` orders each group's rows by these columns before
+    encoding (see ``encode_groups``); part of the job signature so the
+    blob bytes stay deterministic across waves and resume.
     """
     if num_groups is None:
         if size_col and size_col in df.columns:
@@ -153,6 +158,7 @@ def run_encode_job(
                 compression=compression,
                 key_col=key_col,
                 blob_sink=_strip_file(f"{out_dir}/blobstore") if blob_sink else None,
+                cluster_by=cluster_by,
             )
             # idempotent wave commit: each wave owns its own directory and
             # is OVERWRITTEN on re-run, so a crash after the blob write but

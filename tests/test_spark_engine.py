@@ -420,3 +420,47 @@ def test_suggest_cluster_by_picks_measured_winner(spark):
     assert 0 < sampled["sample_rows"] < 60_000
     with pytest.raises(ValueError, match="empty input"):
         suggest_cluster_by(li.filter("l_orderkey < 0"), key_col="l_orderkey")
+
+
+def test_run_encode_job_cluster_by_resume_stable(spark, tmp_path):
+    """cluster_by participates in the job's determinism contract: a
+    resumed run reproduces the same blob bytes, and decode returns the
+    same multiset as the input."""
+    from orc_format_spark import read_encoded
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_shipdate"
+    )
+    out = str(tmp_path / "jobc")
+    b1 = run_encode_job(
+        spark, li, out, num_groups=4, waves=2, size_col=None,
+        key_col="l_orderkey", cluster_by=["l_shipdate"],
+    )
+    sums1 = {r.group_id: r.checksum for r in b1.collect()}
+    b2 = run_encode_job(  # resume: nothing to do, same checksums
+        spark, li, out, num_groups=4, waves=2, size_col=None,
+        key_col="l_orderkey", cluster_by=["l_shipdate"],
+    )
+    assert {r.group_id: r.checksum for r in b2.collect()} == sums1
+    back = read_encoded(
+        spark, out, "l_orderkey bigint, l_partkey bigint, l_shipdate timestamp_ntz"
+    )
+    assert back.exceptAll(li).count() == 0 and li.exceptAll(back).count() == 0
+
+
+def test_decode_type_mismatch_is_loud(spark):
+    """Declaring the wrong TYPE (not just wrong names) raises a clear
+    ValueError naming column/stored/declared — cross-kind declarations
+    like date-for-timestamp must never silently truncate or surface as
+    a JVM accessor UnsupportedOperationException."""
+    from orc_format_spark import decode_blobs
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    blobs = encode_groups(li, num_groups=1, key_col="l_orderkey")
+    with pytest.raises(Exception, match="decode schema mismatch.*l_shipdate"):
+        decode_blobs(blobs, "l_orderkey bigint, l_shipdate date").count()
+    # in-kind width change is a lossless cast, not an error
+    ok = decode_blobs(blobs, "l_orderkey int, l_shipdate timestamp_ntz")
+    assert ok.count() == li.count()
