@@ -407,6 +407,33 @@ def q_rowslice_decode(spark, sf_dir):
     )
 
 
+def q_pruned_decode(spark, sf_dir):
+    """Stripe elimination: a range-grouped encode with ``stats=True``
+    records blob-level min/max (the stripe statistics the reference
+    writes, src/writer/stripe.rs, whose reader-side skip it never
+    shipped); a ``predicate=`` decode then drops whole blobs JVM-side
+    (operators/encode.py prune_blobs) before chunk-level skipping and
+    the exact residual filter — at sf0.01 the int conjunct alone
+    eliminates 6 of 8 blobs before any payload moves."""
+    import datetime
+
+    from orc_format_spark import decode_blobs, encode_groups
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    g = li.withColumn("group_id", F.floor(F.col("l_orderkey") / F.lit(2000)))
+    blobs = encode_groups(g, key_col="l_orderkey", stats=True)
+    return decode_blobs(
+        blobs,
+        "l_orderkey bigint, l_quantity double, l_shipdate timestamp_ntz",
+        predicate=[
+            ("l_orderkey", ">=", 9000),
+            ("l_shipdate", "<", datetime.datetime(1999, 1, 1)),
+        ],
+    )
+
+
 def q_binary_roundtrip(spark, sf_dir):
     """Binary column (W8, data/binary.rs:23-27) through the container;
     output hex-encoded so it is canon-hashable on both engines."""
@@ -1329,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nulls_roundtrip": q_nulls_roundtrip,
         "string_raw_roundtrip": q_string_raw_roundtrip,
         "rowslice_decode": q_rowslice_decode,
+        "pruned_decode": q_pruned_decode,
         "binary_roundtrip": q_binary_roundtrip,
         "date_roundtrip": q_date_roundtrip,
         "union_roundtrip": q_union_roundtrip,
@@ -1479,6 +1507,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey * 10 + l_linenumber AS rid, l_orderkey, "
             "l_linenumber, l_quantity FROM lineitem)) "
             "WHERE rn BETWEEN 1001 AND 2250"
+        ),
+        "pruned_decode": (
+            "SELECT l_orderkey, l_quantity, l_shipdate FROM lineitem "
+            "WHERE l_orderkey >= 9000 AND l_shipdate < TIMESTAMP '1999-01-01'"
         ),
         "binary_roundtrip": (
             "SELECT event_id, lower(hex(CAST(props AS BLOB))) AS bval_hex FROM events"

@@ -20,6 +20,7 @@ from .operators.encode import (
     decode_blobs,
     encode_groups,
     encode_groups_staged,
+    prune_blobs,
     verify_blob_files,
     verify_blobs,
 )
@@ -67,6 +68,7 @@ __all__ = [
     "read_tokens_table",
     "job_metrics",
     "plan_compaction",
+    "prune_blobs",
     "plan_num_groups",
     "read_encoded",
     "read_metrics",

@@ -45,6 +45,16 @@ BLOB_SCHEMA = (
 BLOB_FILE_SCHEMA = BLOB_SCHEMA.replace("blob binary", "blob_path string")
 
 
+def _blob_schema(blob_sink, stats: bool) -> str:
+    """Output DDL for a grouped encode: payload column per sink mode,
+    plus the optional blob-level ``stats`` column (stripe min/max, same
+    JSON shape as the in-blob chunk stats) for JVM-side pruning."""
+    s = BLOB_FILE_SCHEMA if blob_sink is not None else BLOB_SCHEMA
+    if stats:
+        s = s.replace(", blob", ", stats string, blob")
+    return s
+
+
 def _finish_group(
     gid: int,
     data: pa.Table,
@@ -53,10 +63,13 @@ def _finish_group(
     row_index_stride,
     bloom_columns,
     blob_sink,
+    stats: bool = False,
 ) -> pa.Table:
     """Encode one group's (already sorted) rows into its blob + lineage
     row — the shared tail of every grouped-encode strategy, so row-,
-    compressed-, and staged-shuffle paths emit byte-identical blobs."""
+    compressed-, and staged-shuffle paths emit byte-identical blobs.
+    ``stats`` adds a blob-level min/max (+bloom) column for JVM-side
+    stripe elimination (see ``prune_blobs``)."""
     blob, lineage = encode_table(
         data,
         codec=codec,
@@ -81,19 +94,25 @@ def _finish_group(
     else:
         payload = pa.array([blob], pa.binary())
         pname = "blob"
-    return pa.table(
-        {
-            "group_id": pa.array([gid], pa.int64()),
-            "n_rows": pa.array([data.num_rows], pa.int64()),
-            "n_values": pa.array([n_values], pa.int64()),
-            "input_bytes": pa.array([input_bytes], pa.int64()),
-            "output_bytes": pa.array([len(blob)], pa.int64()),
-            "checksum": pa.array([table_checksum(data)], pa.string()),
-            "codecs": pa.array([json.dumps(codecs, sort_keys=True)], pa.string()),
-            "lineage": pa.array([json.dumps(lineage, sort_keys=True)], pa.string()),
-            pname: payload,
-        }
-    )
+    cols = {
+        "group_id": pa.array([gid], pa.int64()),
+        "n_rows": pa.array([data.num_rows], pa.int64()),
+        "n_values": pa.array([n_values], pa.int64()),
+        "input_bytes": pa.array([input_bytes], pa.int64()),
+        "output_bytes": pa.array([len(blob)], pa.int64()),
+        "checksum": pa.array([table_checksum(data)], pa.string()),
+        "codecs": pa.array([json.dumps(codecs, sort_keys=True)], pa.string()),
+        "lineage": pa.array([json.dumps(lineage, sort_keys=True)], pa.string()),
+    }
+    if stats:
+        from ..codecs.container import _chunk_stats
+
+        cols["stats"] = pa.array(
+            [json.dumps(_chunk_stats(data, bloom_columns), sort_keys=True)],
+            pa.string(),
+        )
+    cols[pname] = payload
+    return pa.table(cols)
 
 
 def encode_groups(
@@ -108,8 +127,18 @@ def encode_groups(
     bloom_columns: list[str] | None = None,
     shuffle: str = "rows",
     cluster_by: list[str] | None = None,
+    stats: bool = False,
 ) -> DataFrame:
     """Encode a DataFrame into per-group blobs + lineage.
+
+    ``stats`` adds a blob-level ``stats`` column (per-column min/max —
+    isoformat for temporals — plus ``bloom_columns`` bitsets; the same
+    JSON shape as the in-blob chunk stats) to every lineage row. It is
+    the stripe-elimination index: ``prune_blobs`` / a ``predicate=``
+    decode evaluates it JVM-side and drops whole blobs before any
+    payload is ferried to a Python worker or (sink mode) the blob file
+    is even opened — the ORC stripe-statistics analog of split
+    elimination, which matters more than chunk skipping at 100 TB.
 
     ``cluster_by`` sorts each group's rows by these columns (then
     ``key_col`` as tiebreak) before encoding. Clustering costs only the
@@ -171,6 +200,7 @@ def encode_groups(
             row_index_stride=row_index_stride,
             blob_sink=blob_sink,
             bloom_columns=bloom_columns,
+            stats=stats,
         )
 
     def fn(tbl: pa.Table) -> pa.Table:
@@ -179,12 +209,10 @@ def encode_groups(
         data = tbl.drop_columns(["group_id"]).sort_by(sort_spec)
         return _finish_group(
             gid, data, codec, compression, row_index_stride, bloom_columns,
-            blob_sink,
+            blob_sink, stats=stats,
         )
 
-    return df.groupBy("group_id").applyInArrow(
-        fn, BLOB_FILE_SCHEMA if blob_sink is not None else BLOB_SCHEMA
-    )
+    return df.groupBy("group_id").applyInArrow(fn, _blob_schema(blob_sink, stats))
 
 
 # flush threshold for map-side chunklet accumulation: big enough that
@@ -201,6 +229,7 @@ def _encode_groups_compressed(
     row_index_stride,
     blob_sink,
     bloom_columns,
+    stats: bool = False,
 ) -> DataFrame:
     """Two-phase grouped encode: map-side per-(partition, group)
     chunklet encode -> compressed-byte exchange -> per-group merge +
@@ -273,11 +302,11 @@ def _encode_groups_compressed(
         data = pa.concat_tables(chunks).combine_chunks().sort_by(sort_spec)
         return _finish_group(
             gid, data, codec, compression, row_index_stride, bloom_columns,
-            blob_sink,
+            blob_sink, stats=stats,
         )
 
     return parts.groupBy("group_id").applyInArrow(
-        merge_fn, BLOB_FILE_SCHEMA if blob_sink is not None else BLOB_SCHEMA
+        merge_fn, _blob_schema(blob_sink, stats)
     )
 
 
@@ -489,6 +518,49 @@ def _align_decoded_types(tbl: pa.Table, target: "pa.Schema") -> pa.Table:
     return pa.Table.from_arrays(cols, schema=target)
 
 
+def prune_blobs(blobs: DataFrame, predicate: tuple | list[tuple]) -> DataFrame:
+    """Stripe elimination: drop blobs whose blob-level ``stats`` (written
+    by ``encode_groups(stats=True)``) PROVE no row matches ``predicate``
+    (a ``(col, op, val)`` triple or an AND-list of them, ops as in
+    ``decode_table``). The filter runs before any decode: only the small
+    stats JSON string crosses to Python (Arrow-batched scalar UDF);
+    eliminated blobs never reach a decode worker, and in sink mode their
+    files are never opened — the ORC stripe-statistics analog of
+    split elimination (the reference stores stripe stats,
+    src/writer/stripe.rs, but its reader never shipped the skip).
+    Rows with a null/absent stats value are kept (unknown never prunes),
+    and the exact residual filter still runs at decode, so the result is
+    identical to an unpruned ``predicate=`` decode."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ..codecs.container import _chunk_may_match
+
+    if "stats" not in blobs.columns:
+        raise ValueError(
+            "prune_blobs: input has no 'stats' column — encode with "
+            "encode_groups(..., stats=True)"
+        )
+    preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
+    if not preds:
+        return blobs
+
+    def _may_match(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return True
+            st = json.loads(v)
+            return all(_chunk_may_match(st, pr) for pr in preds)
+
+        return s.map(one)
+
+    # concrete annotation objects: the module's deferred (string)
+    # annotations defeat pandas_udf's hint inference
+    _may_match.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    may_match = F.pandas_udf(_may_match, "boolean")
+    return blobs.filter(may_match(F.col("stats")))
+
+
 def decode_blobs(
     blobs: DataFrame,
     schema: str,
@@ -513,6 +585,8 @@ def decode_blobs(
     schema = _normalize_schema(schema)
     expected = _ddl_names(schema)
     target = _arrow_target_schema(schema)
+    if predicate is not None and "stats" in blobs.columns:
+        blobs = prune_blobs(blobs, predicate)  # stripe elimination, JVM-side
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         limit_worker_threads()
@@ -542,6 +616,8 @@ def decode_blob_files(
     schema = _normalize_schema(schema)
     expected = _ddl_names(schema)
     target = _arrow_target_schema(schema)
+    if predicate is not None and "stats" in blobs.columns:
+        blobs = prune_blobs(blobs, predicate)  # stripe elimination, JVM-side
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         limit_worker_threads()

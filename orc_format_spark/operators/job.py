@@ -105,6 +105,7 @@ def run_encode_job(
     tokens_per_group: int | None = None,
     blob_sink: bool = False,
     cluster_by: list[str] | None = None,
+    stats: bool = False,
 ) -> DataFrame:
     """Encode ``df`` into ``out_dir/blobs`` with wave-level checkpointing.
 
@@ -121,7 +122,11 @@ def run_encode_job(
 
     ``cluster_by`` orders each group's rows by these columns before
     encoding (see ``encode_groups``); part of the job signature so the
-    blob bytes stay deterministic across waves and resume.
+    blob bytes stay deterministic across waves and resume. ``stats``
+    adds the blob-level stripe-elimination column (see
+    ``encode_groups``) — ``read_encoded(predicate=...)`` then skips
+    whole blobs JVM-side. Like ``cluster_by``, keep it stable across a
+    job's waves (it shapes the per-wave parquet schema).
     """
     if num_groups is None:
         if size_col and size_col in df.columns:
@@ -159,6 +164,7 @@ def run_encode_job(
                 key_col=key_col,
                 blob_sink=_strip_file(f"{out_dir}/blobstore") if blob_sink else None,
                 cluster_by=cluster_by,
+                stats=stats,
             )
             # idempotent wave commit: each wave owns its own directory and
             # is OVERWRITTEN on re-run, so a crash after the blob write but

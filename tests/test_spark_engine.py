@@ -448,6 +448,48 @@ def test_run_encode_job_cluster_by_resume_stable(spark, tmp_path):
     assert back.exceptAll(li).count() == 0 and li.exceptAll(back).count() == 0
 
 
+def test_stats_prune_blobs(spark):
+    """Stripe elimination: blob-level stats written by stats=True let
+    prune_blobs drop whole blobs JVM-side; a predicate decode over the
+    pruned set equals the unpruned filter exactly, an impossible
+    predicate eliminates every blob, and pruning never changes results
+    (unknown stats are kept, residual filter is exact)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from orc_format_spark import decode_blobs, encode_groups, prune_blobs
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    g = li.withColumn("group_id", F.floor(F.col("l_orderkey") / F.lit(200)))
+    blobs = encode_groups(g, key_col="l_orderkey", stats=True).cache()
+    total = blobs.count()
+    assert total == 8
+    kept = prune_blobs(blobs, ("l_orderkey", ">=", 1200))
+    assert kept.count() == 2  # ranges [1200,1400) and [1400,1499]
+    sch = "l_orderkey bigint, l_quantity double, l_shipdate timestamp_ntz"
+    got = decode_blobs(blobs, sch, predicate=("l_orderkey", ">=", 1200))
+    want = li.filter("l_orderkey >= 1200")
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # temporal conjunct before the data's min date: provably empty,
+    # every blob eliminated before any decode
+    early = datetime.datetime(1990, 1, 1)
+    assert prune_blobs(blobs, ("l_shipdate", "<", early)).count() == 0
+    assert decode_blobs(blobs, sch, predicate=("l_shipdate", "<", early)).count() == 0
+    # stats-less blobs: prune_blobs refuses loudly, predicate decode
+    # still works (chunk-level + residual only)
+    plain = encode_groups(g, key_col="l_orderkey")
+    with pytest.raises(ValueError, match="no 'stats' column"):
+        prune_blobs(plain, ("l_orderkey", ">=", 1200))
+    assert (
+        decode_blobs(plain, sch, predicate=("l_orderkey", ">=", 1200)).count()
+        == want.count()
+    )
+    blobs.unpersist()
+
+
 def test_decode_type_mismatch_is_loud(spark):
     """Declaring the wrong TYPE (not just wrong names) raises a clear
     ValueError naming column/stored/declared — cross-kind declarations
