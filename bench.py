@@ -395,6 +395,41 @@ def main_bench():
 
     plain_b = _enc_bytes(None)
     clus_b = _enc_bytes(["l_shipdate"])
+    # stripe elimination: identical predicate decode over the same
+    # range-grouped sink blobs, with vs without blob-level stats. On
+    # warm local files the walls are ~equal — the in-blob chunk-stats
+    # skip already makes unmatched blobs nearly free to "decode" — so
+    # the honest local evidence is prune_eliminated_frac: the fraction
+    # of blob FILES the stats path never opens and tasks it never
+    # schedules (the cost that dominates on cluster storage).
+    import shutil
+
+    from orc_format_spark import decode_blob_files, encode_groups as _eg, prune_blobs
+
+    gdf = li.withColumn("group_id", F.floor(F.col("l_orderkey") / F.lit(18750)))
+    dsch = (
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_shipdate timestamp_ntz"
+    )
+    pred = ("l_orderkey", ">=", 135000)  # top ~10% of the key range
+    prune_times = {}
+    elim_frac = 0.0
+    for tag, stats in (("stats", True), ("nostats", False)):
+        psink = os.path.join(os.path.dirname(blob_sink_path()), f"prune_{tag}")
+        shutil.rmtree(psink, ignore_errors=True)
+        blobs = _eg(gdf, key_col="l_orderkey", blob_sink=psink, stats=stats)
+        sdf = spark.createDataFrame(blobs.collect())  # materialize lineage once
+        total = sdf.cache().count()
+        if stats:
+            elim_frac = 1.0 - prune_blobs(sdf, pred).count() / total
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            decode_blob_files(sdf, dsch, predicate=pred).count()
+            best = min(best, time.monotonic() - t0)
+        prune_times[tag] = best
+        sdf.unpersist()
+        shutil.rmtree(psink, ignore_errors=True)
     out = {
         "metric": "headline queries + flagship encode wall time",
         "value": total,
@@ -405,6 +440,9 @@ def main_bench():
         "unclustered_output_bytes": int(plain_b),
         "clustered_output_bytes": int(clus_b),
         "clustered_encode_ratio": round(clus_b / plain_b, 4),
+        "pruned_decode_sec": round(prune_times["stats"], 3),
+        "unpruned_decode_sec": round(prune_times["nostats"], 3),
+        "prune_eliminated_frac": round(elim_frac, 4),
         **enc,
     }
     spark.stop()

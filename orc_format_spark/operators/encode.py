@@ -518,19 +518,123 @@ def _align_decoded_types(tbl: pa.Table, target: "pa.Schema") -> pa.Table:
     return pa.Table.from_arrays(cols, schema=target)
 
 
-def prune_blobs(blobs: DataFrame, predicate: tuple | list[tuple]) -> DataFrame:
+def _jvm_keep_condition(preds: list[tuple]):
+    """Pure-JVM keep-condition over the ``stats`` JSON for the given
+    conjuncts, or None when any conjunct needs the Python evaluator
+    (``==`` — so Bloom bitsets keep their pruning power — bool values,
+    or value types the expression path can't compare exactly).
+
+    The condition must NEVER wrongly prune, only wrongly keep (the
+    residual filter at decode is exact). Per conjunct ``(col, op, val)``:
+    missing column / unparseable stats / a form the expression doesn't
+    recognize → keep; array entry ``[null, null]`` (all-null blob) →
+    drop; uncastable bounds (e.g. float repr vs an int value's exact
+    decimal cast) → keep. Int values compare via decimal(38,0) — exact
+    for int64, where a double cast could round across a > or <
+    boundary above 2^53 and wrongly prune."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    def cmp(op, lo, hi, v):
+        if op == "!=":
+            return ~((lo == hi) & (lo == v))
+        return {
+            "<": lo < v,
+            "<=": lo <= v,
+            ">": hi > v,
+            ">=": hi >= v,
+        }[op]
+
+    conds = []
+    for col, op, val in preds:
+        if op == "==" or isinstance(val, bool):
+            return None
+        if op not in ("!=", "<", "<=", ">", ">="):
+            raise ValueError(f"unsupported predicate op {op!r}")
+        s = F.col("stats")
+        entry = F.get_json_object(s, f"$.{col}")
+        if isinstance(val, (datetime.date, datetime.datetime)):
+            # temporal dict form {"t":"iso","lo":...,"hi":...}; bounds
+            # and value compare in the isoformat domain, exactly like
+            # _chunk_may_match. A cross-domain entry (datetime bounds
+            # for a date value or vice versa, detected by the 'T' in
+            # the lo bound) is kept, never guessed.
+            is_dt = isinstance(val, datetime.datetime)
+            lo = F.get_json_object(s, f"$.{col}.lo")
+            hi = F.get_json_object(s, f"$.{col}.hi")
+            tag = F.get_json_object(s, f"$.{col}.t")
+            domain_ok = (F.instr(lo, "T") > 0) if is_dt else (F.instr(lo, "T") == 0)
+            keep = (
+                F.when(entry.isNull() | tag.isNull() | (tag != "iso"), F.lit(True))
+                .when(~domain_ok, F.lit(True))
+                .otherwise(cmp(op, lo, hi, F.lit(val.isoformat())))
+            )
+        else:
+            if isinstance(val, int):
+                cast_t, v = "decimal(38,0)", F.lit(val).cast("decimal(38,0)")
+            elif isinstance(val, float):
+                # double-domain compares can round int64 bounds > 2^53
+                # across a strict boundary; widen to the non-strict
+                # superset (never wrong-prunes) and never prune on !=
+                cast_t, v = "double", F.lit(val)
+                if op == "!=":
+                    conds.append(F.lit(True))
+                    continue
+                op = {"<": "<=", ">": ">="}.get(op, op)
+            elif isinstance(val, str):
+                cast_t, v = None, F.lit(val)
+            else:
+                return None
+            lo_s = F.get_json_object(s, f"$.{col}[0]")
+            hi_s = F.get_json_object(s, f"$.{col}[1]")
+            # try_cast, not cast: ANSI mode hard-fails on uncastable
+            # bounds (e.g. a float column's "17.0" against an int
+            # value's exact decimal domain); NULL here must mean
+            # "unknown, keep". JSON null bounds surface as the STRING
+            # "null" (indistinguishable from a real "null" string
+            # value), so the all-null-blob test uses the entry's
+            # re-serialized array text instead.
+            lo = lo_s.try_cast(cast_t) if cast_t else lo_s
+            hi = hi_s.try_cast(cast_t) if cast_t else hi_s
+            is_arr = F.substring(entry, 1, 1) == F.lit("[")
+            keep = (
+                F.when(entry.isNull() | ~is_arr, F.lit(True))
+                .when(entry == F.lit("[null,null]"), F.lit(False))
+                .when(lo.isNull() | hi.isNull(), F.lit(True))  # uncastable
+                .otherwise(cmp(op, lo, hi, v))
+            )
+        conds.append(F.col("stats").isNull() | keep)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def prune_blobs(
+    blobs: DataFrame,
+    predicate: tuple | list[tuple],
+    force_python: bool = False,
+) -> DataFrame:
     """Stripe elimination: drop blobs whose blob-level ``stats`` (written
     by ``encode_groups(stats=True)``) PROVE no row matches ``predicate``
     (a ``(col, op, val)`` triple or an AND-list of them, ops as in
-    ``decode_table``). The filter runs before any decode: only the small
-    stats JSON string crosses to Python (Arrow-batched scalar UDF);
-    eliminated blobs never reach a decode worker, and in sink mode their
-    files are never opened — the ORC stripe-statistics analog of
-    split elimination (the reference stores stripe stats,
-    src/writer/stripe.rs, but its reader never shipped the skip).
-    Rows with a null/absent stats value are kept (unknown never prunes),
-    and the exact residual filter still runs at decode, so the result is
-    identical to an unpruned ``predicate=`` decode."""
+    ``decode_table``). The filter runs before any decode: eliminated
+    blobs never reach a decode worker, and in sink mode their files are
+    never opened — the ORC stripe-statistics analog of split elimination
+    (the reference stores stripe stats, src/writer/stripe.rs, but its
+    reader never shipped the skip).
+
+    Range/inequality conjuncts evaluate as pure JVM expressions over the
+    stats JSON (whole-stage-codegen Filter, no extra Python stage — the
+    shape that stays cheap on a 25M-row lineage table). ``==`` conjuncts
+    and exotic value types fall back to an Arrow-batched scalar UDF so
+    per-blob Bloom bitsets keep their pruning power; only the stats
+    string crosses to Python there. Rows with a null/absent stats value
+    are kept (unknown never prunes), and the exact residual filter still
+    runs at decode, so the result is identical to an unpruned
+    ``predicate=`` decode. ``force_python`` pins the UDF evaluator
+    (parity testing)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -544,6 +648,10 @@ def prune_blobs(blobs: DataFrame, predicate: tuple | list[tuple]) -> DataFrame:
     preds = [predicate] if isinstance(predicate, tuple) else list(predicate)
     if not preds:
         return blobs
+    if not force_python:
+        cond = _jvm_keep_condition(preds)
+        if cond is not None:
+            return blobs.filter(cond)
 
     def _may_match(s: pd.Series) -> pd.Series:
         def one(v):

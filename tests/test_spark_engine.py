@@ -490,6 +490,62 @@ def test_stats_prune_blobs(spark):
     blobs.unpersist()
 
 
+def test_prune_blobs_jvm_matches_python(spark):
+    """The JVM-expression prune path keeps exactly the blobs the Python
+    _chunk_may_match evaluator keeps, across value domains (int range,
+    float, string, temporal, missing column, all-null column), and its
+    plan carries no Python stage. == predicates route to the UDF (Bloom
+    power) by design."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from orc_format_spark import encode_groups, prune_blobs
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_returnflag",
+        "l_shipdate",
+        F.lit(None).cast("bigint").alias("nullcol"),
+    )
+    g = li.withColumn("group_id", F.floor(F.col("l_orderkey") / F.lit(200)))
+    blobs = encode_groups(g, key_col="l_orderkey", stats=True).cache()
+    cases = [
+        ("l_orderkey", ">=", 1200),
+        ("l_orderkey", "<", 200),
+        ("l_orderkey", "<=", 0),
+        ("l_orderkey", ">", 1498),
+        ("l_orderkey", "!=", 5),
+        ("l_quantity", ">=", 30.0),
+        ("l_quantity", "<", -1.0),
+        ("l_returnflag", ">=", "R"),
+        ("l_returnflag", "<", "A"),
+        ("l_shipdate", "<", datetime.datetime(1996, 1, 1)),
+        ("l_shipdate", ">=", datetime.datetime(2002, 1, 1)),
+        ("l_shipdate", "<", datetime.date(1996, 1, 1)),  # cross-domain: keep
+        ("no_such_col", ">=", 5),  # unknown column: keep
+        ("nullcol", ">=", 5),  # all-null blobs: drop everywhere
+        [("l_orderkey", ">=", 600), ("l_quantity", "<=", 10.0)],  # AND list
+    ]
+    for pred in cases:
+        jvm = prune_blobs(blobs, pred)
+        plan = jvm._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan, f"python stage leaked: {pred}"
+        got = {r.group_id for r in jvm.select("group_id").collect()}
+        want = {
+            r.group_id
+            for r in prune_blobs(blobs, pred, force_python=True)
+            .select("group_id")
+            .collect()
+        }
+        assert got == want, f"JVM/Python prune disagree for {pred}: {got} vs {want}"
+    # == stays on the UDF path so Bloom bitsets participate
+    eq = prune_blobs(blobs, ("l_orderkey", "==", 7))
+    assert "ArrowEvalPython" in eq._jdf.queryExecution().executedPlan().toString()
+    blobs.unpersist()
+
+
 def test_decode_type_mismatch_is_loud(spark):
     """Declaring the wrong TYPE (not just wrong names) raises a clear
     ValueError naming column/stored/declared — cross-kind declarations
