@@ -61,7 +61,7 @@ _READ_VERSIONS = (1, 3)
 # decode stays lossless (codec-selection thresholds, RLEv2 percentile
 # math, FSST training) — wave-resumed jobs must finish on the version
 # they started with for blob byte-identity (operators/job.py).
-ENCODER_VERSION = "3.2"  # 3.2: float codec auto-selection (split/dict)
+ENCODER_VERSION = "3.3"  # 3.3: ALP float candidate; 3.2: split/dict floats
 _LEGACY_ENGINE = "<pre-3.0>"
 # v2: chunked container — the row-group sub-index (reference parity F3:
 # per-column positions every row_index_stride=10,000 rows,
@@ -261,13 +261,14 @@ def encode_column(
         streams.append((DATA, rle_v1.encode_boolean_rle(v)))
     elif pa.types.is_float32(t) or pa.types.is_float64(t):
         # reference pins floats to raw LE (float.rs:95-101); auto also
-        # tries byte-stream split and dict-on-bit-patterns, compared
-        # POST-compression (selector.select_float_codec) since raw and
-        # split only diverge under the block codec
+        # tries byte-stream split, dict-on-bit-patterns, and ALP
+        # decimal-double (alp.py), compared POST-compression
+        # (selector.select_float_codec) since raw and split only
+        # diverge under the block codec
         dbl = pa.types.is_float64(t)
         raw_name = "raw_double" if dbl else "raw_float"
         v = vals.to_numpy(zero_copy_only=False)
-        use = _pick((raw_name, "float_split", "dict_float"), raw_name)
+        use = _pick((raw_name, "float_split", "dict_float", "alp"), raw_name)
         if not use:
             use, est = select_float_codec(v, dbl, compression)
         streams.append((DATA, _encode_float(use, v, dbl)))
@@ -694,6 +695,10 @@ def decode_entries(entries: list[ColumnEntry], start: int = 0) -> tuple[str, pa.
         dbl = pa.types.is_float64(t)
         if e.codec == "float_split":
             v = raw.decode_float_split(raw_streams[DATA], double=dbl)
+        elif e.codec == "alp":
+            from .alp import decode_alp
+
+            v = decode_alp(raw_streams[DATA], double=dbl)
         elif e.codec == "dict_float":
             bits = dictionary.decode_dict_int(raw_streams[DATA], True)
             v = (

@@ -100,7 +100,7 @@ def select_str_codec(
     return best, est
 
 
-FLOAT_CANDIDATES = ("raw", "float_split", "dict_float")
+FLOAT_CANDIDATES = ("raw", "float_split", "dict_float", "alp")
 
 
 def _float_bits(v: np.ndarray, double: bool) -> np.ndarray:
@@ -117,6 +117,10 @@ def _encode_float(codec: str, v: np.ndarray, double: bool) -> bytes:
         return raw.encode_float_split(v, double)
     if codec == "dict_float":
         return dictionary.encode_dict_int(_float_bits(v, double), True)
+    if codec == "alp":
+        from .alp import encode_alp
+
+        return encode_alp(v, double)
     raise ValueError(codec)
 
 

@@ -612,3 +612,56 @@ def test_float_codecs_roundtrip_bit_exact_through_container():
         back.column("y").to_numpy().astype("<f4").tobytes()
         == t32.column("y").to_numpy().tobytes()
     )
+
+
+def test_alp_roundtrip_and_selection():
+    """ALP (public SIGMOD'24 paper) reproduces decimal-like doubles
+    bit-exactly via round(v*10^e*10^-f) digits + FoR, patches true
+    reals as positional exceptions, and wins auto-selection on
+    decimal columns where dict/split/raw all lose."""
+    import numpy as np
+
+    from orc_format_spark.codecs.alp import decode_alp, encode_alp
+    from orc_format_spark.codecs.selector import select_float_codec
+
+    rng = np.random.default_rng(7)
+    price = np.round(rng.uniform(900, 105000, 50_000) / 100, 2)
+    back = decode_alp(encode_alp(price))
+    assert back.tobytes() == price.tobytes()
+    best, est = select_float_codec(price, double=True)
+    assert best == "alp" and est["alp"] < est["raw"]
+    # ~1% irrational exceptions still roundtrip and still win
+    mixed = price.copy()
+    mixed[::97] *= np.pi
+    assert decode_alp(encode_alp(mixed)).tobytes() == mixed.tobytes()
+    assert select_float_codec(mixed, double=True)[0] == "alp"
+    # pure gaussians: every value is an exception-or-wide-digit; the
+    # selector must NOT pick alp (measured bytes, not vibes)
+    gauss = rng.standard_normal(50_000)
+    assert select_float_codec(gauss, double=True)[0] != "alp"
+    assert decode_alp(encode_alp(gauss)).tobytes() == gauss.tobytes()
+
+
+def test_alp_through_container_bit_exact():
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_format_spark.codecs.container import decode_table, encode_table
+
+    specials = [0.0, -0.0, float("nan"), float("inf"), float("-inf"), 5e-324]
+    rng = np.random.default_rng(3)
+    vals = [round(float(x), 2) for x in rng.normal(0, 50, 30_000)] + specials
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    blob, lin = encode_table(t, codec={"x": "alp"}, stride=10_000)
+    assert lin[0]["codec"] == "alp"
+    back = decode_table(blob)
+    assert back.column("x").to_numpy().tobytes() == t.column("x").to_numpy().tobytes()
+    # float32: exactness is checked in the f4 domain the reader returns
+    t32 = pa.table({"y": pa.array([1.5, -2.25, 0.1, 3.0] * 2000, pa.float32())})
+    blob32, lin32 = encode_table(t32, codec={"y": "alp"})
+    assert lin32[0]["codec"] == "alp"
+    back32 = decode_table(blob32)
+    assert (
+        back32.column("y").to_numpy().astype("<f4").tobytes()
+        == t32.column("y").to_numpy().tobytes()
+    )

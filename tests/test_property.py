@@ -326,3 +326,16 @@ def test_dict_float_roundtrip(xs):
     blob32 = _encode_float("dict_float", v32, False)
     bits32 = dictionary.decode_dict_int(blob32, True)
     assert bits32.astype(np.int32).view(np.float32).tobytes() == v32.tobytes()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(FLOATS, max_size=400))
+def test_alp_roundtrip_property(xs):
+    from orc_format_spark.codecs.alp import decode_alp, encode_alp
+
+    v = np.array(xs, "<f8")
+    assert decode_alp(encode_alp(v, True), True).tobytes() == v.tobytes()
+    with np.errstate(over="ignore"):
+        v32 = v.astype("<f4")
+    back32 = decode_alp(encode_alp(v32, False), False)
+    assert back32.astype("<f4").tobytes() == v32.tobytes()
