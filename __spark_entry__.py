@@ -365,6 +365,40 @@ def q_bloom_filter_decode(spark, sf_dir):
     )
 
 
+def q_token_contains(spark, sf_dir):
+    """Find sequences containing a given token WITHOUT decoding
+    non-candidate row groups: tokenize -> encode with element stats +
+    Bloom over each chunk's distinct tokens (bloom_columns=["tokens"])
+    -> decode with ("tokens", "contains", 113). Blob-level element
+    stats (stats=True) let prune_blobs drop whole blobs first; chunk
+    stats skip row groups inside survivors; the residual numpy
+    membership filter is exact. Byte-level tokenizer makes the oracle
+    a plain substring test: token 113 == ASCII 'q'."""
+    from orc_format_spark import (
+        TOKENS_SCHEMA,
+        decode_blobs,
+        detokenize,
+        encode_groups,
+        tokenize_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokenize_documents(docs)
+    blobs = encode_groups(
+        toks,
+        num_groups=8,
+        key_col="doc_id",
+        size_col="n_tok",
+        stats=True,
+        bloom_columns=["tokens"],
+        row_index_stride=2048,
+    )
+    out = decode_blobs(
+        blobs, TOKENS_SCHEMA, predicate=("tokens", "contains", 113)
+    )
+    return detokenize(out).select("doc_id", "text")
+
+
 def q_stats_longs(spark, sf_dir):
     from orc_format_spark import column_statistics
 
@@ -1318,6 +1352,39 @@ def q_train_val_split(spark, sf_dir):
     )
 
 
+def q_epoch_shuffle(spark, sf_dir):
+    """Deterministic per-epoch training-order shuffle without a global
+    sort: order_key = md5_hash60(doc_id, epoch) is a pseudorandom total
+    order, bucket = order_key % 64 partitions it; one hash shuffle +
+    in-partition sort. The order is a pure function of (key, epoch) —
+    retries/resume/cluster resizes reproduce it. Oracle recomputes the
+    same hash in DuckDB (driver compare is order-insensitive; the
+    in-bucket ordering itself is asserted in pytest)."""
+    from orc_format_spark.functions.token_pipeline import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return epoch_shuffle(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id")),
+        epoch=1,
+        num_buckets=64,
+        hasher="md5",
+    )
+
+
+def q_token_remap(spark, sf_dir):
+    """Tokenizer migration: rewrite token ids through a vectorized
+    numpy lookup table (one np.take per Arrow batch, zero shuffle).
+    Demo mapping 113->107 ('q'->'k' in the byte tokenizer) so the
+    detokenized oracle is a plain SQL replace()."""
+    from orc_format_spark import detokenize, tokenize_documents
+    from orc_format_spark.functions.token_pipeline import remap_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokenize_documents(docs)
+    remapped = remap_tokens(toks, {113: 107}, vocab_size=256)
+    return detokenize(remapped).select("doc_id", "text")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: corpus docs (doc_id >= 40) sharing >= 3
     distinct 24-grams with any 'benchmark' doc (doc_id < 40 stands in
@@ -1384,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_decode": q_projection_decode,
         "predicate_decode": q_predicate_decode,
         "bloom_filter_decode": q_bloom_filter_decode,
+        "token_contains": q_token_contains,
         "stats_longs": q_stats_longs,
         "stats_strings": q_stats_strings,
         "stats_doubles": q_stats_doubles,
@@ -1421,6 +1489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_histogram": q_token_histogram,
         "mixture_sample": q_mixture_sample,
         "train_val_split": q_train_val_split,
+        "epoch_shuffle": q_epoch_shuffle,
+        "token_remap": q_token_remap,
         "decontaminate": q_decontaminate,
     }
 
@@ -1445,6 +1515,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from orc_format_spark.functions.dedup import benchmark_contamination_sql
     from orc_format_spark.functions.token_pipeline import (
+        epoch_shuffle_sql,
         mixture_sample_sql,
         pack_sequences_sql,
         token_histogram_sql,
@@ -1584,6 +1655,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem "
             "WHERE l_partkey = 1"
         ),
+        "token_contains": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents "
+            "WHERE contains(text, 'q')"
+        ),
         "stats_longs": stats_longs,
         "stats_strings": stats_strings,
         "stats_doubles": stats_doubles,
@@ -1711,5 +1786,10 @@ def oracle_sql() -> dict[str, str]:
             {f"src{i}": (750000 if i % 2 == 0 else 250000) for i in range(20)}
         ),
         "train_val_split": train_val_split_sql(val_ppm=100_000, test_ppm=50_000),
+        "epoch_shuffle": epoch_shuffle_sql(epoch=1, num_buckets=64),
+        "token_remap": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+            "replace(text, 'q', 'k') AS text FROM documents"
+        ),
         "decontaminate": benchmark_contamination_sql(n=24, min_common=3),
     }

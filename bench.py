@@ -47,6 +47,7 @@ HEADLINE = [
     "fsst_roundtrip",
     "double_roundtrip",
     "float_codecs_roundtrip",
+    "alp_roundtrip",
     "timestamp_roundtrip",
     "nulls_roundtrip",
     "stats_longs",
@@ -58,6 +59,7 @@ HEADLINE = [
     "projection_decode",
     "predicate_decode",
     "bloom_filter_decode",
+    "token_contains",
     "iceberg_manifest_scan",
     "iceberg_partition_scan",
     "iceberg_equality_delete",
@@ -79,6 +81,8 @@ HEADLINE = [
     "token_histogram",
     "mixture_sample",
     "train_val_split",
+    "epoch_shuffle",
+    "token_remap",
     "decontaminate",
 ]
 
@@ -419,9 +423,9 @@ def main_bench():
         shutil.rmtree(psink, ignore_errors=True)
         blobs = _eg(gdf, key_col="l_orderkey", blob_sink=psink, stats=stats)
         sdf = spark.createDataFrame(blobs.collect())  # materialize lineage once
-        total = sdf.cache().count()
+        n_blobs = sdf.cache().count()
         if stats:
-            elim_frac = 1.0 - prune_blobs(sdf, pred).count() / total
+            elim_frac = 1.0 - prune_blobs(sdf, pred).count() / n_blobs
         best = float("inf")
         for _ in range(2):
             t0 = time.monotonic()

@@ -783,6 +783,29 @@ def _chunk_stats(chunk: pa.Table, bloom_columns: list[str] | None = None) -> dic
 
     out = {}
     for name, col in zip(chunk.column_names, chunk.columns):
+        if (
+            bloom_columns
+            and name in bloom_columns
+            and (pa.types.is_list(col.type) or pa.types.is_large_list(col.type))
+            and pa.types.is_integer(col.type.value_type)
+        ):
+            # list<int> membership stats: element min/max + Bloom over
+            # the chunk's DISTINCT elements, so a ("col", "contains", v)
+            # predicate skips chunks no sequence of which holds v — the
+            # "find sequences containing token X" path over encoded
+            # token blobs
+            flat = pc.drop_null(pc.list_flatten(col.combine_chunks()))
+            if len(flat) == 0:
+                out[name] = {"t": "elem"}  # provably element-free
+            else:
+                uniq = pc.unique(flat.cast(pa.int64())).to_numpy()
+                out[name] = {
+                    "t": "elem",
+                    "lo": int(uniq.min()),
+                    "hi": int(uniq.max()),
+                }
+                out[f"{name}@bloom"] = bloom_to_b64(bloom_build(uniq))
+            continue
         temporal = _temporal_statable(col.type)
         if not (_statable(col.type) or temporal):
             continue
@@ -893,7 +916,7 @@ def _decode_body(blob: bytes, columns: list[str] | None = None) -> pa.Table:
     return pa.table(cols, names=names)
 
 
-_PRED_OPS = ("==", "!=", "<", "<=", ">", ">=")
+_PRED_OPS = ("==", "!=", "<", "<=", ">", ">=", "contains")
 
 
 def _chunk_may_match(stats: dict | None, predicate: tuple) -> bool:
@@ -908,6 +931,27 @@ def _chunk_may_match(stats: dict | None, predicate: tuple) -> bool:
     if stats is None or col not in stats:
         return True
     entry = stats[col]
+    if op == "contains":
+        # list<int> membership: prune only from an element-stats entry
+        # (written when the column was in bloom_columns); anything else
+        # is unknown -> decode
+        if not (isinstance(entry, dict) and entry.get("t") == "elem"):
+            return True
+        lo = entry.get("lo")
+        if lo is None:
+            return False  # chunk has no elements at all
+        if not isinstance(val, int) or isinstance(val, bool):
+            return True
+        if val < lo or val > entry["hi"]:
+            return False
+        b64 = stats.get(f"{col}@bloom")
+        if b64 is not None:
+            from .bloom import bloom_from_b64, bloom_may_contain
+
+            return bloom_may_contain(bloom_from_b64(b64), val)
+        return True
+    if isinstance(entry, dict) and entry.get("t") == "elem":
+        return True  # element stats say nothing about row-level compares
     if isinstance(entry, dict):  # temporal entry: compare in iso domain
         if entry.get("t") != "iso":
             return True  # future tag: unknown, decode
@@ -956,6 +1000,23 @@ def _apply_predicate(tbl: pa.Table, predicate: tuple) -> pa.Table:
     """Exact residual filter after pruning (chunk stats give a superset)."""
     col, op, val = predicate
     c = tbl.column(col)
+    if op == "contains":
+        cc = c.combine_chunks()
+        if not (pa.types.is_list(cc.type) or pa.types.is_large_list(cc.type)):
+            raise ValueError(
+                f"contains predicate requires a list column, got {cc.type}"
+            )
+        lens = pc.list_value_length(cc)
+        lens = np.asarray(pc.fill_null(lens, 0).cast(pa.int64()))
+        flat = pc.list_flatten(cc)  # null/empty rows contribute nothing
+        hits = np.asarray(
+            pc.fill_null(pc.equal(flat, pa.scalar(val, cc.type.value_type)), False)
+        )
+        ends = np.cumsum(lens)
+        rows = np.searchsorted(ends, np.flatnonzero(hits), side="right")
+        mask = np.zeros(len(cc), bool)
+        mask[rows] = True
+        return tbl.filter(pa.array(mask))
     fns = {
         "==": pc.equal,
         "!=": pc.not_equal,

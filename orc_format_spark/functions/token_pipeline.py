@@ -337,3 +337,110 @@ def train_val_split_sql(
         f"WHEN {h} < {int(val_ppm + test_ppm)} THEN 'test' "
         f"ELSE 'train' END AS split FROM {table}"
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    epoch: int = 0,
+    num_buckets: int = 1024,
+    hasher: str = "xxh",
+) -> DataFrame:
+    """Deterministic per-epoch global training-order shuffle WITHOUT a
+    global sort: order_key = hash(key, epoch) defines a pseudorandom
+    total order; bucket = order_key % num_buckets partitions it. ONE
+    hash shuffle + an in-partition sort gives epoch reading order
+    (bucket asc, order_key asc) — the 100 TB-safe shape, vs a full-range
+    sort's sampling pass + range exchange. Different ``epoch`` values
+    derive statistically independent orders from the same corpus; the
+    order is a pure function of (key, epoch), so retries, resume, and
+    cluster resizes reproduce it exactly.
+
+    At 10^12 sequences, ``num_buckets`` sizes the write granularity
+    (one output file per bucket at ~corpus/num_buckets rows); a trainer
+    streams buckets in index order and gets the full shuffled epoch.
+    ``hasher="md5"`` is the DuckDB-oracle path; default xxhash64 stays
+    JVM-cheap."""
+    key = F.col(key_col).cast("string")
+    if hasher == "md5":
+        h = md5_hash60(key, seed=epoch)
+    else:
+        h = F.abs(F.xxhash64(key, F.lit(int(epoch))))
+    out = (
+        df.withColumn("order_key", h)
+        .withColumn("bucket", (F.col("order_key") % num_buckets).cast("int"))
+    )
+    return out.repartition("bucket").sortWithinPartitions("bucket", "order_key")
+
+
+def epoch_shuffle_sql(
+    epoch: int = 0,
+    num_buckets: int = 1024,
+    key_expr: str = "CAST(doc_id AS VARCHAR)",
+    table: str = "documents",
+    select: str = "CAST(doc_id AS VARCHAR) AS doc_id",
+) -> str:
+    """DuckDB oracle for ``epoch_shuffle(..., hasher='md5')`` (the
+    driver's compare is order-insensitive, so the oracle checks the
+    bucket/order_key VALUES; in-bucket ordering is asserted in
+    pytest)."""
+    h = _md5_hash60_sql(key_expr, seed=epoch)
+    return (
+        f"SELECT {select}, {h} AS order_key, "
+        f"CAST({h} % {int(num_buckets)} AS INT) AS bucket FROM {table}"
+    )
+
+
+def remap_tokens(
+    df: DataFrame,
+    mapping: dict[int, int],
+    vocab_size: int = 1 << 16,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Tokenizer-migration remap: rewrite every token id through a
+    lookup table (old id -> new id; ids absent from ``mapping`` pass
+    through). The table is a numpy array captured in the mapInArrow
+    closure (~vocab_size * 4 bytes shipped once per worker, not per
+    row) and applied as one vectorized ``np.take`` over each batch's
+    flattened values buffer — zero per-row Python, zero shuffle, list
+    offsets reused as-is. The 100 TB shape: a pure map stage that
+    composes with encode in the same task.
+
+    Out-of-range ids raise (loud, not silent corruption): a remap that
+    meets an id >= vocab_size means the lookup table was built for the
+    wrong tokenizer."""
+    lut = np.arange(int(vocab_size), dtype=np.int32)
+    for old, new in mapping.items():
+        lut[int(old)] = int(new)
+    schema = df.schema
+    names = [f.name for f in schema.fields]
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        limit_worker_threads()
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            col = tbl.column(tokens_col).combine_chunks()
+            a = col.cast(pa.large_list(pa.int32()))
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            flat = a.flatten().to_numpy(zero_copy_only=False)
+            if flat.size and (flat.min() < 0 or flat.max() >= lut.size):
+                raise ValueError(
+                    f"remap_tokens: token id outside [0, {lut.size}) — "
+                    "lookup table built for a different tokenizer?"
+                )
+            mapped = lut[flat]  # fancy-index: one vectorized gather
+            n = len(a)
+            off = np.frombuffer(a.buffers()[1], np.int64, n + 1, a.offset * 8)
+            rel = (off - off[0]).astype(np.int64)
+            out = pa.LargeListArray.from_arrays(
+                pa.array(rel, pa.int64()), pa.array(mapped, pa.int32())
+            ).cast(pa.list_(pa.int32()))
+            cols = [
+                out if name == tokens_col else tbl.column(name).combine_chunks()
+                for name in names
+            ]
+            yield pa.record_batch(cols, names=names)
+
+    return df.mapInArrow(fn, ddl)

@@ -548,7 +548,8 @@ def _jvm_keep_condition(preds: list[tuple]):
 
     conds = []
     for col, op, val in preds:
-        if op == "==" or isinstance(val, bool):
+        if op in ("==", "contains") or isinstance(val, bool):
+            # == and list-membership need the Bloom bitset -> UDF path
             return None
         if op not in ("!=", "<", "<=", ">", ">="):
             raise ValueError(f"unsupported predicate op {op!r}")

@@ -287,3 +287,91 @@ def test_and_predicates(monkeypatch):
     assert len(calls) == 2
     # empty list behaves like no predicate
     assert decode_table(blob, predicate=[]).num_rows == 100
+
+
+# ------------------------------------------------- list-element contains
+
+
+def _token_tbl(n_chunks=8, stride=50):
+    """Each chunk's lists draw elements from a disjoint band of 1000, so
+    a probe token lives in exactly one chunk's band."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for c in range(n_chunks):
+        base = c * 1000
+        for _ in range(stride):
+            rows.append((base + rng.integers(0, 200, rng.integers(1, 12))).tolist())
+    return pa.table(
+        {
+            "doc": pa.array(np.arange(n_chunks * stride, dtype=np.int64)),
+            "tokens": pa.array(rows, pa.list_(pa.int32())),
+        }
+    )
+
+
+def test_contains_exact_vs_python_filter():
+    tbl = _token_tbl()
+    blob, _ = encode_table(tbl, stride=50, bloom_columns=["tokens"])
+    probe = 3007  # band of chunk 3
+    got = decode_table(blob, predicate=("tokens", "contains", probe))
+    want = [
+        (d, t)
+        for d, t in zip(tbl.column("doc").to_pylist(), tbl.column("tokens").to_pylist())
+        if probe in t
+    ]
+    assert list(zip(got.column("doc").to_pylist(), got.column("tokens").to_pylist())) == want
+    assert got.num_rows > 0
+
+
+def test_contains_prunes_chunks(monkeypatch):
+    """Element min/max bands + bloom skip chunks whose sequences cannot
+    contain the probe token — decode touches ~1 of 8 chunks."""
+    tbl = _token_tbl(n_chunks=8, stride=50)
+    blob, _ = encode_table(tbl, stride=50, bloom_columns=["tokens"])
+    calls = []
+    orig = container._decode_body
+
+    def spy(body, columns=None):
+        calls.append(1)
+        return orig(body, columns)
+
+    monkeypatch.setattr(container, "_decode_body", spy)
+    out = decode_table(blob, predicate=("tokens", "contains", 5007))
+    assert out.num_rows > 0
+    assert all(5007 in t for t in out.column("tokens").to_pylist())
+    assert len(calls) == 1  # element bands are disjoint: exactly one chunk
+    # absent token inside a band: bloom prunes or residual filter empties
+    calls.clear()
+    out2 = decode_table(blob, predicate=("tokens", "contains", 4999))
+    assert out2.num_rows == 0
+    assert len(calls) <= 2  # at most band chunk + schema fallback
+    # token outside every band: pure min/max prune, no decode beyond schema
+    calls.clear()
+    out3 = decode_table(blob, predicate=("tokens", "contains", 99999))
+    assert out3.num_rows == 0 and len(calls) == 1
+
+
+def test_contains_null_and_empty_rows():
+    tbl = pa.table(
+        {
+            "doc": pa.array([0, 1, 2, 3], pa.int64()),
+            "tokens": pa.array([[1, 2], [], None, [2, 2, 2]], pa.list_(pa.int32())),
+        }
+    )
+    blob, _ = encode_table(tbl, stride=2, bloom_columns=["tokens"])
+    got = decode_table(blob, predicate=("tokens", "contains", 2))
+    assert got.column("doc").to_pylist() == [0, 3]
+    # non-list column -> loud error
+    blob2, _ = encode_table(tbl.select(["doc"]), stride=2)
+    with pytest.raises(ValueError, match="list column"):
+        decode_table(blob2, predicate=("doc", "contains", 1))
+
+
+def test_contains_without_bloom_stats_still_exact():
+    """No bloom_columns: no element stats, every chunk decodes, result
+    identical (unknown never prunes, residual filter is exact)."""
+    tbl = _token_tbl(n_chunks=4, stride=50)
+    blob, _ = encode_table(tbl, stride=50)
+    got = decode_table(blob, predicate=("tokens", "contains", 1007))
+    want = sum(1 for t in tbl.column("tokens").to_pylist() if 1007 in t)
+    assert got.num_rows == want

@@ -286,3 +286,84 @@ def test_repetition_profile_hand_computed(spark):
     d4 = got[4]
     assert d4["n_dup_words"] == 2 and d4["dup_word_chars"] == 6
     assert d4["top_bigram_n"] == 2  # "xy xy" twice
+
+
+# ------------------------------------------------- epoch shuffle
+
+
+def test_epoch_shuffle_order_and_determinism(spark):
+    from orc_format_spark.functions.token_pipeline import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=str(i)) for i in range(500)], "doc_id string"
+    )
+    out = epoch_shuffle(docs, epoch=3, num_buckets=8)
+    rows = out.collect()
+    assert len(rows) == 500 and len({r.doc_id for r in rows}) == 500
+    # in-partition reading order is (bucket, order_key): verify inside
+    # each physical partition
+    parts = out.rdd.glom().collect()
+    for part in parts:
+        keys = [(r.bucket, r.order_key) for r in part]
+        assert keys == sorted(keys)
+    # same epoch -> identical assignment; different epoch -> a genuinely
+    # different permutation
+    a = {r.doc_id: r.order_key for r in epoch_shuffle(docs, epoch=3).collect()}
+    b = {r.doc_id: r.order_key for r in epoch_shuffle(docs, epoch=3).collect()}
+    c = {r.doc_id: r.order_key for r in epoch_shuffle(docs, epoch=4).collect()}
+    assert a == b
+    assert a != c
+    # bucket is derived from order_key, never from physical layout
+    assert all(r.bucket == r.order_key % 8 for r in rows)
+
+
+def test_epoch_shuffle_md5_matches_duckdb(spark):
+    import duckdb
+
+    from orc_format_spark.functions.token_pipeline import (
+        epoch_shuffle,
+        epoch_shuffle_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=str(i)) for i in range(64)], "doc_id string"
+    )
+    got = {
+        r.doc_id: (r.order_key, r.bucket)
+        for r in epoch_shuffle(docs, epoch=2, num_buckets=16, hasher="md5").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT CAST(range AS VARCHAR) doc_id FROM range(64)")
+    sql = epoch_shuffle_sql(epoch=2, num_buckets=16, key_expr="doc_id", select="doc_id")
+    want = {d: (o, b) for d, o, b in con.execute(sql).fetchall()}
+    assert got == want
+
+
+# ------------------------------------------------- token remap
+
+
+def test_remap_tokens_vectorized(spark):
+    from orc_format_spark.functions.token_pipeline import remap_tokens
+
+    toks = spark.createDataFrame(
+        [
+            Row(doc_id="a", tokens=[1, 2, 3, 2], n_tok=4),
+            Row(doc_id="b", tokens=[], n_tok=0),
+            Row(doc_id="c", tokens=[255], n_tok=1),
+        ],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    out = {
+        r.doc_id: r.tokens
+        for r in remap_tokens(toks, {2: 9, 255: 0}, vocab_size=256).collect()
+    }
+    assert out == {"a": [1, 9, 3, 9], "b": [], "c": [0]}
+    # out-of-range id -> loud error, not silent garbage
+    bad = spark.createDataFrame(
+        [Row(doc_id="x", tokens=[300], n_tok=1)],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="remap_tokens"):
+        remap_tokens(bad, {}, vocab_size=256).collect()
