@@ -365,6 +365,33 @@ def q_bloom_filter_decode(spark, sf_dir):
     )
 
 
+def q_datasource_roundtrip(spark, sf_dir):
+    """The Spark-native format face (sources/datasource.py): write a
+    lineitem projection via df.write.format("orc_format") (per-task
+    encode + atomic part files + driver manifest), read it back via
+    spark.read.format("orc_format") with schema inferred from the blob
+    header and the range filter PUSHED into the container's chunk-stats
+    skip (DataSourceReader.pushFilters). Oracle = plain SQL WHERE."""
+    import os
+    import tempfile
+
+    from orc_format_spark import register_datasource
+
+    register_datasource(spark)
+    d = os.path.join(
+        tempfile.gettempdir(), f"ofs_ds_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    li.repartition(8).write.format("orc_format").mode("overwrite").option(
+        "stride", "2048"
+    ).save(d)
+    return spark.read.format("orc_format").load(d).filter(
+        (F.col("l_orderkey") >= 700) & (F.col("l_returnflag") != "R")
+    )
+
+
 def q_token_contains(spark, sf_dir):
     """Find sequences containing a given token WITHOUT decoding
     non-candidate row groups: tokenize -> encode with element stats +
@@ -1452,6 +1479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "predicate_decode": q_predicate_decode,
         "bloom_filter_decode": q_bloom_filter_decode,
         "token_contains": q_token_contains,
+        "datasource_roundtrip": q_datasource_roundtrip,
         "stats_longs": q_stats_longs,
         "stats_strings": q_stats_strings,
         "stats_doubles": q_stats_doubles,
@@ -1658,6 +1686,10 @@ def oracle_sql() -> dict[str, str]:
         "token_contains": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents "
             "WHERE contains(text, 'q')"
+        ),
+        "datasource_roundtrip": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag "
+            "FROM lineitem WHERE l_orderkey >= 700 AND l_returnflag <> 'R'"
         ),
         "stats_longs": stats_longs,
         "stats_strings": stats_strings,

@@ -64,6 +64,7 @@ HEADLINE = [
     "iceberg_partition_scan",
     "iceberg_equality_delete",
     "sink_encode_roundtrip",
+    "datasource_roundtrip",
     "compact_roundtrip",
     "clustered_encode",
     "minhash_lsh",

@@ -43,10 +43,13 @@ from .sources.iceberg_meta import (
     list_data_files,
     list_iceberg_splits_meta,
 )
+from .sources.datasource import OrcFormatDataSource, register_datasource
 from .sources.parquet_scan import encode_parquet_splits, list_parquet_splits
 from .sources.tokens import TOKENS_SCHEMA, detokenize, tokenize_documents
 
 __all__ = [
+    "OrcFormatDataSource",
+    "register_datasource",
     "BLOB_FILE_SCHEMA",
     "BLOB_SCHEMA",
     "decode_blob_files",

@@ -1147,6 +1147,35 @@ def _skip_entries(entries: list[ColumnEntry], start: int) -> int:
     return nxt
 
 
+def blob_schema(blob: bytes) -> pa.Schema:
+    """Arrow schema of a blob from its header alone — no stream is
+    decompressed (the blob is self-describing: every entry carries its
+    Arrow type string). Chunked (OFS2) blobs report the first body's
+    schema; all chunks of one blob share it."""
+    if blob[:4] == MAGIC2:
+        pos = 5
+        _stride, pos = decode_varint_one(blob, pos)
+        n_chunks, pos = decode_varint_one(blob, pos)
+        first_blen = 0
+        for k in range(n_chunks):
+            _nr, pos = decode_varint_one(blob, pos)
+            blen, pos = decode_varint_one(blob, pos)
+            if k == 0:
+                first_blen = blen
+        if blob[4] >= VERSION2_STATS:
+            slen, pos = decode_varint_one(blob, pos)
+            pos += slen
+        return blob_schema(blob[pos : pos + first_blen])
+    entries = deserialize_blob(blob)
+    fields = []
+    i = 0
+    while i < len(entries):
+        e = entries[i]
+        fields.append(pa.field(e.name, _parse_type(e.type)))
+        i = _skip_entries(entries, i)
+    return pa.schema(fields)
+
+
 def table_checksum(tbl: pa.Table) -> str:
     """Deterministic sha256 over the table's logical content."""
     h = hashlib.sha256()

@@ -1,0 +1,294 @@
+"""Spark-native DataFrame format for the blob container via the Spark 4
+Python Data Source API: ``spark.read.format("orc_format").load(dir)``
+and ``df.write.format("orc_format").save(dir)``.
+
+This is the idiomatic-Spark face of the engine: the reference is a
+library you call (`Writer::new` + `write_batch`, src/writer.rs); this
+registers the same capability as a first-class source/sink so any Spark
+user reads and writes encoded blob directories with zero
+engine-specific code — SQL included via a temp view over ``load()``
+(``CREATE TABLE ... USING orc_format`` parses, but Spark 4.1 does not
+deliver catalog-table OPTIONS/LOCATION to a Python data source at scan
+time — probed empirically; options arrive only through
+``spark.read.format(...).option(...)``).
+
+Read path:
+- schema inference from the first blob's self-describing header (no
+  stream decompressed — codecs/container.blob_schema),
+- one input partition per ``.ofs`` file (at 100 TB that is the split
+  granularity Spark schedules; files are independent stripes),
+- **filter pushdown** (``DataSourceReader.pushFilters``): =, <, <=, >,
+  >= and negations on top-level columns translate to the container's
+  predicate triples, so row groups are skipped via chunk min/max +
+  Bloom stats inside the worker; handled filters are consumed exactly
+  (the residual in-chunk filter is exact), unsupported ones are
+  returned for Spark to evaluate.
+
+Write path (``DataSourceArrowWriter``): each task encodes its
+partition's batches with the normal auto-selection pipeline
+(encode_table: codec sampling, chunking every ``stride`` rows, optional
+per-chunk stats) and persists ``part-NNNNN-<uuid>.ofs`` atomically
+(tmp + rename); the driver's ``commit`` writes a ``_manifest.json``
+with per-file rows/bytes/checksums — the lineage record — and
+``overwrite`` mode clears previous part files only on successful
+commit (write-audit-publish, same discipline as the Iceberg layer).
+
+Options: ``codec`` (auto|reference|rle_v1|...), ``compression``
+(zstd|snappy|zlib|lz4|none), ``stride`` (row-index stride, default
+10000), ``bloom`` (comma-separated bloom_columns for the writer).
+
+Known Spark 4.1 quirk (observed, not this module's state: the planner
+worker builds a FRESH reader per planning — pyspark/sql/worker/
+data_source_pushdown_filters.py): the JVM caches the planned Python
+scan on the relation instance, so after running a FILTERED query
+derived from a DataFrame, re-executing the ORIGINAL unfiltered
+DataFrame object reuses the filtered scan. Call ``.load(path)`` per
+query (cheap: schema comes from one blob header) instead of fanning
+multiple differently-filtered queries off one DataFrame object;
+``tests/test_datasource.py::test_pushdown_relation_cache_quirk`` pins
+the behavior so a Spark upgrade that fixes it is noticed.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import TYPE_CHECKING, Iterable, Iterator
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    Not,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+_OPS = {
+    EqualTo: "==",
+    GreaterThan: ">",
+    GreaterThanOrEqual: ">=",
+    LessThan: "<",
+    LessThanOrEqual: "<=",
+}
+_NEG = {"==": "!=", ">": "<=", ">=": "<", "<": ">=", "<=": ">"}
+
+
+def _filter_to_pred(f: Filter) -> tuple | None:
+    """Spark Filter -> container predicate triple, or None if out of
+    the container's predicate domain (then Spark keeps the filter)."""
+    neg = False
+    if isinstance(f, Not):
+        f, neg = f.child, True
+    op = _OPS.get(type(f))
+    if op is None:
+        return None
+    if len(f.attribute) != 1:  # nested column path: not prunable here
+        return None
+    val = f.value
+    if isinstance(val, bool) or not isinstance(val, (int, float, str)):
+        # bool/None/temporal literals: keep on the Spark side; the
+        # container's bool domain has no stats and temporal literal
+        # conversion is not worth a wrong-prune risk here
+        return None
+    return (f.attribute[0], _NEG[op] if neg else op, val)
+
+
+def _local_path(path: str) -> str:
+    """SQL (`USING orc_format OPTIONS (path ...)`) hands the path as a
+    file: URI; the DataFrame API hands it bare. Normalize both."""
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    if path.startswith("file:"):
+        return path[len("file:") :]
+    return path
+
+
+def _list_blob_files(path: str) -> list[str]:
+    files = sorted(glob.glob(os.path.join(path, "*.ofs")))
+    if not files:
+        raise FileNotFoundError(f"orc_format: no .ofs blob files under {path!r}")
+    return files
+
+
+@dataclass
+class BlobPartition(InputPartition):
+    path: str
+
+
+class OrcFormatReader(DataSourceReader):
+    def __init__(self, options: dict, schema: StructType):
+        self.path = _local_path(options.get("path") or "")
+        if not self.path:
+            raise ValueError("orc_format: .load(path) is required")
+        self.spark_schema = schema
+        self.preds: list[tuple] = []
+
+    def pushFilters(self, filters: "list[Filter]") -> Iterable[Filter]:
+        # the JVM relation caches the planned reader (with its pushed
+        # state) across queries on the same DataFrame — reset instead
+        # of append, or one scan's filters leak into the next
+        self.preds = []
+        out = []
+        for f in filters:
+            pred = _filter_to_pred(f)
+            if pred is None:
+                out.append(f)  # unsupported: Spark evaluates it
+            else:
+                self.preds.append(pred)  # consumed exactly in read()
+        return out
+
+    def partitions(self) -> list[InputPartition]:
+        return [BlobPartition(p) for p in _list_blob_files(self.path)]
+
+    def read(self, partition: BlobPartition) -> Iterator["pa.RecordBatch"]:
+        from ..codecs.container import decode_table
+        from ..worker_env import limit_worker_threads
+
+        limit_worker_threads()
+        with open(partition.path, "rb") as f:
+            blob = f.read()
+        tbl = decode_table(blob, predicate=self.preds or None)
+        yield from tbl.to_batches()
+
+
+@dataclass
+class BlobWriteMessage(WriterCommitMessage):
+    file: str | None
+    rows: int
+    bytes: int
+    checksum: str | None
+
+
+class OrcFormatWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = _local_path(options.get("path") or "")
+        if not self.path:
+            raise ValueError("orc_format: .save(path) is required")
+        self.codec = options.get("codec", "auto")
+        self.compression = options.get("compression", "zstd")
+        self.stride = int(options.get("stride", 10_000))
+        self.bloom = [c for c in options.get("bloom", "").split(",") if c]
+        self.overwrite = overwrite
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> BlobWriteMessage:
+        import pyarrow as pa
+
+        from ..codecs.container import encode_table, table_checksum
+        from ..worker_env import limit_worker_threads
+        from pyspark import TaskContext
+
+        limit_worker_threads()
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return BlobWriteMessage(None, 0, 0, None)
+        tbl = pa.Table.from_batches(batches).combine_chunks()
+        blob, _lineage = encode_table(
+            tbl,
+            codec=self.codec,
+            compression=self.compression,
+            stride=self.stride,
+            bloom_columns=self.bloom or None,
+        )
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.ofs"
+        dest = os.path.join(self.path, name)
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as out:
+            out.write(blob)
+        os.replace(tmp, dest)
+        return BlobWriteMessage(name, tbl.num_rows, len(blob), table_checksum(tbl))
+
+    def commit(self, messages: "list[BlobWriteMessage]") -> None:
+        committed = {m.file for m in messages if m.file}
+        if self.overwrite:
+            # write-audit-publish: retire pre-existing files only after
+            # every task of THIS write committed
+            for p in _listdir_ofs(self.path):
+                if os.path.basename(p) not in committed:
+                    os.remove(p)
+        manifest = {
+            "files": [
+                {
+                    "file": m.file,
+                    "rows": m.rows,
+                    "bytes": m.bytes,
+                    "checksum": m.checksum,
+                }
+                for m in messages
+                if m.file
+            ],
+            "total_rows": sum(m.rows for m in messages),
+            "total_bytes": sum(m.bytes for m in messages),
+        }
+        tmp = os.path.join(self.path, f"_manifest.json.tmp.{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, "_manifest.json"))
+
+    def abort(self, messages: "list[BlobWriteMessage]") -> None:
+        for m in messages:
+            if m is not None and m.file:
+                try:
+                    os.remove(os.path.join(self.path, m.file))
+                except OSError:
+                    pass
+
+
+def _listdir_ofs(path: str) -> list[str]:
+    return glob.glob(os.path.join(path, "*.ofs"))
+
+
+class OrcFormatDataSource(DataSource):
+    """``spark.dataSource.register(OrcFormatDataSource)`` (or
+    ``register_datasource(spark)``) enables the ``orc_format`` format
+    name for both read and write, including SQL
+    ``CREATE TABLE t USING orc_format OPTIONS (path '...')``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "orc_format"
+
+    def schema(self):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from ..codecs.container import blob_schema
+
+        path = _local_path(self.options.get("path") or "")
+        if not path:
+            raise ValueError("orc_format: .load(path) is required")
+        first = _list_blob_files(path)[0]
+        with open(first, "rb") as f:
+            blob = f.read()
+        return from_arrow_schema(blob_schema(blob))
+
+    def reader(self, schema: StructType) -> OrcFormatReader:
+        return OrcFormatReader(dict(self.options), schema)
+
+    def writer(self, schema: StructType, overwrite: bool) -> OrcFormatWriter:
+        return OrcFormatWriter(dict(self.options), overwrite)
+
+
+def register_datasource(spark) -> None:
+    """Register the format and enable Python-source filter pushdown
+    (Spark refuses a reader that implements ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false — the message
+    names the conf, so a manual ``dataSource.register`` without this
+    helper still fails loudly, never silently unpushed)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrcFormatDataSource)
