@@ -334,18 +334,37 @@ def encode_column(
         # variant's values in arrival order (the reference's model).
         # Arrow dense-union offsets are re-gathered to arrival order, so
         # arbitrary offsets round-trip to the canonical layout.
-        if t.mode != "dense":
-            raise NotImplementedError("sparse unions not supported")
         uv = _combine(vals)
-        type_codes, value_offsets = _union_ids_offsets(uv)
         codes = list(t.type_codes)
+        if t.mode != "dense":
+            # sparse unions carry the same logical content with
+            # redundant child slots; encode as the dense equivalent
+            # (dense type string stored — decode returns the dense
+            # union with identical logical values). field(i) is
+            # slice-adjusted by pyarrow, so positions index it directly.
+            type_codes = np.frombuffer(uv.buffers()[1], np.int8)[
+                uv.offset : uv.offset + len(uv)
+            ]
+            value_offsets = None
+            t = pa.union(
+                [t.field(i) for i in range(t.num_fields)],
+                mode="dense",
+                type_codes=codes,
+            )
+        else:
+            type_codes, value_offsets = _union_ids_offsets(uv)
         streams.append((DATA, rle_v1.encode_byte_rle(type_codes.view(np.uint8))))
         entry = _finish_entry(name, str(t), "union", compression, has_null, n_rows, n_present, streams)
         entries.append(entry)
         lineage.append(_lineage_row(name, entry, arr, est))
         for i in range(t.num_fields):
             positions = np.flatnonzero(type_codes == codes[i])
-            child_vals = uv.field(i).take(pa.array(value_offsets[positions], pa.int64()))
+            child_vals = uv.field(i).take(
+                pa.array(
+                    positions if value_offsets is None else value_offsets[positions],
+                    pa.int64(),
+                )
+            )
             encode_column(
                 f"{name}.{t.field(i).name}", child_vals, child_codec, compression,
                 entries, lineage,

@@ -665,3 +665,27 @@ def test_alp_through_container_bit_exact():
         back32.column("y").to_numpy().astype("<f4").tobytes()
         == t32.column("y").to_numpy().tobytes()
     )
+
+
+def test_sparse_union_encodes_as_dense():
+    """Sparse unions (redundant child slots) encode as their dense
+    equivalent: the blob stores the dense type string and per-variant
+    arrival-order values; decode returns the dense union with identical
+    logical content — including through slices, whose child arrays
+    pyarrow slice-adjusts."""
+    import numpy as np
+    import pyarrow as pa
+
+    from orc_format_spark.codecs.container import decode_table, encode_table
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    ints = pa.array(rng.integers(0, 1000, n), pa.int64())
+    strs = pa.array([f"s{i}" for i in range(n)])
+    tc = pa.array(rng.choice([5, 7], n).astype(np.int8), pa.int8())
+    u = pa.UnionArray.from_sparse(tc, [ints, strs], field_names=["i", "s"], type_codes=[5, 7])
+    for arr in (u, u.slice(17, 2500)):
+        blob, lin = encode_table(pa.table({"u": arr}))
+        back = decode_table(blob).column("u")
+        assert pa.types.is_union(back.type) and back.type.mode == "dense"
+        assert back.to_pylist() == arr.to_pylist()
