@@ -824,6 +824,60 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, k=5, n_queries=10, centroid_stride=59, nprobe=3)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-shape semantic dedup: IVF-cluster the embedding space
+    (map-side assignment to stride-sampled centroids), then drop any
+    vector with a lower-id cluster peer at cosine >= 0.30 — pairwise
+    work bounded by the cluster, never all-pairs. Fully deterministic;
+    the DuckDB oracle replicates clusters, pairs, and keeper choice."""
+    from orc_format_spark.functions.semantic import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(emb, threshold_e6=300000, centroid_stride=37)
+
+
+def _pii_augmented(docs):
+    """Deterministically inject synthetic PII (email + URL + IPv4) into
+    every third document so the scrub counts are non-trivial; the SQL
+    oracle performs the identical injection."""
+    did = F.col("doc_id").cast("string")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact doc"),
+                did,
+                F.lit("@mail.example.com via http://ex.example/p/"),
+                did,
+                F.lit(" at 10.1."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+
+
+_PII_TEXT_EXPR = (
+    "CASE WHEN doc_id % 3 = 0 THEN text || ' contact doc' || "
+    "CAST(doc_id AS VARCHAR) || '@mail.example.com via http://ex.example/p/' || "
+    "CAST(doc_id AS VARCHAR) || ' at 10.1.' || CAST(doc_id % 256 AS VARCHAR) || "
+    "'.7' ELSE text END"
+)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction: emails/URLs/IPv4s replaced by typed placeholders
+    with per-document match counts — pure Catalyst regexp expressions
+    (map-side, codegen'd, zero shuffle). Patterns live in the common
+    Java-regex/RE2 subset so DuckDB reproduces the output exactly."""
+    from orc_format_spark.functions.scrub import scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return scrub_pii(_pii_augmented(docs))
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary payload -> feature vectors via Arrow-batched mapInArrow;
     the feature array is serialized to a CSV string so the driver's
@@ -1507,6 +1561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup": q_semantic_dedup,
+        "pii_scrub": q_pii_scrub,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1530,6 +1586,8 @@ def oracle_sql() -> dict[str, str]:
         simhash_near_pairs_sql,
     )
     from orc_format_spark.functions.multimodal import extract_features_sql
+    from orc_format_spark.functions.scrub import scrub_pii_sql
+    from orc_format_spark.functions.semantic import semantic_dedup_sql
     from orc_format_spark.functions.similarity import (
         brute_force_topk_sql,
         ivf_topk_sql,
@@ -1778,6 +1836,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash": simhash_near_pairs_sql(n=4, max_hamming=10, max_doc_id=200),
         "embedding_neardup": near_duplicate_pairs_sql(threshold_e6=300000, max_id=300),
+        "semantic_dedup": semantic_dedup_sql(threshold_e6=300000, centroid_stride=37),
+        "pii_scrub": scrub_pii_sql(
+            table="documents", text_expr=_PII_TEXT_EXPR
+        ),
         "ann_topk": brute_force_topk_sql(k=5, n_queries=10),
         "ann_lsh": lsh_bucketed_topk_sql(k=5, n_queries=10, sign_dims=8, n_tables=4),
         "ann_ivf": ivf_topk_sql(k=5, n_queries=10, centroid_stride=59, nprobe=3),

@@ -76,6 +76,8 @@ HEADLINE = [
     "ann_topk",
     "ann_ivf",
     "embedding_neardup",
+    "semantic_dedup",
+    "pii_scrub",
     "multimodal_features",
     "cshuffle_encode_roundtrip",
     "seq_pack",
