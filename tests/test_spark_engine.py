@@ -562,3 +562,30 @@ def test_decode_type_mismatch_is_loud(spark):
     # in-kind width change is a lossless cast, not an error
     ok = decode_blobs(blobs, "l_orderkey int, l_shipdate timestamp_ntz")
     assert ok.count() == li.count()
+
+
+def test_char_varchar_roundtrip(spark):
+    """Char(n)/VarChar(n) map to the string path (the reference treats
+    them the same way, writer.rs: String branch): Spark surfaces both
+    as padded/plain strings in Arrow, the container encodes them as
+    string columns, and the decoded values — including CHAR's trailing
+    pad — roundtrip exactly."""
+    from orc_format_spark import decode_blobs
+
+    df = spark.sql(
+        """
+        SELECT id,
+               CAST(concat('c', id % 7) AS CHAR(6)) AS c_fixed,
+               CAST(concat('v', repeat('x', CAST(id % 5 AS INT))) AS VARCHAR(12)) AS v_var
+        FROM range(500)
+        """
+    )
+    blobs = encode_groups(df, num_groups=2, key_col="id")
+    back = decode_blobs(blobs, "id bigint, c_fixed string, v_var string")
+    want = sorted(map(tuple, df.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+    # Spark's cast treats char/varchar as string (CharVarcharUtils
+    # warning; no pad) — whatever bytes Spark produces, the container
+    # must return them unchanged, which `got == want` above pins.
+    assert dict(back.dtypes)["c_fixed"] == "string"
