@@ -131,6 +131,36 @@ class BlobPartition(InputPartition):
     path: str
 
 
+def _file_stats_json(stats: dict) -> dict:
+    """The JSON-safe subset of a ``_chunk_stats`` dict (columns whose
+    bounds don't serialize — e.g. decimals — are dropped, which the
+    prune test treats as unknown -> never prunes on them)."""
+    out = {}
+    for k, v in stats.items():
+        try:
+            json.dumps(v)
+        except TypeError:
+            continue
+        out[k] = v
+    return out
+
+
+def _load_manifest_stats(path: str) -> dict:
+    """{basename: stats-dict} from ``_manifest.json``; {} when absent or
+    unreadable (pruning then degrades to scanning every file — always
+    safe, never wrong)."""
+    try:
+        with open(os.path.join(path, "_manifest.json")) as f:
+            manifest = json.load(f)
+        return {
+            e["file"]: e["stats"]
+            for e in manifest.get("files", [])
+            if e.get("file") and isinstance(e.get("stats"), dict)
+        }
+    except (OSError, ValueError, KeyError):
+        return {}
+
+
 class OrcFormatReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
         self.path = _local_path(options.get("path") or "")
@@ -154,12 +184,39 @@ class OrcFormatReader(DataSourceReader):
         return out
 
     def partitions(self) -> list[InputPartition]:
-        return [BlobPartition(p) for p in _list_blob_files(self.path)]
+        """One partition per blob file, minus files the commit
+        manifest's per-file stats PROVE can't match the pushed filters
+        — planning-time file elimination (the ORC file-stats analogue):
+        a skipped file costs zero tasks, zero opens. Files without a
+        manifest stats entry (older writers, foreign files) are always
+        kept; at 100 TB the win scales with layout clustering, exactly
+        like stripe elimination."""
+        files = _list_blob_files(self.path)
+        if not self.preds:
+            return [BlobPartition(p) for p in files]
+        from ..codecs.container import _chunk_may_match
+
+        stats = _load_manifest_stats(self.path)
+        kept = [
+            p
+            for p in files
+            if os.path.basename(p) not in stats
+            or all(
+                _chunk_may_match(stats[os.path.basename(p)], pred)
+                for pred in self.preds
+            )
+        ]
+        # Spark substitutes a lone None partition for an empty list;
+        # an explicit empty sentinel keeps read() well-defined when
+        # every file was eliminated
+        return [BlobPartition(p) for p in kept] or [BlobPartition("")]
 
     def read(self, partition: BlobPartition) -> Iterator["pa.RecordBatch"]:
         from ..codecs.container import decode_table
         from ..worker_env import limit_worker_threads
 
+        if partition is None or not partition.path:  # all files pruned
+            return
         limit_worker_threads()
         with open(partition.path, "rb") as f:
             blob = f.read()
@@ -173,6 +230,7 @@ class BlobWriteMessage(WriterCommitMessage):
     rows: int
     bytes: int
     checksum: str | None
+    stats: dict | None = None
 
 
 class OrcFormatWriter(DataSourceArrowWriter):
@@ -206,6 +264,8 @@ class OrcFormatWriter(DataSourceArrowWriter):
             stride=self.stride,
             bloom_columns=self.bloom or None,
         )
+        from ..codecs.container import _chunk_stats
+
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
         name = f"part-{pid:05d}-{uuid.uuid4().hex}.ofs"
@@ -214,7 +274,13 @@ class OrcFormatWriter(DataSourceArrowWriter):
         with open(tmp, "wb") as out:
             out.write(blob)
         os.replace(tmp, dest)
-        return BlobWriteMessage(name, tbl.num_rows, len(blob), table_checksum(tbl))
+        # file-level stats (whole-file [min,max] (+ Bloom for opted-in
+        # int columns)) ride the commit message into _manifest.json so
+        # a later filtered read can eliminate this FILE at planning time
+        stats = _file_stats_json(_chunk_stats(tbl, self.bloom or None))
+        return BlobWriteMessage(
+            name, tbl.num_rows, len(blob), table_checksum(tbl), stats
+        )
 
     def commit(self, messages: "list[BlobWriteMessage]") -> None:
         committed = {m.file for m in messages if m.file}
@@ -224,19 +290,37 @@ class OrcFormatWriter(DataSourceArrowWriter):
             for p in _listdir_ofs(self.path):
                 if os.path.basename(p) not in committed:
                     os.remove(p)
+        entries = {
+            m.file: {
+                "file": m.file,
+                "rows": m.rows,
+                "bytes": m.bytes,
+                "checksum": m.checksum,
+                "stats": m.stats,
+            }
+            for m in messages
+            if m.file
+        }
+        if not self.overwrite:
+            # append: carry forward prior entries for files still on
+            # disk, so their stats keep pruning after this commit
+            try:
+                with open(os.path.join(self.path, "_manifest.json")) as f:
+                    for e in json.load(f).get("files", []):
+                        fn = e.get("file")
+                        if (
+                            fn
+                            and fn not in entries
+                            and os.path.exists(os.path.join(self.path, fn))
+                        ):
+                            entries[fn] = e
+            except (OSError, ValueError):
+                pass
+        files = [entries[k] for k in sorted(entries)]
         manifest = {
-            "files": [
-                {
-                    "file": m.file,
-                    "rows": m.rows,
-                    "bytes": m.bytes,
-                    "checksum": m.checksum,
-                }
-                for m in messages
-                if m.file
-            ],
-            "total_rows": sum(m.rows for m in messages),
-            "total_bytes": sum(m.bytes for m in messages),
+            "files": files,
+            "total_rows": sum(e["rows"] for e in files),
+            "total_bytes": sum(e["bytes"] for e in files),
         }
         tmp = os.path.join(self.path, f"_manifest.json.tmp.{os.getpid()}")
         with open(tmp, "w") as f:

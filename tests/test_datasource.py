@@ -188,3 +188,76 @@ def test_stream_read_and_write_pipeline(ds_spark, tmp_path):
     # content equality with the union of inputs
     want = sorted(map(tuple, li.collect())) + sorted(map(tuple, more.collect()))
     assert sorted(map(tuple, out2.collect())) == sorted(want)
+
+
+# ------------------------------------------------- file-level pruning
+
+
+def test_manifest_file_level_pruning(ds_spark, tmpdir_path):
+    """Range-clustered writes + a pushed filter -> whole files are
+    eliminated at PLANNING time from _manifest.json stats (zero tasks,
+    zero opens for skipped files), and the filtered result is exact."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+    from pyspark.sql.types import StructType
+
+    from orc_format_spark.sources.datasource import OrcFormatReader
+
+    li = _li(ds_spark)
+    li.repartitionByRange(6, "l_orderkey").write.format("orc_format").mode(
+        "append"
+    ).save(tmpdir_path)
+
+    reader = OrcFormatReader({"path": tmpdir_path}, StructType([]))
+    assert len(reader.partitions()) == 6  # no filters -> every file
+    hi = li.agg(F.max("l_orderkey")).first()[0]
+    reader.pushFilters([GreaterThanOrEqual(("l_orderkey",), hi)])
+    pruned = reader.partitions()
+    assert 1 <= len(pruned) < 6  # top-of-range files only
+    # an impossible predicate eliminates every file at planning time
+    # (one empty sentinel partition remains — Spark substitutes None
+    # for a genuinely empty list)
+    reader.pushFilters([GreaterThanOrEqual(("l_orderkey",), hi + 10**9)])
+    assert [p.path for p in reader.partitions()] == [""]
+
+    # end-to-end exactness through the real scan (fresh load per query)
+    got = (
+        ds_spark.read.format("orc_format")
+        .load(tmpdir_path)
+        .filter(F.col("l_orderkey") >= hi)
+        .collect()
+    )
+    want = li.filter(F.col("l_orderkey") >= hi).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    # files missing a stats entry are always kept (conservative)
+    man_path = os.path.join(tmpdir_path, "_manifest.json")
+    man = json.load(open(man_path))
+    for e in man["files"]:
+        e.pop("stats", None)
+    json.dump(man, open(man_path, "w"))
+    reader = OrcFormatReader({"path": tmpdir_path}, StructType([]))
+    reader.pushFilters([GreaterThanOrEqual(("l_orderkey",), hi + 10**9)])
+    assert len(reader.partitions()) == 6
+
+
+def test_manifest_append_carries_stats_forward(ds_spark, tmpdir_path):
+    """mode(append) merges the prior manifest: earlier files keep their
+    stats entries (and keep pruning) after a second commit."""
+    li = _li(ds_spark)
+    a = li.filter(F.col("l_orderkey") < 300)
+    b = li.filter(F.col("l_orderkey") >= 300)
+    a.coalesce(1).write.format("orc_format").mode("append").save(tmpdir_path)
+    b.coalesce(1).write.format("orc_format").mode("append").save(tmpdir_path)
+    man = json.load(open(os.path.join(tmpdir_path, "_manifest.json")))
+    assert len(man["files"]) == 2
+    assert all(isinstance(e.get("stats"), dict) for e in man["files"])
+    assert man["total_rows"] == li.count()
+
+    from pyspark.sql.datasource import LessThan
+    from pyspark.sql.types import StructType
+
+    from orc_format_spark.sources.datasource import OrcFormatReader
+
+    reader = OrcFormatReader({"path": tmpdir_path}, StructType([]))
+    reader.pushFilters([LessThan(("l_orderkey",), 300)])
+    assert len(reader.partitions()) == 1  # the b-file pruned via stats
