@@ -392,6 +392,39 @@ def q_datasource_roundtrip(spark, sf_dir):
     )
 
 
+def q_file_prune_scan(spark, sf_dir):
+    """Planning-time FILE elimination in the Spark-native format: a
+    range-clustered write puts disjoint l_orderkey ranges in separate
+    blob files whose [min,max] ride the commit manifest; a filtered
+    read then drops whole files in DataSourceReader.partitions() —
+    zero tasks, zero opens for skipped files (the ORC file-stats
+    analogue, one level above chunk skipping). Projection rides the
+    columns option (blob-level stream skipping). Oracle = plain SQL."""
+    import os
+    import tempfile
+
+    from orc_format_spark import register_datasource
+
+    register_datasource(spark)
+    d = os.path.join(
+        tempfile.gettempdir(), f"ofs_fp_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    li.repartitionByRange(8, "l_orderkey").write.format("orc_format").mode(
+        "overwrite"
+    ).save(d)
+    hi = li.agg(F.max("l_orderkey")).first()[0]
+    cut = int(hi * 7 // 8)
+    return (
+        spark.read.format("orc_format")
+        .option("columns", "l_orderkey,l_quantity")
+        .load(d)
+        .filter(F.col("l_orderkey") > cut)
+    )
+
+
 def q_token_contains(spark, sf_dir):
     """Find sequences containing a given token WITHOUT decoding
     non-candidate row groups: tokenize -> encode with element stats +
@@ -1534,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filter_decode": q_bloom_filter_decode,
         "token_contains": q_token_contains,
         "datasource_roundtrip": q_datasource_roundtrip,
+        "file_prune_scan": q_file_prune_scan,
         "stats_longs": q_stats_longs,
         "stats_strings": q_stats_strings,
         "stats_doubles": q_stats_doubles,
@@ -1748,6 +1782,10 @@ def oracle_sql() -> dict[str, str]:
         "datasource_roundtrip": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag "
             "FROM lineitem WHERE l_orderkey >= 700 AND l_returnflag <> 'R'"
+        ),
+        "file_prune_scan": (
+            "SELECT l_orderkey, l_quantity FROM lineitem "
+            "WHERE l_orderkey > (SELECT (max(l_orderkey) * 7) // 8 FROM lineitem)"
         ),
         "stats_longs": stats_longs,
         "stats_strings": stats_strings,

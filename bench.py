@@ -65,6 +65,7 @@ HEADLINE = [
     "iceberg_equality_delete",
     "sink_encode_roundtrip",
     "datasource_roundtrip",
+    "file_prune_scan",
     "compact_roundtrip",
     "clustered_encode",
     "minhash_lsh",

@@ -161,12 +161,22 @@ def _load_manifest_stats(path: str) -> dict:
         return {}
 
 
+def _columns_option(options: dict) -> list[str] | None:
+    cols = [c.strip() for c in options.get("columns", "").split(",") if c.strip()]
+    return cols or None
+
+
 class OrcFormatReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
         self.path = _local_path(options.get("path") or "")
         if not self.path:
             raise ValueError("orc_format: .load(path) is required")
         self.spark_schema = schema
+        # .option("columns", "a,b"): blob-level projection — unwanted
+        # columns' streams are skipped without decompression. (The
+        # Python Data Source API has no automatic column-pruning hook
+        # yet; this is the explicit projection pushdown.)
+        self.columns = _columns_option(options)
         self.preds: list[tuple] = []
 
     def pushFilters(self, filters: "list[Filter]") -> Iterable[Filter]:
@@ -220,7 +230,9 @@ class OrcFormatReader(DataSourceReader):
         limit_worker_threads()
         with open(partition.path, "rb") as f:
             blob = f.read()
-        tbl = decode_table(blob, predicate=self.preds or None)
+        tbl = decode_table(
+            blob, columns=self.columns, predicate=self.preds or None
+        )
         yield from tbl.to_batches()
 
 
@@ -361,7 +373,19 @@ class OrcFormatDataSource(DataSource):
         first = _list_blob_files(path)[0]
         with open(first, "rb") as f:
             blob = f.read()
-        return from_arrow_schema(blob_schema(blob))
+        full = blob_schema(blob)
+        cols = _columns_option(dict(self.options))
+        if cols is None:
+            return from_arrow_schema(full)
+        missing = [c for c in cols if c not in full.names]
+        if missing:
+            raise ValueError(
+                f"orc_format: columns option names {missing} not in blob "
+                f"schema {full.names}"
+            )
+        import pyarrow as pa
+
+        return from_arrow_schema(pa.schema([full.field(c) for c in cols]))
 
     def reader(self, schema: StructType) -> OrcFormatReader:
         return OrcFormatReader(dict(self.options), schema)
@@ -408,6 +432,7 @@ class OrcFormatStreamReader(DataSourceStreamReader):
         self.path = _local_path(options.get("path") or "")
         if not self.path:
             raise ValueError("orc_format: .load(path) is required")
+        self.columns = _columns_option(options)
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -426,7 +451,7 @@ class OrcFormatStreamReader(DataSourceStreamReader):
         limit_worker_threads()
         with open(partition.path, "rb") as f:
             blob = f.read()
-        yield from decode_table(blob).to_batches()
+        yield from decode_table(blob, columns=self.columns).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # files are immutable; nothing to release

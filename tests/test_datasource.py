@@ -261,3 +261,30 @@ def test_manifest_append_carries_stats_forward(ds_spark, tmpdir_path):
     reader = OrcFormatReader({"path": tmpdir_path}, StructType([]))
     reader.pushFilters([LessThan(("l_orderkey",), 300)])
     assert len(reader.partitions()) == 1  # the b-file pruned via stats
+
+
+def test_columns_option_projects_at_blob_level(ds_spark, tmpdir_path):
+    """.option('columns', 'a,b') projects inside the container (stream
+    skipping, no decompression of unwanted columns) and narrows the
+    inferred schema to the requested order."""
+    li = _li(ds_spark)
+    li.coalesce(2).write.format("orc_format").mode("append").save(tmpdir_path)
+    back = (
+        ds_spark.read.format("orc_format")
+        .option("columns", "l_quantity,l_orderkey")
+        .load(tmpdir_path)
+    )
+    assert back.columns == ["l_quantity", "l_orderkey"]
+    want = sorted(map(tuple, li.select("l_quantity", "l_orderkey").collect()))
+    assert sorted(map(tuple, back.collect())) == want
+    # projection composes with pushdown (filter on a projected column)
+    got = back.filter(F.col("l_orderkey") < 100).collect()
+    want2 = li.select("l_quantity", "l_orderkey").filter(
+        F.col("l_orderkey") < 100
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want2))
+    # unknown column fails loudly at plan time
+    with pytest.raises(Exception, match="columns option names"):
+        ds_spark.read.format("orc_format").option("columns", "nope").load(
+            tmpdir_path
+        ).schema
