@@ -911,6 +911,55 @@ def q_pii_scrub(spark, sf_dir):
     return scrub_pii(_pii_augmented(docs))
 
 
+def q_curation_pipeline_v2(spark, sf_dir):
+    """End-to-end curation composing the round-3 operators: inject
+    synthetic PII -> scrub (placeholders + counts) -> quality-score the
+    CLEANED text -> threshold filter -> exact dedup keeping the lowest
+    doc_id. Everything before the dedup's single hash shuffle is one
+    map-side codegen'd pass; the oracle reproduces the whole ladder in
+    SQL (same IEEE operand order for quality, same md5 fingerprint)."""
+    from orc_format_spark.functions.dedup import dedup_keep_first
+    from orc_format_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from orc_format_spark.functions.scrub import scrub_pii
+
+    s = scrub_pii(_pii_augmented(docs))
+    t = s.select(
+        "doc_id",
+        (F.col("n_urls") + F.col("n_emails") + F.col("n_ips")).alias("n_pii"),
+        F.col("clean_text").alias("text"),
+    )
+    q = t.withColumn(
+        "quality_e6",
+        F.floor(quality_score(F.col("text")) * F.lit(1000000.0)).cast("long"),
+    )
+    kept = dedup_keep_first(q.filter(F.col("quality_e6") >= 500000))
+    return kept.select(
+        "doc_id", "n_pii", "quality_e6", F.col("text").alias("clean_text")
+    )
+
+
+def _curation_v2_sql() -> str:
+    from orc_format_spark.functions.scrub import scrub_pii_sql
+    from orc_format_spark.functions.text import quality_e6_sql
+
+    scrub = scrub_pii_sql(table="documents", text_expr=_PII_TEXT_EXPR)
+    fp = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    return f"""
+WITH s AS ({scrub}),
+t AS (
+  SELECT doc_id, n_urls + n_emails + n_ips AS n_pii, clean_text AS text
+  FROM s
+),
+q AS (SELECT doc_id, n_pii, text, {quality_e6_sql()} AS quality_e6 FROM t),
+f AS (SELECT * FROM q WHERE quality_e6 >= 500000),
+keep AS (SELECT {fp} AS fp, MIN(doc_id) AS doc_id FROM f GROUP BY 1)
+SELECT f.doc_id, f.n_pii, f.quality_e6, f.text AS clean_text
+FROM f JOIN keep ON keep.doc_id = f.doc_id AND keep.fp = {fp}
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary payload -> feature vectors via Arrow-batched mapInArrow;
     the feature array is serialized to a CSV string so the driver's
@@ -1597,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "semantic_dedup": q_semantic_dedup,
         "pii_scrub": q_pii_scrub,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1878,6 +1928,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": scrub_pii_sql(
             table="documents", text_expr=_PII_TEXT_EXPR
         ),
+        "curation_pipeline_v2": _curation_v2_sql(),
         "ann_topk": brute_force_topk_sql(k=5, n_queries=10),
         "ann_lsh": lsh_bucketed_topk_sql(k=5, n_queries=10, sign_dims=8, n_tables=4),
         "ann_ivf": ivf_topk_sql(k=5, n_queries=10, centroid_stride=59, nprobe=3),

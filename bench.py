@@ -79,6 +79,7 @@ HEADLINE = [
     "embedding_neardup",
     "semantic_dedup",
     "pii_scrub",
+    "curation_pipeline_v2",
     "multimodal_features",
     "cshuffle_encode_roundtrip",
     "seq_pack",
