@@ -911,6 +911,20 @@ def q_pii_scrub(spark, sf_dir):
     return scrub_pii(_pii_augmented(docs))
 
 
+def q_winnow_fingerprint(spark, sf_dir):
+    """MOSS-style winnowing (rolling-hash k-grams -> window minima):
+    the brief's 'document fingerprinting (rolling hash)' item as pure
+    higher-order Catalyst array expressions — map-side, zero shuffle,
+    zero Python. DuckDB reproduces every hash exactly (integer
+    arithmetic mod 2^31-1)."""
+    from orc_format_spark.functions.text import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    return winnow_fingerprints(docs, k=8, window=4)
+
+
 def q_curation_pipeline_v2(spark, sf_dir):
     """End-to-end curation composing the round-3 operators: inject
     synthetic PII -> scrub (placeholders + counts) -> quality-score the
@@ -1647,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "pii_scrub": q_pii_scrub,
         "curation_pipeline_v2": q_curation_pipeline_v2,
+        "winnow_fingerprint": q_winnow_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1682,6 +1697,7 @@ def oracle_sql() -> dict[str, str]:
         quality_e6_sql,
         repetition_profile_sql,
         text_profile_sql,
+        winnow_fingerprints_sql,
     )
     from orc_format_spark.functions.dedup import benchmark_contamination_sql
     from orc_format_spark.functions.token_pipeline import (
@@ -1929,6 +1945,9 @@ def oracle_sql() -> dict[str, str]:
             table="documents", text_expr=_PII_TEXT_EXPR
         ),
         "curation_pipeline_v2": _curation_v2_sql(),
+        "winnow_fingerprint": winnow_fingerprints_sql(
+            k=8, window=4, table="(SELECT * FROM documents WHERE doc_id < 200)"
+        ),
         "ann_topk": brute_force_topk_sql(k=5, n_queries=10),
         "ann_lsh": lsh_bucketed_topk_sql(k=5, n_queries=10, sign_dims=8, n_tables=4),
         "ann_ivf": ivf_topk_sql(k=5, n_queries=10, centroid_stride=59, nprobe=3),

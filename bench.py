@@ -80,6 +80,7 @@ HEADLINE = [
     "semantic_dedup",
     "pii_scrub",
     "curation_pipeline_v2",
+    "winnow_fingerprint",
     "multimodal_features",
     "cshuffle_encode_roundtrip",
     "seq_pack",

@@ -107,6 +107,96 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " ").cast("binary"))
 
 
+WINNOW_BASE = 257
+WINNOW_MOD = 2_147_483_647  # 2^31-1: keeps acc*base + c < 2^40, overflow-free
+
+
+def _gram_hashes(text: Column, k: int) -> Column:
+    """Polynomial rolling-hash of every k-char gram:
+    h(i) = fold_{j=i..i+k-1} (acc*B + codepoint_j) mod M — exact integer
+    arithmetic, identical on both engines (the first fold step from 0 is
+    the codepoint itself, matching DuckDB's list_reduce seeding)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(text) - F.lit(k - 1)),
+        lambda i: F.aggregate(
+            F.sequence(i, i + F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (
+                acc * F.lit(WINNOW_BASE) + F.ascii(text.substr(j, F.lit(1)))
+            )
+            % F.lit(WINNOW_MOD),
+        ),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = 8, window: int = 4
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03):
+    rolling-hash every k-gram, then keep the MINIMUM of each
+    ``window``-wide gram window — a deterministic, position-robust
+    fingerprint set whose size is ~2/(window+1) of the grams, the brief's
+    'document fingerprinting (rolling hash)' item.
+
+    Degenerate rule (both engines identical): fewer grams than a window
+    -> the single global min; no grams (text shorter than k) -> empty.
+    Pure higher-order Catalyst array expressions — map-side, zero
+    shuffle, no Python; the DuckDB oracle reproduces every hash exactly
+    (integer arithmetic mod 2^31-1 throughout)."""
+    t = F.col("text")
+    grams = _gram_hashes(t, k)
+    n_grams = F.length(t) - F.lit(k - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), n_grams - F.lit(window - 1)),
+        lambda p: F.array_min(F.slice(grams, p, window)),
+    )
+    selected = (
+        F.when(n_grams >= window, F.array_sort(F.array_distinct(mins)))
+        .when(n_grams >= 1, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(selected).alias("n_fingerprints"),
+        F.concat_ws(
+            ",", F.transform(selected, lambda x: x.cast("string"))
+        ).alias("fingerprints_csv"),
+    )
+
+
+def winnow_fingerprints_sql(
+    k: int = 8, window: int = 4, table: str = "documents"
+) -> str:
+    """DuckDB oracle for :func:`winnow_fingerprints` — same rolling
+    hash (list_reduce seeds with the first element == fold-from-0 mod
+    M), same window minima, same degenerate rules."""
+    gram = (
+        f"list_reduce(list_transform(range(i, i + {k}), "
+        f"j -> CAST(ascii(substr(text, CAST(j AS INT), 1)) AS BIGINT)), "
+        f"(acc, c) -> (acc * {WINNOW_BASE} + c) % {WINNOW_MOD})"
+    )
+    grams = f"list_transform(range(1, length(text) - {k} + 2), i -> {gram})"
+    mins = (
+        f"list_transform(range(1, length(text) - {k} + 2 - {window} + 1), "
+        f"p -> list_min(g[CAST(p AS INT):CAST(p + {window} - 1 AS INT)]))"
+    )
+    return f"""
+WITH g0 AS (SELECT doc_id, text, {grams} AS g FROM {table}),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN len(g) >= {window}
+                THEN list_sort(list_distinct({mins}))
+              WHEN len(g) >= 1 THEN [list_min(g)]
+              ELSE CAST([] AS BIGINT[]) END AS s
+  FROM g0
+)
+SELECT doc_id, CAST(len(s) AS INT) AS n_fingerprints,
+       array_to_string(list_transform(s, x -> CAST(x AS VARCHAR)), ',')
+         AS fingerprints_csv
+FROM sel
+"""
+
+
 def text_profile(docs: DataFrame) -> DataFrame:
     """One profiling row per document (the pipeline's per-doc features)."""
     t = F.col("text")

@@ -112,3 +112,30 @@ def test_scrub_pii_is_jvm_only(spark):
     df = spark.createDataFrame([(1, "x@y.zz")], "doc_id long, text string")
     plan = scrub_pii(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_winnow_degenerate_rules(spark):
+    """Winnowing edge cases: text shorter than k -> empty set; grams
+    fewer than a window -> single global min; position-shift robustness
+    (a shared long substring yields shared fingerprints)."""
+    from orc_format_spark.functions.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (0, "short"),            # < k=8 chars -> no grams
+            (1, "exactly8"),         # exactly one gram -> its own hash
+            (2, "ninechars"),        # 2 grams < window=4 -> global min
+            (3, base),
+            (4, "PREFIX " + base),   # shifted copy
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in winnow_fingerprints(df, k=8, window=4).collect()}
+    assert out[0].n_fingerprints == 0 and out[0].fingerprints_csv == ""
+    assert out[1].n_fingerprints == 1
+    assert out[2].n_fingerprints == 1
+    a = set(out[3].fingerprints_csv.split(","))
+    b = set(out[4].fingerprints_csv.split(","))
+    # winnowing guarantee: long shared substrings share fingerprints
+    assert len(a & b) >= len(a) // 2
