@@ -990,6 +990,16 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_resize_payload(spark, sf_dir):
+    """Nearest-neighbor byte resize to a fixed size (the multimodal
+    resize shape); hex-projected for the byte-level SQL oracle."""
+    from orc_format_spark.functions.multimodal import resize_payload, with_payload
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rs = resize_payload(with_payload(docs), target=32)
+    return rs.select("doc_id", F.lower(F.hex("resized")).alias("resized_hex"))
+
+
 def q_frame_sample(spark, sf_dir):
     """Every-16th-byte payload sampling (video frame-sample shape);
     hex-projected output so a byte-level SQL oracle can reproduce it."""
@@ -1667,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "resize_payload": q_resize_payload,
         "seq_pack": q_seq_pack,
         "pack_encode_roundtrip": q_pack_encode_roundtrip,
         "token_histogram": q_token_histogram,
@@ -1684,7 +1695,10 @@ def oracle_sql() -> dict[str, str]:
         ngram_jaccard_pairs_sql,
         simhash_near_pairs_sql,
     )
-    from orc_format_spark.functions.multimodal import extract_features_sql
+    from orc_format_spark.functions.multimodal import (
+        extract_features_sql,
+        resize_payload_sql,
+    )
     from orc_format_spark.functions.scrub import scrub_pii_sql
     from orc_format_spark.functions.semantic import semantic_dedup_sql
     from orc_format_spark.functions.similarity import (
@@ -1959,6 +1973,7 @@ def oracle_sql() -> dict[str, str]:
             "k -> substr(hex(CAST(text AS BLOB)), CAST(32*k+1 AS INT), 2)), '')) "
             "AS frames_hex FROM documents"
         ),
+        "resize_payload": resize_payload_sql(target=32),
         "codec_lineage": (
             "SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 15) "
             "AS BIGINT) % 4 AS group_id, COUNT(*) AS n_rows, "

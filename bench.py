@@ -82,6 +82,7 @@ HEADLINE = [
     "curation_pipeline_v2",
     "winnow_fingerprint",
     "multimodal_features",
+    "resize_payload",
     "cshuffle_encode_roundtrip",
     "seq_pack",
     "token_histogram",

@@ -152,3 +152,68 @@ def frame_sample(df: DataFrame, stride: int = 16) -> DataFrame:
     return df.select("doc_id", "payload").mapInArrow(
         fn, "doc_id string, frames binary"
     )
+
+
+def resize_payload(df: DataFrame, target: int = 32) -> DataFrame:
+    """Nearest-neighbor resize of each payload to exactly ``target``
+    bytes (the 1-D byte-level analogue of image resize: output byte i
+    is source byte floor(i*L/target); L==0 -> empty). Deterministic,
+    vectorized gather over Arrow buffers — zero-copy in, no per-row
+    Python — so the hex-projected DuckDB oracle reproduces it exactly.
+    A real image resize would swap this kernel for a decoder+resampler
+    behind the same Arrow-batched signature (see decode_image's gate)."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            pay = tbl.column("payload").combine_chunks().cast(pa.large_binary())
+            n = len(pay)
+            if n == 0:
+                continue
+            bufs = pay.buffers()
+            off = np.frombuffer(bufs[1], np.int64, n + 1, pay.offset * 8)
+            data = np.frombuffer(bufs[2], np.uint8)[off[0] : off[-1]]
+            rel = off - off[0]
+            lens = rel[1:] - rel[:-1]
+            out_lens = np.where(lens == 0, 0, target).astype(np.int64)
+            tot = int(out_lens.sum())
+            ends = np.cumsum(out_lens)
+            within = np.arange(tot, dtype=np.int64) - np.repeat(
+                ends - out_lens, out_lens
+            )
+            src_lens = np.repeat(lens, out_lens)
+            src = np.repeat(rel[:-1], out_lens) + (within * src_lens) // target
+            resized = data[src] if tot else np.empty(0, np.uint8)
+            out_off = np.zeros(n + 1, np.int64)
+            out_off[1:] = ends
+            arr = pa.LargeBinaryArray.from_buffers(
+                pa.large_binary(),
+                n,
+                [None, pa.py_buffer(out_off), pa.py_buffer(resized)],
+            )
+            yield pa.record_batch(
+                [
+                    tbl.column("doc_id").combine_chunks().cast(pa.string()),
+                    arr.cast(pa.binary()),
+                ],
+                names=["doc_id", "resized"],
+            )
+
+    return df.select("doc_id", "payload").mapInArrow(
+        fn, "doc_id string, resized binary"
+    )
+
+
+def resize_payload_sql(target: int = 32, table: str = "documents") -> str:
+    """DuckDB oracle for :func:`resize_payload` over the documents-backed
+    payload (payload == UTF-8 text bytes, as in with_payload)."""
+    return (
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        "lower(array_to_string(list_transform("
+        "range(0, CASE WHEN octet_length(CAST(text AS BLOB)) = 0 THEN 0 "
+        f"ELSE {target} END), "
+        "i -> substr(hex(CAST(text AS BLOB)), "
+        f"CAST(2 * ((i * octet_length(CAST(text AS BLOB))) // {target}) + 1 AS INT), 2)"
+        "), '')) AS resized_hex "
+        f"FROM {table}"
+    )
