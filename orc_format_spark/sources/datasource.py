@@ -131,12 +131,21 @@ class BlobPartition(InputPartition):
     path: str
 
 
+_MANIFEST_BLOOM_CAP = 65536  # b64 chars; ~48 KiB bitset ~= 39k keys
+
+
 def _file_stats_json(stats: dict) -> dict:
     """The JSON-safe subset of a ``_chunk_stats`` dict (columns whose
     bounds don't serialize — e.g. decimals — are dropped, which the
-    prune test treats as unknown -> never prunes on them)."""
+    prune test treats as unknown -> never prunes on them). FILE-level
+    Bloom bitsets above ``_MANIFEST_BLOOM_CAP`` are dropped too — a
+    10-bits/key bitset over a high-cardinality column would turn the
+    manifest from metadata into data; min/max stay, and chunk-level
+    Blooms inside the blob still serve ``==`` skipping."""
     out = {}
     for k, v in stats.items():
+        if k.endswith("@bloom") and isinstance(v, str) and len(v) > _MANIFEST_BLOOM_CAP:
+            continue
         try:
             json.dumps(v)
         except TypeError:

@@ -311,3 +311,25 @@ def test_datasource_reads_flagship_sink_output(ds_spark, tmp_path):
         map(tuple, ds_spark.read.parquet(inp).select("doc_id", "n_tok").collect())
     )
     assert sorted(map(tuple, back.select("doc_id", "n_tok").collect())) == want
+
+
+def test_manifest_bloom_capped(ds_spark, tmpdir_path):
+    """A high-cardinality bloom column must not bloat the manifest:
+    oversized file-level bitsets are dropped (min/max kept), small ones
+    (e.g. byte-token vocabularies) are kept."""
+    from orc_format_spark.sources.datasource import _MANIFEST_BLOOM_CAP
+
+    df = ds_spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        (F.xxhash64("id")).alias("wide"),  # ~100k distinct -> big bloom
+        F.array((F.col("id") % 7).cast("int")).alias("tokens"),  # 7 distinct
+    )
+    df.coalesce(1).write.format("orc_format").mode("append").option(
+        "bloom", "wide,tokens"
+    ).save(tmpdir_path)
+    man = json.load(open(os.path.join(tmpdir_path, "_manifest.json")))
+    stats = man["files"][0]["stats"]
+    assert "wide" in stats and "wide@bloom" not in stats
+    assert "tokens@bloom" in stats
+    assert len(stats["tokens@bloom"]) <= _MANIFEST_BLOOM_CAP
+    assert len(json.dumps(man)) < 200_000
