@@ -927,47 +927,68 @@ def q_winnow_fingerprint(spark, sf_dir):
 
 def q_curation_pipeline_v2(spark, sf_dir):
     """End-to-end curation composing the round-3 operators: inject
-    synthetic PII -> scrub (placeholders + counts) -> quality-score the
-    CLEANED text -> threshold filter -> exact dedup keeping the lowest
-    doc_id. Everything before the dedup's single hash shuffle is one
-    map-side codegen'd pass; the oracle reproduces the whole ladder in
-    SQL (same IEEE operand order for quality, same md5 fingerprint)."""
+    synthetic PII -> quality-score the original text + scrub
+    (placeholders + counts) in ONE map-side pass -> threshold filter ->
+    exact dedup keeping the lowest doc_id (one min_by shuffle). The
+    oracle reproduces the whole ladder in SQL (same IEEE operand order
+    for quality, same md5 fingerprint)."""
     from orc_format_spark.functions.dedup import dedup_keep_first
+    from orc_format_spark.functions.scrub import EMAIL_RE, IPV4_RE, URL_RE
     from orc_format_spark.functions.text import quality_score
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    from orc_format_spark.functions.scrub import scrub_pii
+    # single-file parquet = one input partition; spread it so the regex
+    # chain parallelizes (same rationale as q_minhash_lsh)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        32, "doc_id"
+    )
 
-    s = scrub_pii(_pii_augmented(docs))
-    t = s.select(
+    # quality is scored on the ORIGINAL text (the usual curation
+    # semantics). One flat select: every regex chain (scrub counts,
+    # clean_text replaces, quality terms) appears exactly once over the
+    # input column — scoring the scrubbed EXPRESSION instead was
+    # measured to re-run the 3-regex scrub chain ~10x, once per quality
+    # sub-term, via Catalyst project-collapsing.
+    from orc_format_spark.functions.scrub import scrub_text
+
+    aug = _pii_augmented(docs)
+    tcol = F.col("text")
+    t = aug.select(
         "doc_id",
-        (F.col("n_urls") + F.col("n_emails") + F.col("n_ips")).alias("n_pii"),
-        F.col("clean_text").alias("text"),
+        (
+            F.regexp_count(tcol, F.lit(URL_RE))
+            + F.regexp_count(tcol, F.lit(EMAIL_RE))
+            + F.regexp_count(tcol, F.lit(IPV4_RE))
+        ).alias("n_pii"),
+        F.floor(quality_score(tcol) * F.lit(1000000.0))
+        .cast("long")
+        .alias("quality_e6"),
+        scrub_text(tcol).alias("text"),
     )
-    q = t.withColumn(
-        "quality_e6",
-        F.floor(quality_score(F.col("text")) * F.lit(1000000.0)).cast("long"),
-    )
-    kept = dedup_keep_first(q.filter(F.col("quality_e6") >= 500000))
+    kept = dedup_keep_first(t.filter(F.col("quality_e6") >= 500000))
     return kept.select(
         "doc_id", "n_pii", "quality_e6", F.col("text").alias("clean_text")
     )
 
 
 def _curation_v2_sql() -> str:
-    from orc_format_spark.functions.scrub import scrub_pii_sql
+    from orc_format_spark.functions.scrub import _ORDER
     from orc_format_spark.functions.text import quality_e6_sql
 
-    scrub = scrub_pii_sql(table="documents", text_expr=_PII_TEXT_EXPR)
+    n_pii = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))" for pat, _, _ in _ORDER
+    )
+    clean = "text"
+    for pat, repl, _ in _ORDER:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
     fp = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     return f"""
-WITH s AS ({scrub}),
-t AS (
-  SELECT doc_id, n_urls + n_emails + n_ips AS n_pii, clean_text AS text
-  FROM s
+WITH a AS (SELECT doc_id, {_PII_TEXT_EXPR} AS text FROM documents),
+s AS (
+  SELECT doc_id, CAST({n_pii} AS INT) AS n_pii,
+         {quality_e6_sql()} AS quality_e6, {clean} AS text
+  FROM a
 ),
-q AS (SELECT doc_id, n_pii, text, {quality_e6_sql()} AS quality_e6 FROM t),
-f AS (SELECT * FROM q WHERE quality_e6 >= 500000),
+f AS (SELECT * FROM s WHERE quality_e6 >= 500000),
 keep AS (SELECT {fp} AS fp, MIN(doc_id) AS doc_id FROM f GROUP BY 1)
 SELECT f.doc_id, f.n_pii, f.quality_e6, f.text AS clean_text
 FROM f JOIN keep ON keep.doc_id = f.doc_id AND keep.fp = {fp}

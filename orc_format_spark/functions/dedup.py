@@ -71,19 +71,20 @@ def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
 def dedup_keep_first(docs: DataFrame) -> DataFrame:
     """Drop exact duplicates, keeping the lowest doc_id of each group.
 
-    Shape: a narrow ``groupBy(fingerprint).agg(min(doc_id))`` (map-side
-    partial, carries 24 bytes/row) plus a semi-join back — the payload is
-    hash-joined, never window-*sorted*; at 100 TB a row_number window
-    would pull every document body through the sort buffers."""
-    with_fp = docs.withColumn("fingerprint", fingerprint(F.col("text")))
-    keep = (
-        with_fp.select("fingerprint", "doc_id")
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("doc_id"))
+    Shape: ONE pass, ONE shuffle — ``groupBy(fingerprint).agg(
+    min_by(struct(*row), doc_id))``. min_by's map-side partial keeps at
+    most one candidate row per (fingerprint, partition), so the exchange
+    carries ~distinct-content volume, and the upstream plan (which may
+    be an expensive scrub/score pipeline) is computed exactly once — the
+    earlier semi-join shape recomputed it for both join sides and a
+    row_number window would pull every document body through sort
+    buffers. doc_id uniqueness makes the winner deterministic."""
+    cols = docs.columns
+    picked = (
+        docs.groupBy(fingerprint(F.col("text")).alias("fingerprint"))
+        .agg(F.min_by(F.struct(*cols), F.col("doc_id")).alias("r"))
     )
-    return with_fp.join(keep, ["fingerprint", "doc_id"], "left_semi").drop(
-        "fingerprint"
-    )
+    return picked.select(*[F.col(f"r.{c}").alias(c) for c in cols])
 
 
 def char_ngrams(text: Column, n: int) -> Column:
