@@ -445,6 +445,9 @@ def main_bench():
         "metric": "headline queries + flagship encode wall time",
         "value": total,
         "unit": "sec",
+        # the headline set GROWS round over round (24 queries in r2, 51
+        # in r3) — compare totals via n_queries, not raw seconds
+        "n_queries": len(qtimes),
         "queries": qtimes,
         "sf": 0.1 if "sf0.1" in SF_DIR else SF_DIR,
         "cpus": CPUS,
