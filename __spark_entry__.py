@@ -238,22 +238,26 @@ def q_string_raw_roundtrip(spark, sf_dir):
     return _roundtrip(ev, "event_id")
 
 
-def q_zlib_roundtrip(spark, sf_dir):
-    """Zlib block compression (the proto's ZLIB kind, orc_proto.proto:17)
-    through a full encode->decode."""
-    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_brand", "p_retailprice"
-    )
-    return _roundtrip(p, "p_partkey", compression="zlib")
-
-
-def q_lz4_roundtrip(spark, sf_dir):
-    """LZ4 block compression (the proto's LZ4 kind, orc_proto.proto:20)
-    through a full encode->decode."""
+def q_compression_variants(spark, sf_dir):
+    """Every block-compression kind through one parameterized
+    encode->decode: zstd (C4, default), snappy (C3, 262144-byte blocks +
+    store-original fallback — reference snappy.rs:14,
+    compression.rs:146-163), zlib (proto ZLIB kind, orc_proto.proto:17),
+    lz4 (proto LZ4 kind, orc_proto.proto:20), and none (C2 identity
+    framing). Same table, same groups, one ``compression`` tag per
+    variant — folds the four per-kind roundtrip queries of rounds 1-3
+    (each r03-green) into one registry entry so the driver's correctness
+    window reaches the newer operators."""
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
-    return _roundtrip(s, "s_suppkey", compression="lz4")
+    out = None
+    for comp in ("zstd", "snappy", "zlib", "lz4", "none"):
+        part = _roundtrip(s, "s_suppkey", compression=comp).withColumn(
+            "compression", F.lit(comp)
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
 
 
 def q_cshuffle_encode_roundtrip(spark, sf_dir):
@@ -280,24 +284,6 @@ def q_cshuffle_encode_roundtrip(spark, sf_dir):
     )
     decoded = decode_blobs(blobs, TOKENS_SCHEMA)
     return detokenize(decoded).select("doc_id", "text")
-
-
-def q_snappy_roundtrip(spark, sf_dir):
-    """C3 block compression (snappy, 262144-byte blocks, store-original
-    fallback — reference snappy.rs:14, compression.rs:146-163) through a
-    full encode->decode."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
-        "o_orderkey", "o_custkey", "o_orderpriority"
-    )
-    return _roundtrip(o, "o_orderkey", compression="snappy")
-
-
-def q_uncompressed_roundtrip(spark, sf_dir):
-    """C2 'none' compression kind (identity framing) end-to-end."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
-        "c_custkey", "c_name", "c_acctbal"
-    )
-    return _roundtrip(c, "c_custkey", compression="none")
 
 
 def q_projection_decode(spark, sf_dir):
@@ -775,6 +761,30 @@ def q_exact_dedup(spark, sf_dir):
     from orc_format_spark.functions.dedup import exact_duplicate_groups
 
     return exact_duplicate_groups(_docs_with_dups(spark, sf_dir))
+
+
+def q_dedup_ladder(spark, sf_dir):
+    """The dedup ladder END-TO-END as one composed pipeline — exact
+    dedup (keep-first) -> MinHash/LSH candidate generation -> exact
+    n-gram Jaccard verification of candidate pairs only — over the first
+    200 docs plus injected exact duplicates (which stage 1 must remove
+    before stage 2 ever hashes them). md5 hasher for full DuckDB oracle
+    parity; the xxhash64 production path shares every plan shape
+    (tests/test_dedup_scale.py). Plan: PLANS.md §dedup-ladder."""
+    from orc_format_spark.functions.dedup import dedup_ladder
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    dups = base.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return dedup_ladder(
+        base.union(dups), n=4, num_perm=32, bands=8, threshold=0.35,
+        hasher="md5",
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1628,63 +1638,25 @@ def q_codec_lineage(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ORDER IS LOAD-BEARING: the per-round driver records a
+    CORRECTNESS row for (at most) the first 50 entries in dict order.
+    Round 3 had the LLM-pipeline operators past that window, so they
+    never got a driver-visible row despite passing the identical local
+    gate (scripts/check_oracles.py). Ordering rule since: queries whose
+    operators have the FEWEST recorded driver rows come first (the whole
+    LLM-pipeline section + this round's new queries), then the flagship
+    and per-family representatives, and the long-green (3 rounds of
+    driver-verified) per-type codec roundtrips last — those remain
+    covered by pytest + check_oracles every round regardless."""
     return {
-        "tokens_roundtrip": q_tokens_roundtrip,
-        "rle_v1_roundtrip": q_rle_v1_roundtrip,
-        "clustered_encode": q_clustered_encode,
-        "float_codecs_roundtrip": q_float_codecs_roundtrip,
-        "alp_roundtrip": q_alp_roundtrip,
-        "rle_v2_roundtrip": q_rle_v2_roundtrip,
-        "for_bitpack_roundtrip": q_for_bitpack_roundtrip,
-        "dict_roundtrip": q_dict_roundtrip,
-        "fsst_roundtrip": q_fsst_roundtrip,
-        "float_raw_roundtrip": q_float_raw_roundtrip,
-        "double_roundtrip": q_double_roundtrip,
-        "bool_rle_roundtrip": q_bool_rle_roundtrip,
-        "timestamp_roundtrip": q_timestamp_roundtrip,
-        "decimal_roundtrip": q_decimal_roundtrip,
-        "nulls_roundtrip": q_nulls_roundtrip,
-        "string_raw_roundtrip": q_string_raw_roundtrip,
-        "rowslice_decode": q_rowslice_decode,
-        "pruned_decode": q_pruned_decode,
-        "binary_roundtrip": q_binary_roundtrip,
-        "date_roundtrip": q_date_roundtrip,
-        "union_roundtrip": q_union_roundtrip,
-        "composite_roundtrip": q_composite_roundtrip,
-        "snappy_roundtrip": q_snappy_roundtrip,
-        "uncompressed_roundtrip": q_uncompressed_roundtrip,
-        "zlib_roundtrip": q_zlib_roundtrip,
-        "lz4_roundtrip": q_lz4_roundtrip,
-        "cshuffle_encode_roundtrip": q_cshuffle_encode_roundtrip,
-        "projection_decode": q_projection_decode,
-        "predicate_decode": q_predicate_decode,
-        "bloom_filter_decode": q_bloom_filter_decode,
-        "token_contains": q_token_contains,
-        "datasource_roundtrip": q_datasource_roundtrip,
-        "file_prune_scan": q_file_prune_scan,
-        "stats_longs": q_stats_longs,
-        "stats_strings": q_stats_strings,
-        "stats_doubles": q_stats_doubles,
-        "stats_bools": q_stats_bools,
-        "stats_timestamps": q_stats_timestamps,
-        "stats_decimals": q_stats_decimals,
-        "stats_binary": q_stats_binary,
-        "codec_lineage": q_codec_lineage,
-        "curation_pipeline": q_curation_pipeline,
-        "stream_encode_roundtrip": q_stream_encode_roundtrip,
-        "stream_window_stats": q_stream_window_stats,
-        "stream_dedup": q_stream_dedup,
-        "encode_job_roundtrip": q_encode_job_roundtrip,
-        "iceberg_manifest_scan": q_iceberg_manifest_scan,
-        "iceberg_partition_scan": q_iceberg_partition_scan,
-        "iceberg_equality_delete": q_iceberg_equality_delete,
-        "iceberg_incremental_encode": q_iceberg_incremental_encode,
+        # -- never driver-verified before round 4 (r02/r03 window misses)
         "sink_encode_roundtrip": q_sink_encode_roundtrip,
         "compact_roundtrip": q_compact_roundtrip,
         "struct_map_roundtrip": q_struct_map_roundtrip,
         "text_profile": q_text_profile,
         "repetition_profile": q_repetition_profile,
         "exact_dedup": q_exact_dedup,
+        "dedup_ladder": q_dedup_ladder,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -1707,6 +1679,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": q_epoch_shuffle,
         "token_remap": q_token_remap,
         "decontaminate": q_decontaminate,
+        "compression_variants": q_compression_variants,
+        # -- flagship + one representative per component family (r03 green)
+        "tokens_roundtrip": q_tokens_roundtrip,
+        "clustered_encode": q_clustered_encode,
+        "rle_v2_roundtrip": q_rle_v2_roundtrip,
+        "alp_roundtrip": q_alp_roundtrip,
+        "fsst_roundtrip": q_fsst_roundtrip,
+        "dict_roundtrip": q_dict_roundtrip,
+        "composite_roundtrip": q_composite_roundtrip,
+        "union_roundtrip": q_union_roundtrip,
+        "rowslice_decode": q_rowslice_decode,
+        "predicate_decode": q_predicate_decode,
+        "bloom_filter_decode": q_bloom_filter_decode,
+        "token_contains": q_token_contains,
+        "datasource_roundtrip": q_datasource_roundtrip,
+        "file_prune_scan": q_file_prune_scan,
+        "codec_lineage": q_codec_lineage,
+        "curation_pipeline": q_curation_pipeline,
+        "stream_encode_roundtrip": q_stream_encode_roundtrip,
+        "stream_dedup": q_stream_dedup,
+        "encode_job_roundtrip": q_encode_job_roundtrip,
+        "iceberg_manifest_scan": q_iceberg_manifest_scan,
+        # ---- driver window boundary (~50) — below: 3x driver-green ----
+        "rle_v1_roundtrip": q_rle_v1_roundtrip,
+        "float_codecs_roundtrip": q_float_codecs_roundtrip,
+        "for_bitpack_roundtrip": q_for_bitpack_roundtrip,
+        "float_raw_roundtrip": q_float_raw_roundtrip,
+        "double_roundtrip": q_double_roundtrip,
+        "bool_rle_roundtrip": q_bool_rle_roundtrip,
+        "timestamp_roundtrip": q_timestamp_roundtrip,
+        "decimal_roundtrip": q_decimal_roundtrip,
+        "nulls_roundtrip": q_nulls_roundtrip,
+        "string_raw_roundtrip": q_string_raw_roundtrip,
+        "pruned_decode": q_pruned_decode,
+        "binary_roundtrip": q_binary_roundtrip,
+        "date_roundtrip": q_date_roundtrip,
+        "projection_decode": q_projection_decode,
+        "cshuffle_encode_roundtrip": q_cshuffle_encode_roundtrip,
+        "stats_longs": q_stats_longs,
+        "stats_strings": q_stats_strings,
+        "stats_doubles": q_stats_doubles,
+        "stats_bools": q_stats_bools,
+        "stats_timestamps": q_stats_timestamps,
+        "stats_decimals": q_stats_decimals,
+        "stats_binary": q_stats_binary,
+        "stream_window_stats": q_stream_window_stats,
+        "iceberg_partition_scan": q_iceberg_partition_scan,
+        "iceberg_equality_delete": q_iceberg_equality_delete,
+        "iceberg_incremental_encode": q_iceberg_incremental_encode,
     }
 
 
@@ -1734,7 +1755,10 @@ def oracle_sql() -> dict[str, str]:
         text_profile_sql,
         winnow_fingerprints_sql,
     )
-    from orc_format_spark.functions.dedup import benchmark_contamination_sql
+    from orc_format_spark.functions.dedup import (
+        benchmark_contamination_sql,
+        dedup_ladder_sql,
+    )
     from orc_format_spark.functions.token_pipeline import (
         epoch_shuffle_sql,
         mixture_sample_sql,
@@ -1849,17 +1873,10 @@ def oracle_sql() -> dict[str, str]:
             "x -> CAST(x AS VARCHAR)), ',') AS lst_csv, "
             "event_type AS st_et, user_id AS st_uid, value AS mp_v FROM events"
         ),
-        "snappy_roundtrip": (
-            "SELECT o_orderkey, o_custkey, o_orderpriority FROM orders"
-        ),
-        "uncompressed_roundtrip": (
-            "SELECT c_custkey, c_name, c_acctbal FROM customer"
-        ),
-        "zlib_roundtrip": (
-            "SELECT p_partkey, p_brand, p_retailprice FROM part"
-        ),
-        "lz4_roundtrip": (
-            "SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier"
+        "compression_variants": (
+            "SELECT s_suppkey, s_nationkey, s_acctbal, compression "
+            "FROM supplier CROSS JOIN (SELECT unnest("
+            "['zstd', 'snappy', 'zlib', 'lz4', 'none']) AS compression)"
         ),
         "cshuffle_encode_roundtrip": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
@@ -1966,6 +1983,17 @@ def oracle_sql() -> dict[str, str]:
         "struct_map_roundtrip": (
             "SELECT event_id, event_type AS s_event_type, value AS s_value, "
             "event_type AS m_type FROM events"
+        ),
+        "dedup_ladder": dedup_ladder_sql(
+            n=4,
+            num_perm=32,
+            bands=8,
+            threshold=0.35,
+            table=(
+                "(SELECT doc_id, text FROM documents WHERE doc_id < 200 "
+                "UNION ALL SELECT doc_id + 1000000 AS doc_id, text "
+                "FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0)"
+            ),
         ),
         "ngram_jaccard": ngram_jaccard_pairs_sql(
             n=4, threshold=0.35, max_doc_id=80, max_df=65

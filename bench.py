@@ -73,6 +73,7 @@ HEADLINE = [
     "text_profile",
     "repetition_profile",
     "exact_dedup",
+    "dedup_ladder",
     "ngram_jaccard",
     "ann_topk",
     "ann_ivf",
@@ -83,6 +84,7 @@ HEADLINE = [
     "winnow_fingerprint",
     "multimodal_features",
     "resize_payload",
+    "compression_variants",
     "cshuffle_encode_roundtrip",
     "seq_pack",
     "token_histogram",
@@ -217,17 +219,23 @@ def run_encode(spark, sf_dir: str, split_only: bool | None = None):
     # steady-state throughput is what a long-running executor fleet sees
     sink_pass()
 
-    # best-of-2: this VM's lazy page backing causes multi-second
-    # compaction stalls that hit individual runs at random
-    dt = float("inf")
-    for _ in range(2):
+    # median-of-N (default 3): this VM's lazy page backing causes
+    # multi-second compaction stalls that hit individual runs at random
+    # — round 3's single recorded draw was a 3.2x outlier, so the
+    # official flagship number is the MEDIAN, with every draw reported
+    # so an outlier is visible instead of silently becoming the headline
+    n_draws = int(os.environ.get("SPARK_GRAFT_BENCH_DRAWS", "3"))
+    draws = []
+    for _ in range(n_draws):
         t0 = time.monotonic()
         agg = sink_pass()
-        dt = min(dt, time.monotonic() - t0)
+        draws.append(time.monotonic() - t0)
+    dt = sorted(draws)[len(draws) // 2]
     n_tok = int(agg["n_values"])
 
     out = {
         "encode_sec": round(dt, 3),
+        "encode_draws": [round(d, 3) for d in draws],
         "n_tokens": n_tok,
         "n_groups": int(agg["n_groups"]),
         "tokens_per_sec": round(n_tok / dt),
@@ -441,7 +449,7 @@ def main_bench():
         prune_times[tag] = best
         sdf.unpersist()
         shutil.rmtree(psink, ignore_errors=True)
-    out = {
+    detail = {
         "metric": "headline queries + flagship encode wall time",
         "value": total,
         "unit": "sec",
@@ -460,7 +468,32 @@ def main_bench():
         **enc,
     }
     spark.stop()
-    print(json.dumps(out))
+    # round 3's driver artifact had parsed: null — the single output
+    # line grew past the driver's tail-capture window as the query set
+    # doubled. The contract since: full detail (incl. the per-query
+    # dict) goes to BENCH_QUERIES.json and its own stdout line; the
+    # FINAL line stays a compact (<1 KB) summary the driver can always
+    # capture and parse.
+    with open(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+        ),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps({"bench_queries": qtimes}))
+    summary_keys = [
+        "metric", "value", "unit", "n_queries", "sf", "cpus",
+        "encode_sec", "encode_draws", "tokens_per_sec", "bytes_per_token",
+        "compression_ratio", "reference_bytes_per_token",
+        "auto_le_reference", "decode_sec", "decode_tokens_per_sec",
+        "clustered_encode_ratio", "prune_eliminated_frac",
+    ]
+    summary = {k: detail[k] for k in summary_keys if k in detail}
+    summary["queries_detail"] = "BENCH_QUERIES.json"
+    line = json.dumps(summary)
+    assert len(line) < 1000, f"summary line {len(line)} B >= 1 KB cap"
+    print(line)
 
 
 def main_encode_only():
@@ -622,6 +655,11 @@ def main_scaling():
                 SPARK_GRAFT_CPUS=str(cpus),
                 SPARK_GRAFT_BENCH_REPL=scaling_repl,
                 SPARK_GRAFT_SPLIT_ONLY="1",
+                # the sweep already takes best over reps independent
+                # JVMs; 2 draws per JVM keeps the x1024 sweep affordable
+                SPARK_GRAFT_BENCH_DRAWS=os.environ.get(
+                    "SPARK_GRAFT_BENCH_DRAWS", "2"
+                ),
             )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--encode-only"],

@@ -78,10 +78,20 @@ def dedup_keep_first(docs: DataFrame) -> DataFrame:
     be an expensive scrub/score pipeline) is computed exactly once — the
     earlier semi-join shape recomputed it for both join sides and a
     row_number window would pull every document body through sort
-    buffers. doc_id uniqueness makes the winner deterministic."""
+    buffers. doc_id uniqueness makes the winner deterministic.
+
+    NULL text: md5(NULL) is NULL and groupBy merges NULLs, which would
+    silently drop every NULL-text doc but one as a "duplicate" — so the
+    grouping key coalesces to a per-row unique sentinel (doc_id-based),
+    keeping each NULL-text doc its own group. NULL content is not equal
+    content."""
     cols = docs.columns
+    key = F.coalesce(
+        fingerprint(F.col("text")),
+        F.concat(F.lit("\x00null\x00"), F.col("doc_id").cast("string")),
+    )
     picked = (
-        docs.groupBy(fingerprint(F.col("text")).alias("fingerprint"))
+        docs.groupBy(key.alias("fingerprint"))
         .agg(F.min_by(F.struct(*cols), F.col("doc_id")).alias("r"))
     )
     return picked.select(*[F.col(f"r.{c}").alias(c) for c in cols])
@@ -549,3 +559,121 @@ def exact_duplicate_groups_sql(table: str = "documents") -> str:
         f"SELECT {fp} AS fingerprint, COUNT(*) AS n_copies, "
         f"MIN(doc_id) AS keep_doc_id FROM {table} GROUP BY 1"
     )
+
+
+# ---------------------------------------------------------- dedup ladder
+
+
+def dedup_ladder(
+    docs: DataFrame,
+    n: int = 4,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.35,
+    hasher: str = "xxh",
+) -> DataFrame:
+    """The full dedup ladder as ONE composed pipeline — the pass a
+    training-data ingest runs before encoding:
+
+    1. **exact**: :func:`dedup_keep_first` drops byte-identical content
+       (one fingerprint shuffle, payload never sorted);
+    2. **candidates**: :func:`lsh_candidate_pairs` over the survivors
+       (band-bucket join — ``bands`` small keys per doc, never
+       all-pairs);
+    3. **verify**: exact n-gram Jaccard on CANDIDATE PAIRS ONLY, via
+       ``array_intersect`` on per-doc distinct-gram arrays.
+
+    Returns verified near-dup pairs among the exact-dedup survivors:
+    (doc_a, doc_b, common, na, nb, jaccard_e6).
+
+    Scale shape of the verify stage: the candidate doc-id set is
+    LSH-bounded (orders of magnitude below corpus), so it is broadcast
+    and the corpus gram arrays are filtered MAP-SIDE before any
+    exchange — the only gram arrays that shuffle belong to docs that
+    appear in a candidate pair. If the candidate set ever outgrows
+    broadcast range, swap the two broadcasts below for shuffled
+    semi-joins: same results, one extra corpus-keyed exchange.
+    """
+    uniq = dedup_keep_first(docs).select("doc_id", "text")
+    cand = lsh_candidate_pairs(
+        uniq, n=n, num_perm=num_perm, bands=bands, hasher=hasher
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    grams = (
+        uniq.filter(F.length("text") >= n)
+        .join(F.broadcast(cand_docs), "doc_id")
+        .select("doc_id", char_ngrams(F.col("text"), n).alias("grams"))
+    )
+    ga = grams.select(
+        F.col("doc_id").alias("doc_a"), F.col("grams").alias("grams_a")
+    )
+    gb = grams.select(
+        F.col("doc_id").alias("doc_b"), F.col("grams").alias("grams_b")
+    )
+    scored = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("grams_a", "grams_b")).alias("common"),
+            F.size("grams_a").alias("na"),
+            F.size("grams_b").alias("nb"),
+        )
+    )
+    jac = F.col("common") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        scored.withColumn(
+            "jaccard_e6", F.floor(jac * F.lit(1000000.0)).cast("long")
+        )
+        .filter(jac >= F.lit(threshold))
+        .select("doc_a", "doc_b", "common", "na", "nb", "jaccard_e6")
+    )
+
+
+def dedup_ladder_sql(
+    n: int = 4,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.35,
+    table: str = "documents",
+) -> str:
+    """DuckDB oracle for :func:`dedup_ladder` with ``hasher='md5'`` —
+    composes the exact-dedup window, the full
+    :func:`lsh_candidate_pairs_sql` pipeline over the deduped docs, and
+    a ``list_intersect`` verify with the identical int/int double
+    division + floor as the Spark side."""
+    fp = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    lsh = lsh_candidate_pairs_sql(n=n, num_perm=num_perm, bands=bands, table="dd")
+    return f"""
+WITH dd AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+    FROM {table}
+  ) WHERE rn = 1
+), cand AS (
+  {lsh}
+), g AS (
+  SELECT doc_id, list_distinct(
+    list_transform(range(1, length(text) - {n} + 2),
+                   i -> substr(text, CAST(i AS INT), {n}))) AS grams
+  FROM dd WHERE length(text) >= {n}
+)
+SELECT doc_a, doc_b, common, na, nb,
+       CAST(floor(common / (na + nb - common) * 1000000.0) AS BIGINT)
+       AS jaccard_e6
+FROM (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(ga.grams, gb.grams)) AS common,
+         len(ga.grams) AS na, len(gb.grams) AS nb
+  FROM cand c
+  JOIN g ga ON ga.doc_id = c.doc_a
+  JOIN g gb ON gb.doc_id = c.doc_b
+)
+WHERE common / (na + nb - common) >= {threshold}
+"""
