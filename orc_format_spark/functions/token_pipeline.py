@@ -107,6 +107,15 @@ def pack_sequences(
             .take(idx)
             .cast(pa.large_list(pa.int32()))
         )
+        if lists.null_count:
+            # a null list's length is NaN -> astype(int64) silently
+            # yields INT64_MIN while flatten() skips its (absent)
+            # values, corrupting doc_starts. Null payload is an
+            # upstream bug — fail loudly, never pack garbage.
+            raise ValueError(
+                "pack_sequences: null tokens list in group "
+                f"{gid} — filter or fill null payloads before packing"
+            )
         lens = pc.list_value_length(lists).to_numpy().astype(np.int64)
         flat = lists.flatten().to_numpy(zero_copy_only=False)
         n_chunks = int(len(flat) // seq_len)
@@ -424,6 +433,13 @@ def remap_tokens(
             a = col.cast(pa.large_list(pa.int32()))
             if isinstance(a, pa.ChunkedArray):
                 a = a.combine_chunks()
+            if a.null_count:
+                # rebuilding the list array from offsets+values would
+                # silently turn null lists into empty lists
+                raise ValueError(
+                    "remap_tokens: null tokens list — filter or fill "
+                    "null payloads before remapping"
+                )
             flat = a.flatten().to_numpy(zero_copy_only=False)
             if flat.size and (flat.min() < 0 or flat.max() >= lut.size):
                 raise ValueError(

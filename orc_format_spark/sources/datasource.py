@@ -53,6 +53,7 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 import uuid
 from dataclasses import dataclass
@@ -106,6 +107,12 @@ def _filter_to_pred(f: Filter) -> tuple | None:
         # container's bool domain has no stats and temporal literal
         # conversion is not worth a wrong-prune risk here
         return None
+    if isinstance(val, float) and math.isnan(val):
+        # Spark's EqualTo treats NaN = NaN as TRUE (SQL total order);
+        # the container's residual filter uses Arrow pc.equal where
+        # NaN != NaN — consuming the filter here would silently drop
+        # the NaN rows Spark semantics require. Leave it to Spark.
+        return None
     return (f.attribute[0], _NEG[op] if neg else op, val)
 
 
@@ -119,7 +126,51 @@ def _local_path(path: str) -> str:
     return path
 
 
+def _manifest_file_names(path: str) -> list[str] | None:
+    """Blob file names recorded in ``_manifest.json`` — the authoritative
+    membership record — or None when the manifest is absent/unreadable
+    (then listing degrades to glob)."""
+    try:
+        with open(os.path.join(path, "_manifest.json")) as f:
+            manifest = json.load(f)
+    except (OSError, ValueError):
+        return None
+    return sorted(e["file"] for e in manifest.get("files", []) if e.get("file"))
+
+
+def _stream_manifest_file_names(path: str) -> list[str] | None:
+    """Blob file names committed via ``_stream_manifest.jsonl`` (the
+    streaming sink's per-batch ledger), or None when absent. A torn
+    final line (reader racing the appender mid-write) is skipped — it
+    re-appears complete at the next offset poll."""
+    names: set[str] = set()
+    try:
+        with open(os.path.join(path, "_stream_manifest.jsonl")) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                names.update(rec.get("files", []))
+    except OSError:
+        return None
+    return sorted(names)
+
+
 def _list_blob_files(path: str) -> list[str]:
+    """Committed blob files of a directory. The manifest drives the list
+    when present: a task attempt that renamed its part file into place
+    but whose commit message was lost (retry, speculative execution,
+    executor death) leaves an orphan ``.ofs`` that ``abort()`` never saw
+    — glob would return its rows as duplicates. Directories without a
+    manifest (e.g. a raw ``blob_sink``) fall back to glob, where every
+    file is by construction a committed write."""
+    names = _manifest_file_names(path)
+    if names is not None:
+        return [os.path.join(path, n) for n in names]
     files = sorted(glob.glob(os.path.join(path, "*.ofs")))
     if not files:
         raise FileNotFoundError(f"orc_format: no .ofs blob files under {path!r}")
@@ -212,7 +263,9 @@ class OrcFormatReader(DataSourceReader):
         like stripe elimination."""
         files = _list_blob_files(self.path)
         if not self.preds:
-            return [BlobPartition(p) for p in files]
+            # empty committed manifest -> explicit empty sentinel (Spark
+            # substitutes a lone None partition for an empty list)
+            return [BlobPartition(p) for p in files] or [BlobPartition("")]
         from ..codecs.container import _chunk_may_match
 
         stats = _load_manifest_stats(self.path)
@@ -305,12 +358,6 @@ class OrcFormatWriter(DataSourceArrowWriter):
 
     def commit(self, messages: "list[BlobWriteMessage]") -> None:
         committed = {m.file for m in messages if m.file}
-        if self.overwrite:
-            # write-audit-publish: retire pre-existing files only after
-            # every task of THIS write committed
-            for p in _listdir_ofs(self.path):
-                if os.path.basename(p) not in committed:
-                    os.remove(p)
         entries = {
             m.file: {
                 "file": m.file,
@@ -347,6 +394,14 @@ class OrcFormatWriter(DataSourceArrowWriter):
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, os.path.join(self.path, "_manifest.json"))
+        if self.overwrite:
+            # write-audit-PUBLISH: the new manifest (the authoritative
+            # membership record readers list from) lands first; only
+            # then are pre-existing + orphaned files retired. Readers
+            # driven by the manifest never see the retired set.
+            for p in _listdir_ofs(self.path):
+                if os.path.basename(p) not in committed:
+                    os.remove(p)
 
     def abort(self, messages: "list[BlobWriteMessage]") -> None:
         for m in messages:
@@ -379,8 +434,13 @@ class OrcFormatDataSource(DataSource):
         path = _local_path(self.options.get("path") or "")
         if not path:
             raise ValueError("orc_format: .load(path) is required")
-        first = _list_blob_files(path)[0]
-        with open(first, "rb") as f:
+        files = _list_blob_files(path)
+        if not files:
+            raise ValueError(
+                f"orc_format: manifest at {path!r} records zero blob files"
+                " — no schema source (read after a committed empty write?)"
+            )
+        with open(files[0], "rb") as f:
             blob = f.read()
         full = blob_schema(blob)
         cols = _columns_option(dict(self.options))
@@ -447,7 +507,18 @@ class OrcFormatStreamReader(DataSourceStreamReader):
         return {"files": []}
 
     def latestOffset(self) -> dict:
-        return {"files": [os.path.basename(p) for p in sorted(_listdir_ofs(self.path))]}
+        """Committed membership only: the streaming sink's
+        ``_stream_manifest.jsonl`` ledger when present, else the batch
+        writer's ``_manifest.json``, else glob (directories like a raw
+        ``blob_sink`` where every file is a committed write). A renamed
+        but never-committed orphan from a failed task attempt is thus
+        never offered as an offset."""
+        files = _stream_manifest_file_names(self.path)
+        if files is None:
+            files = _manifest_file_names(self.path)
+        if files is None:
+            files = [os.path.basename(p) for p in sorted(_listdir_ofs(self.path))]
+        return {"files": files}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         new = sorted(set(end["files"]) - set(start["files"]))

@@ -88,12 +88,16 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
         {
+            # "default" so manifest_file records carried forward from a
+            # pre-"partitions" table version re-serialize (the field
+            # upgrade must not break the first post-upgrade commit)
             "name": "partitions",
             "type": [
                 "null",
                 {"type": "array", "items": _FIELD_SUMMARY_SCHEMA},
             ],
             "field-id": 507,
+            "default": None,
         },
     ],
 }
@@ -147,24 +151,40 @@ def _data_file_schema(part_fields: list[dict]) -> dict:
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
             {
+                # "default" mirrors equality_ids: data_file records read
+                # from pre-stats manifests carry no value_counts key and
+                # must still re-serialize on rewrite/carry-forward
                 "name": "value_counts",
                 "type": ["null", _kv_array("k119_v120", 119, 120, "long")],
                 "field-id": 117,
+                "default": None,
             },
             {
+                # "default" mirrors equality_ids: data_file records read
+                # from pre-stats manifests carry no null_value_counts key and
+                # must still re-serialize on rewrite/carry-forward
                 "name": "null_value_counts",
                 "type": ["null", _kv_array("k121_v122", 121, 122, "long")],
                 "field-id": 110,
+                "default": None,
             },
             {
+                # "default" mirrors equality_ids: data_file records read
+                # from pre-stats manifests carry no lower_bounds key and
+                # must still re-serialize on rewrite/carry-forward
                 "name": "lower_bounds",
                 "type": ["null", _kv_array("k126_v127", 126, 127, "bytes")],
                 "field-id": 125,
+                "default": None,
             },
             {
+                # "default" mirrors equality_ids: data_file records read
+                # from pre-stats manifests carry no upper_bounds key and
+                # must still re-serialize on rewrite/carry-forward
                 "name": "upper_bounds",
                 "type": ["null", _kv_array("k129_v130", 129, 130, "bytes")],
                 "field-id": 128,
+                "default": None,
             },
             {
                 # spec field 135: schema field ids an equality delete file

@@ -333,3 +333,58 @@ def test_manifest_bloom_capped(ds_spark, tmpdir_path):
     assert "tokens@bloom" in stats
     assert len(stats["tokens@bloom"]) <= _MANIFEST_BLOOM_CAP
     assert len(json.dumps(man)) < 200_000
+
+
+def test_orphan_file_excluded_by_manifest(ds_spark, tmpdir_path):
+    """A task attempt that renamed its part file into place but whose
+    commit message was lost (retry / speculative execution) must not
+    surface duplicate rows: reads list files from _manifest.json, so the
+    orphan is invisible until a later commit adopts the directory."""
+    li = _li(ds_spark)
+    li.write.format("orc_format").mode("append").save(tmpdir_path)
+    committed = [f for f in os.listdir(tmpdir_path) if f.endswith(".ofs")]
+    # fake the orphan: a byte-identical blob under a name no commit saw
+    orphan = os.path.join(tmpdir_path, "part-99999-deadbeef.ofs")
+    shutil.copyfile(os.path.join(tmpdir_path, committed[0]), orphan)
+    back = ds_spark.read.format("orc_format").load(tmpdir_path)
+    assert back.count() == li.count()  # orphan rows NOT double-counted
+    # same discipline on the streaming read path
+    stream = (
+        ds_spark.readStream.format("orc_format")
+        .load(tmpdir_path)
+        .writeStream.format("memory")
+        .queryName("orphan_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(60)
+    got = ds_spark.sql("SELECT count(*) c FROM orphan_stream").first().c
+    assert got == li.count()
+    # a manifest-less directory still reads (glob fallback)
+    os.remove(os.path.join(tmpdir_path, "_manifest.json"))
+    assert (
+        ds_spark.read.format("orc_format").load(tmpdir_path).count()
+        == li.count() + ds_spark.read.format("orc_format").load(
+            os.path.dirname(orphan)
+        ).limit(0).count() + _blob_rows(orphan)
+    )
+
+
+def _blob_rows(path):
+    from orc_format_spark.codecs.container import decode_table
+
+    with open(path, "rb") as f:
+        return decode_table(f.read()).num_rows
+
+
+def test_nan_equality_filter_stays_spark_side(ds_spark, tmpdir_path):
+    """col = NaN: Spark SQL's EqualTo treats NaN as equal to NaN; the
+    container's Arrow residual filter would drop those rows. The filter
+    must therefore NOT be consumed by pushdown."""
+    rows = [Row(k=1, v=float("nan")), Row(k=2, v=1.5), Row(k=3, v=float("nan"))]
+    ds_spark.createDataFrame(rows).write.format("orc_format").mode(
+        "append"
+    ).save(tmpdir_path)
+    back = ds_spark.read.format("orc_format").load(tmpdir_path)
+    got = back.filter(F.col("v") == float("nan")).select("k")
+    assert sorted(r.k for r in got.collect()) == [1, 3]

@@ -246,3 +246,68 @@ def test_snapshot_as_of_time_travel(tmp_path):
     assert im.snapshot_as_of(tdir, 10**12) == s2
     sid = im.snapshot_as_of(tdir, 3_000)
     assert [p for p, _ in im.list_data_files(tdir, snapshot_id=sid)] == [f1]
+
+
+def test_pre_upgrade_metadata_carries_forward(tmp_path):
+    """Cross-version compatibility: a table whose manifest list /
+    manifest were written before the 'partitions' summary and the
+    per-column stats maps existed must accept its first post-upgrade
+    commit — carried-forward records lacking those keys re-serialize
+    through the schema defaults instead of raising 'avro: missing
+    field'."""
+    import copy
+
+    f1 = _tokens_file(str(tmp_path / "a.parquet"), 0, 100)
+    f2 = _tokens_file(str(tmp_path / "b.parquet"), 100, 60)
+    f3 = _tokens_file(str(tmp_path / "c.parquet"), 160, 40)
+    tdir = str(tmp_path / "tbl")
+    im.create_table(tdir, TOKENS_PA, ts_ms=1_000)
+    im.append_snapshot(tdir, [f1], commit_key="w0", ts_ms=2_000)
+
+    md = im.read_table_metadata(tdir)
+    snap = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    # age the manifest LIST: no 'partitions' field summary
+    ml_path = snap["manifest-list"]
+    with open(ml_path, "rb") as f:
+        entries, _, mlmeta = avro_ocf.read_ocf(f.read())
+    mlmeta = {k: v for k, v in mlmeta.items() if not k.startswith("avro.")}
+    aged_ml = copy.deepcopy(im._MANIFEST_FILE_SCHEMA)
+    aged_ml["fields"] = [
+        f for f in aged_ml["fields"] if f["name"] != "partitions"
+    ]
+    for e in entries:
+        e.pop("partitions", None)
+    with open(ml_path, "wb") as f:
+        f.write(avro_ocf.write_ocf(aged_ml, entries, metadata=mlmeta))
+    # age the MANIFEST: no stats maps, no equality_ids on data_file
+    mf_path = entries[0]["manifest_path"]
+    with open(mf_path, "rb") as f:
+        ments, _, mfmeta = avro_ocf.read_ocf(f.read())
+    mfmeta = {k: v for k, v in mfmeta.items() if not k.startswith("avro.")}
+    dropped = {
+        "value_counts", "null_value_counts", "lower_bounds",
+        "upper_bounds", "equality_ids",
+    }
+    aged_mf = copy.deepcopy(im._manifest_entry_schema([]))
+    for fld in aged_mf["fields"]:
+        if fld["name"] == "data_file":
+            fld["type"]["fields"] = [
+                df for df in fld["type"]["fields"]
+                if df["name"] not in dropped
+            ]
+    for e in ments:
+        for k in dropped:
+            e["data_file"].pop(k, None)
+    with open(mf_path, "wb") as f:
+        f.write(avro_ocf.write_ocf(aged_mf, ments, metadata=mfmeta))
+
+    # first post-upgrade commits: append carries the aged manifest-list
+    # records; rewrite re-serializes the aged data_file records
+    im.append_snapshot(tdir, [f2], commit_key="w1", ts_ms=3_000)
+    im.rewrite_snapshot(tdir, [f1], [f3], commit_key="rw", ts_ms=4_000)
+    files = dict(im.list_data_files(tdir))
+    assert sorted(files) == sorted([f2, f3])
+    assert files[f2] == 60 and files[f3] == 40

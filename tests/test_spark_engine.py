@@ -589,3 +589,17 @@ def test_char_varchar_roundtrip(spark):
     # warning; no pad) — whatever bytes Spark produces, the container
     # must return them unchanged, which `got == want` above pins.
     assert dict(back.dtypes)["c_fixed"] == "string"
+
+
+def test_dedup_keep_first_null_text_not_merged(spark):
+    """md5(NULL) is NULL and groupBy merges NULLs: without the sentinel
+    key, every NULL-text doc except one would be silently dropped as a
+    'duplicate'. NULL content is not equal content — all survive."""
+    from orc_format_spark.functions.dedup import dedup_keep_first
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same"), (5, None)],
+        "doc_id long, text string",
+    )
+    out = dedup_keep_first(df)
+    assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3, 5]

@@ -367,3 +367,29 @@ def test_remap_tokens_vectorized(spark):
 
     with _pytest.raises(Exception, match="remap_tokens"):
         remap_tokens(bad, {}, vocab_size=256).collect()
+
+
+def test_pack_rejects_null_tokens(spark):
+    """Null payload lists must fail loudly: list_value_length(null) is
+    NaN, whose int64 cast silently becomes INT64_MIN garbage in
+    doc_starts while flatten() skips the missing values."""
+    df = spark.createDataFrame(
+        [Row(doc_id="a", tokens=[1, 2], n_tok=2, source="s"),
+         Row(doc_id="b", tokens=None, n_tok=0, source="s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(Exception, match="null tokens"):
+        pack_sequences(df, seq_len=2, num_groups=1).collect()
+
+
+def test_remap_rejects_null_tokens(spark):
+    """remap_tokens rebuilds the list array from offsets+values, which
+    would silently turn a null list into an empty one."""
+    from orc_format_spark.functions.token_pipeline import remap_tokens
+
+    df = spark.createDataFrame(
+        [Row(doc_id="a", tokens=[1, 2]), Row(doc_id="b", tokens=None)],
+        "doc_id string, tokens array<int>",
+    )
+    with pytest.raises(Exception, match="null tokens"):
+        remap_tokens(df, {1: 7}, vocab_size=16).collect()
