@@ -9,11 +9,14 @@ cluster instead of the corpus.
 
 Spark-first plan shape (the 100 TB story):
 
-1. **Centroids are metadata.** Every ``centroid_stride``-th vector is a
-   centroid — the same deterministic stand-in for an offline k-means
-   run as :func:`similarity.ivf_topk` (at real scale you train
-   centroids offline, where the centroid count scales ~sqrt(corpus),
-   and broadcast them; the plan below is unchanged either way).
+1. **Centroids are metadata.** By default every ``centroid_stride``-th
+   vector is a centroid — the same deterministic stand-in for an
+   offline k-means run as :func:`similarity.ivf_topk`. At real scale
+   you train centroids offline (count ~ sqrt(corpus)) and inject them
+   through the ``centroids=`` parameter; either path is hard-capped at
+   ``similarity.MAX_CENTROIDS`` rows on the driver, so the default can
+   never silently scale with the corpus. The plan below is unchanged
+   either way.
 2. **Assignment is pure map-side.** One Arrow-batched numpy matmul per
    batch assigns each vector to its max-cosine centroid — no join, no
    shuffle, nothing crosses the wire but the vector's own row.
@@ -40,7 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import _with_quant, cosine_e6
+from .similarity import _with_quant, batch_qmatrix, cosine_e6, resolve_centroids
 
 
 def assign_ivf_lists(
@@ -48,33 +51,29 @@ def assign_ivf_lists(
     centroid_stride: int = 37,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """(id, q, norm2, list_id): each vector mapped to its max-cosine
-    centroid (centroids = ``id % centroid_stride == 0`` vectors; ties ->
-    lowest centroid id). Map-side only — the centroid matrix is driver
-    metadata captured by an Arrow-batched matmul kernel."""
+    centroid (ties -> lowest centroid id). Map-side only — the centroid
+    matrix is driver metadata captured by an Arrow-batched matmul
+    kernel. Centroids come from :func:`similarity.resolve_centroids`:
+    the deterministic stride sample by default (hard-capped at
+    ``MAX_CENTROIDS``), or an offline-trained set injected via
+    ``centroids=`` (DataFrame of (id, vec) or ndarray)."""
     import numpy as np
     import pyarrow as pa
 
     corpus = _with_quant(emb, id_col, vec_col).filter(F.col("norm2") > 0)
-    cents = sorted(
-        (r[0], r[1], r[2])
-        for r in corpus.filter((F.col(id_col) % centroid_stride) == 0).collect()
+    cent_ids, cent_mat, cent_sqrt = resolve_centroids(
+        corpus, centroid_stride, centroids, id_col, vec_col
     )
-    if not cents:
-        raise ValueError("no centroids: corpus has no id % stride == 0 rows")
-    cent_ids = np.array([c[0] for c in cents], np.int64)
-    cent_mat = np.array([c[1] for c in cents], np.int64)  # (C, D)
-    cent_sqrt = np.sqrt(np.array([c[2] for c in cents], np.float64))
 
     def assign(batches):
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             t = pa.Table.from_batches([batch])
-            qs = np.vstack(
-                [np.asarray(v, np.int64) for v in t.column("q").to_pylist()]
-            )
+            qs = batch_qmatrix(t, cent_mat.shape[1])
             norm2 = t.column("norm2").to_numpy(zero_copy_only=False)
             # floor(dot / (sqrt(na) * sqrt(nb)) * 1e6): exact operand
             # order of cosine_e6 -> bit-identical to the SQL oracle
@@ -106,6 +105,7 @@ def semantic_dedup(
     centroid_stride: int = 37,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """One row per DROPPED vector: (vec_id, list_id, keeper_id, cos_e6).
 
@@ -114,7 +114,8 @@ def semantic_dedup(
     lowest id). Cluster-bounded pairwise + one window — the SemDeDup
     plan, never all-pairs."""
     assigned = assign_ivf_lists(
-        emb, centroid_stride=centroid_stride, id_col=id_col, vec_col=vec_col
+        emb, centroid_stride=centroid_stride, id_col=id_col,
+        vec_col=vec_col, centroids=centroids,
     )
     a = assigned.alias("a")  # candidate to drop
     b = assigned.alias("b")  # potential keeper

@@ -54,6 +54,107 @@ def _with_quant(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+# hard ceiling on what a centroid resolution may ever pull to the driver:
+# centroids are metadata (O(sqrt(corpus)) under k-means), and a stride
+# sample that exceeds this is a misconfiguration that would otherwise
+# scale driver memory WITH the corpus — the one failure mode a 10^12-row
+# deployment cannot tolerate silently
+MAX_CENTROIDS = 100_000
+
+
+def resolve_centroids(
+    corpus: DataFrame,
+    centroid_stride: int,
+    centroids,
+    id_col: str,
+    vec_col: str,
+):
+    """-> (cent_ids, cent_mat, cent_sqrt) numpy arrays for the assignment
+    kernels.
+
+    ``centroids`` is the offline-training injection point (SemDeDup /
+    IVF practice at real scale: train k-means offline where centroid
+    count ~ sqrt(corpus), then broadcast):
+
+    - ``None`` (default): every ``centroid_stride``-th corpus vector —
+      the deterministic k-means stand-in the SQL oracles reproduce. The
+      sample is fetched with ``limit(MAX_CENTROIDS + 1)`` so the driver
+      never materializes more than the cap + 1 rows; exceeding the cap
+      raises instead of silently collecting corpus-scale data.
+    - a DataFrame with (``id_col``, ``vec_col``) columns: quantized with
+      the same floor(x*1000) contract, same cap.
+    - a numpy ndarray (C, D) of raw float vectors: quantized here,
+      centroid ids = 0..C-1 (row order).
+    """
+    import numpy as np
+
+    if centroids is None:
+        sampled = corpus.filter((F.col(id_col) % centroid_stride) == 0)
+        rows = sampled.limit(MAX_CENTROIDS + 1).collect()
+        if len(rows) > MAX_CENTROIDS:
+            raise ValueError(
+                f"centroid stride sample exceeds {MAX_CENTROIDS} rows — "
+                "a stride-derived centroid set must stay metadata-sized. "
+                "Raise centroid_stride, or train centroids offline and "
+                "pass them via centroids=."
+            )
+        cents = sorted((r[0], r[1], r[2]) for r in rows)
+    elif isinstance(centroids, DataFrame):
+        cdf = _with_quant(centroids, id_col, vec_col).filter(F.col("norm2") > 0)
+        rows = cdf.limit(MAX_CENTROIDS + 1).collect()
+        if len(rows) > MAX_CENTROIDS:
+            raise ValueError(
+                f"injected centroid table exceeds {MAX_CENTROIDS} rows — "
+                "centroids must be metadata-sized (O(sqrt(corpus)))"
+            )
+        cents = sorted((r[0], r[1], r[2]) for r in rows)
+    else:
+        arr = np.asarray(centroids, dtype=np.float64)
+        if arr.ndim != 2:
+            raise ValueError(
+                f"centroids ndarray must be (C, D), got shape {arr.shape}"
+            )
+        if arr.shape[0] > MAX_CENTROIDS:
+            raise ValueError(
+                f"centroids ndarray exceeds {MAX_CENTROIDS} rows"
+            )
+        qm = np.floor(arr * QUANT).astype(np.int64)
+        norm2 = (qm * qm).sum(axis=1)
+        keep = norm2 > 0
+        cents = [
+            (int(i), qm[i].tolist(), int(norm2[i]))
+            for i in np.nonzero(keep)[0]
+        ]
+    if not cents:
+        raise ValueError(
+            "no centroids: corpus has no id % stride == 0 rows"
+            if centroids is None
+            else "no centroids: injected set is empty (or all zero-norm)"
+        )
+    cent_ids = np.array([c[0] for c in cents], np.int64)
+    cent_mat = np.array([c[1] for c in cents], np.int64)  # (C, D)
+    cent_sqrt = np.sqrt(np.array([c[2] for c in cents], np.float64))
+    return cent_ids, cent_mat, cent_sqrt
+
+
+def batch_qmatrix(t, dims: int):
+    """Arrow batch column "q" (fixed-width list<int64>) -> (N, dims)
+    int64 matrix, zero-copy: one flatten of the values buffer + reshape.
+    Replaces the former ``to_pylist()``/``np.vstack`` idiom, which boxed
+    every vector element into Python objects in the hot assignment loop.
+    """
+    q = t.column("q").combine_chunks()
+    if q.null_count:
+        raise ValueError("assignment kernel: null quantized vector")
+    flat = q.flatten().to_numpy(zero_copy_only=False)
+    if flat.size != len(q) * dims:
+        raise ValueError(
+            f"embedding dims vary: {flat.size} values over {len(q)} "
+            f"vectors (expected {dims}/vector, matching the centroids)"
+        )
+    return flat.reshape(len(q), dims)
+
+
 def brute_force_topk(
     emb: DataFrame,
     k: int = 5,
@@ -338,20 +439,23 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the second
     ANN scale path next to :func:`lsh_bucketed_topk`.
 
-    Index build: every ``centroid_stride``-th vector (id % stride == 0)
-    is a centroid — a deterministic stand-in for a k-means training run
-    (at real scale you'd train centroids offline and broadcast them; the
-    assignment/probing plan below is unchanged either way). Each corpus
-    vector is assigned to its max-cosine centroid (tie -> lowest centroid
-    id). Search: a query probes its ``nprobe`` nearest centroids' lists
-    and brute-forces only those lists.
+    Index build: the centroid set comes from :func:`resolve_centroids` —
+    by default every ``centroid_stride``-th vector (id % stride == 0), a
+    deterministic stand-in for a k-means training run; at real scale you
+    train centroids offline (count ~ sqrt(corpus)) and inject them via
+    ``centroids=`` (DataFrame or ndarray). Either way the collected set
+    is hard-capped at ``MAX_CENTROIDS`` — the driver can never be made
+    to materialize corpus-scale data. Each corpus vector is assigned to
+    its max-cosine centroid (tie -> lowest centroid id). Search: a query
+    probes its ``nprobe`` nearest centroids' lists and brute-forces only
+    those lists.
 
-    Scale shape: the centroid set is metadata-sized (O(corpus/stride)
-    here, O(sqrt(corpus)) under k-means), so it is collected once and
+    Scale shape: the centroid set is metadata-sized, collected once and
     captured by an Arrow-batched numpy matmul kernel — the assignment
     pass is then PURE MAP-SIDE (no join, no shuffle; one window at the
     end ranks (queries x candidates) rows only). Probing touches
@@ -362,17 +466,9 @@ def ivf_topk(
     import pyarrow as pa
 
     corpus = _with_quant(emb, id_col, vec_col).filter(F.col("norm2") > 0)
-    cents = sorted(
-        (r[0], r[1], r[2])
-        for r in corpus.filter(
-            (F.col(id_col) % centroid_stride) == 0
-        ).collect()
+    cent_ids, cent_mat, cent_sqrt = resolve_centroids(
+        corpus, centroid_stride, centroids, id_col, vec_col
     )
-    if not cents:
-        raise ValueError("no centroids: corpus has no id % stride == 0 rows")
-    cent_ids = np.array([c[0] for c in cents], np.int64)
-    cent_mat = np.array([c[1] for c in cents], np.int64)  # (C, D)
-    cent_sqrt = np.sqrt(np.array([c[2] for c in cents], np.float64))
 
     # assignment kernel: one Arrow-batched matmul per batch — map-side,
     # no shuffle, no per-centroid expression tree (a literal-centroid
@@ -385,9 +481,7 @@ def ivf_topk(
             if batch.num_rows == 0:
                 continue
             t = pa.Table.from_batches([batch])
-            qs = np.vstack(
-                [np.asarray(v, np.int64) for v in t.column("q").to_pylist()]
-            )
+            qs = batch_qmatrix(t, cent_mat.shape[1])
             norm2 = t.column("norm2").to_numpy(zero_copy_only=False)
             dots = (qs @ cent_mat.T).astype(np.float64)
             aff = np.floor(

@@ -141,3 +141,76 @@ def test_ivf_probe_bounds_candidates(spark):
         F.count("*").alias("cnt")).collect()}
     n = emb.count()
     assert per_q and all(c < n for c in per_q.values())
+
+
+def test_ivf_injected_centroids_match_stride_default(spark):
+    """centroids= (the offline-training injection point): passing the
+    stride rows themselves as a centroid DataFrame must reproduce the
+    stride default exactly — same quantization, same assignment, same
+    ranks."""
+    from orc_format_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    default = sorted(
+        map(tuple, ivf_topk(
+            emb, k=5, n_queries=6, centroid_stride=97, nprobe=2
+        ).collect())
+    )
+    injected = sorted(
+        map(tuple, ivf_topk(
+            emb, k=5, n_queries=6, centroid_stride=97, nprobe=2,
+            centroids=emb.filter(F.col("vec_id") % 97 == 0),
+        ).collect())
+    )
+    assert injected == default
+
+
+def test_semantic_dedup_injected_centroids_and_ndarray(spark):
+    """semantic_dedup accepts offline centroids as a DataFrame (matches
+    the stride default) and as a raw (C, D) ndarray (runs through the
+    same quantization; ids become row positions)."""
+    import numpy as np
+
+    from orc_format_spark.functions.semantic import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    default = sorted(
+        map(tuple, semantic_dedup(emb, centroid_stride=97).collect())
+    )
+    via_df = sorted(
+        map(tuple, semantic_dedup(
+            emb, centroid_stride=97,
+            centroids=emb.filter(F.col("vec_id") % 97 == 0),
+        ).collect())
+    )
+    assert via_df == default
+    cent_rows = sorted(
+        (r.vec_id, list(r.embedding))
+        for r in emb.filter(F.col("vec_id") % 97 == 0).collect()
+    )
+    arr = np.array([v for _, v in cent_rows], dtype=np.float64)
+    via_nd = semantic_dedup(emb, centroid_stride=97, centroids=arr)
+    # ndarray ids are row positions 0..C-1 of the (id-sorted) sample, so
+    # list ids differ from the DataFrame path but the DROP SET (which
+    # vectors are near-duplicates of a lower-id cluster peer) must agree
+    assert sorted(r.vec_id for r in via_nd.collect()) == sorted(
+        t[0] for t in default
+    )
+
+
+def test_centroid_cap_raises_instead_of_collecting(spark, monkeypatch):
+    """The driver-side centroid materialization is hard-capped: a
+    stride sample (or injected table) past MAX_CENTROIDS raises instead
+    of silently scaling driver memory with the corpus."""
+    from orc_format_spark.functions import similarity
+    from orc_format_spark.functions.semantic import semantic_dedup
+    from orc_format_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    monkeypatch.setattr(similarity, "MAX_CENTROIDS", 3)
+    with pytest.raises(ValueError, match="stride sample exceeds"):
+        ivf_topk(emb, centroid_stride=7)
+    with pytest.raises(ValueError, match="stride sample exceeds"):
+        semantic_dedup(emb, centroid_stride=7)
+    with pytest.raises(ValueError, match="centroid table exceeds"):
+        ivf_topk(emb, centroids=emb)
