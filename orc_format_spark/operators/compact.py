@@ -48,7 +48,12 @@ def plan_compaction(
     """Deterministic first-fit packing: (group_id, n_values) pairs ->
     {group_id: bucket}. Blobs are taken in group_id order; a bucket
     closes when it reaches ``target_values``. A single blob already at
-    or past target keeps its own bucket."""
+    or past target keeps its own bucket.
+
+    Driver-side reference planner (unit-testable, used for ad-hoc local
+    plans); :func:`compact_blobs` itself plans DISTRIBUTED — see its
+    docstring — so the compaction path has no unbounded driver
+    collect."""
     mapping: dict[int, int] = {}
     bucket = 0
     filled = 0
@@ -76,21 +81,32 @@ def compact_blobs(
     Returns a new blobs DataFrame (same BLOB_SCHEMA, bucket ids as
     group_id). Lossless: decoding the compacted set yields exactly the
     rows of the input set (asserted by oracle in the driver contract).
+
+    Planning is DISTRIBUTED — nothing per-blob ever reaches the driver:
+    bucket = floor(exclusive-cumsum(n_values, ordered by group_id) /
+    target_values), computed as a window over the LINEAGE METADATA rows
+    only (group_id, n_values — O(24 B) each; 25M blobs at 100 TB is
+    ~600 MB through one executor-side sort task, never driver memory).
+    Deterministic: same lineage -> same buckets, like the first-fit
+    reference planner (:func:`plan_compaction`), with one semantic
+    difference — a blob straddling a bucket boundary stays in the
+    earlier bucket, so bucket totals land in [target, target +
+    max_blob) rather than (target - max_blob, target]; both are valid
+    target-sized packings. The payload then moves in ONE shuffle keyed
+    on bucket, exactly as before.
     """
-    spark = blobs.sparkSession
-    meta = [
-        (r.group_id, r.n_values)
-        for r in blobs.select("group_id", "n_values").collect()
-    ]
-    mapping = plan_compaction(meta, target_values)
-    if not mapping:
-        return blobs.limit(0)
-    # JVM-side bucket tagging: broadcast-join the tiny plan table (no
-    # per-row Python anywhere on this path)
-    mdf = spark.createDataFrame(
-        sorted(mapping.items()), "group_id long, bucket long"
+    from pyspark.sql import Window
+
+    w = Window.orderBy("group_id").rowsBetween(Window.unboundedPreceding, -1)
+    planned = (
+        blobs.select("group_id", "n_values")
+        .withColumn("cum", F.coalesce(F.sum("n_values").over(w), F.lit(0)))
+        .select(
+            "group_id",
+            F.floor(F.col("cum") / F.lit(int(target_values))).alias("bucket"),
+        )
     )
-    tagged = blobs.select("group_id", "blob").join(F.broadcast(mdf), "group_id")
+    tagged = blobs.select("group_id", "blob").join(planned, "group_id")
 
     def fn(tbl: pa.Table) -> pa.Table:
         limit_worker_threads()

@@ -51,3 +51,18 @@ def test_compact_blobs_lossless_and_packed(spark, docs):
     for r in rows:
         assert json.loads(r.codecs)
         assert r.output_bytes > 0 and r.n_rows > 0
+
+
+def test_compact_blobs_empty_and_deterministic(spark, docs):
+    from orc_format_spark import compact_blobs, encode_groups, tokenize_documents
+
+    toks = tokenize_documents(docs)
+    small = encode_groups(toks, num_groups=6, key_col="doc_id", size_col="n_tok")
+    assert compact_blobs(small.limit(0), target_values=100).count() == 0
+    # distributed cumsum planning is deterministic: same lineage -> same
+    # buckets and byte-identical re-encoded blobs
+    a = {r.group_id: (r.checksum, r.output_bytes)
+         for r in compact_blobs(small, target_values=50_000).collect()}
+    b = {r.group_id: (r.checksum, r.output_bytes)
+         for r in compact_blobs(small, target_values=50_000).collect()}
+    assert a == b and a
