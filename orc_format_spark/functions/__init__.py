@@ -17,6 +17,7 @@ from .dedup import (
     simhash64,
     simhash_near_pairs,
 )
+from .kmeans import train_kmeans_centroids
 from .multimodal import (
     decode_image,
     extract_features,
@@ -57,6 +58,7 @@ __all__ = [
     "simhash64",
     "simhash_near_pairs",
     "text_profile",
+    "train_kmeans_centroids",
     "with_payload",
     "ws_token_count",
 ]

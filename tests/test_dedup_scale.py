@@ -214,3 +214,40 @@ def test_centroid_cap_raises_instead_of_collecting(spark, monkeypatch):
         semantic_dedup(emb, centroid_stride=7)
     with pytest.raises(ValueError, match="centroid table exceeds"):
         ivf_topk(emb, centroids=emb)
+
+
+def test_train_kmeans_centroids_and_feed_injection(spark):
+    """Distributed spherical k-means (one map pass + one k*P-row shuffle
+    per Lloyd iteration; payload never shuffles): unit-norm output of
+    the right shape, objective no worse than the init, reproducible on a
+    fixed partitioning, and directly consumable by the centroids=
+    injection point."""
+    import numpy as np
+
+    from orc_format_spark.functions.kmeans import train_kmeans_centroids
+    from orc_format_spark.functions.semantic import semantic_dedup
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).repartition(4, "vec_id")
+    cents = train_kmeans_centroids(emb, k=8, iters=3)
+    assert cents.ndim == 2 and 1 <= cents.shape[0] <= 8
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+
+    rows = emb.collect()
+    x = np.array([r.embedding for r in rows], np.float64)
+    x = x[np.linalg.norm(x, axis=1) > 0]
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    init = train_kmeans_centroids(emb, k=8, iters=0)
+
+    def objective(c):
+        return float(np.mean(np.max(xn @ c.T, axis=1)))
+
+    assert objective(cents) >= objective(init) - 1e-12
+    # deterministic given a fixed partitioning (partials summed in
+    # partition-id order)
+    again = train_kmeans_centroids(emb, k=8, iters=3)
+    assert np.array_equal(cents, again)
+    # the trained matrix is exactly what centroids= consumes
+    dropped = semantic_dedup(emb, centroids=cents)
+    assert dropped.count() >= 0
