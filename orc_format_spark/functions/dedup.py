@@ -86,9 +86,10 @@ def dedup_keep_first(docs: DataFrame) -> DataFrame:
     keeping each NULL-text doc its own group. NULL content is not equal
     content."""
     cols = docs.columns
+    # "null:" cannot collide with a real fingerprint (md5 hex has no ':')
     key = F.coalesce(
         fingerprint(F.col("text")),
-        F.concat(F.lit("\x00null\x00"), F.col("doc_id").cast("string")),
+        F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
     )
     picked = (
         docs.groupBy(key.alias("fingerprint"))
@@ -571,6 +572,7 @@ def dedup_ladder(
     bands: int = 8,
     threshold: float = 0.35,
     hasher: str = "xxh",
+    materialize: str = "cache",
 ) -> DataFrame:
     """The full dedup ladder as ONE composed pipeline — the pass a
     training-data ingest runs before encoding:
@@ -593,14 +595,34 @@ def dedup_ladder(
     appear in a candidate pair. If the candidate set ever outgrows
     broadcast range, swap the two broadcasts below for shuffled
     semi-joins: same results, one extra corpus-keyed exchange.
+
+    Stage boundaries are MATERIALIZED (``materialize="cache"``,
+    MEMORY_AND_DISK): ``uniq`` and ``cand`` are each referenced by
+    several downstream subtrees, and Spark has no cross-subtree
+    common-plan reuse — composed lazily, the exact-dedup aggregation
+    re-executes once per reference (the unmaterialized plan audit shows
+    the corpus scanned 24x). A 100 TB ingest writes the deduped corpus
+    back to storage between ladder stages anyway; persist() marks the
+    same boundary here. The cached frames stay registered on the
+    session (Spark evicts LRU); pass ``materialize="none"`` for pure
+    lazy composition.
     """
     uniq = dedup_keep_first(docs).select("doc_id", "text")
+    if materialize == "cache":
+        from pyspark.storagelevel import StorageLevel
+
+        uniq = uniq.persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(
         uniq, n=n, num_perm=num_perm, bands=bands, hasher=hasher
     )
+    if materialize == "cache":
+        from pyspark.storagelevel import StorageLevel
+
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        cand.select(
+            F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id")
+        )
         .distinct()
     )
     grams = (
