@@ -935,7 +935,10 @@ def _decode_body(blob: bytes, columns: list[str] | None = None) -> pa.Table:
     return pa.table(cols, names=names)
 
 
-_PRED_OPS = ("==", "!=", "<", "<=", ">", ">=", "contains")
+_PRED_OPS = (
+    "==", "!=", "<", "<=", ">", ">=", "contains",
+    "in", "isnull", "notnull", "startswith",
+)
 
 
 def _chunk_may_match(stats: dict | None, predicate: tuple) -> bool:
@@ -969,6 +972,29 @@ def _chunk_may_match(stats: dict | None, predicate: tuple) -> bool:
 
             return bloom_may_contain(bloom_from_b64(b64), val)
         return True
+    if op == "in":
+        # membership = OR of per-value equality tests (min/max window +
+        # Bloom each); an empty value list matches nothing
+        return any(_chunk_may_match(stats, (col, "==", v)) for v in val)
+    if op == "isnull":
+        return True  # [min,max] bounds cannot prove a chunk null-free
+    if op == "notnull":
+        # only an all-null chunk ([None, None] bounds) provably has no
+        # non-null row; element/temporal entries stay unknown
+        return not (isinstance(entry, (list, tuple)) and entry[0] is None)
+    if op == "startswith":
+        if not isinstance(entry, (list, tuple)):
+            return True  # element/temporal entry: unknown for prefixes
+        slo, shi = entry
+        if slo is None:
+            return False  # all-null chunk
+        if not isinstance(val, str) or not isinstance(slo, str):
+            return True
+        # bounds are EXACT min/max (never ORC-style truncated), so the
+        # prefix window test is sound: every val-prefixed string s has
+        # s >= val and s[:len(val)] == val — the chunk can hold one iff
+        # hi >= val and lo is not already past the whole prefix range
+        return shi >= val and slo[: len(val)] <= val
     if isinstance(entry, dict) and entry.get("t") == "elem":
         return True  # element stats say nothing about row-level compares
     if isinstance(entry, dict):  # temporal entry: compare in iso domain
@@ -1036,6 +1062,16 @@ def _apply_predicate(tbl: pa.Table, predicate: tuple) -> pa.Table:
         mask = np.zeros(len(cc), bool)
         mask[rows] = True
         return tbl.filter(pa.array(mask))
+    if op == "in":
+        mask = pc.is_in(c, value_set=pa.array(list(val), c.type))
+        return tbl.filter(pc.fill_null(mask, False))
+    if op == "isnull":
+        return tbl.filter(pc.is_null(c))
+    if op == "notnull":
+        return tbl.filter(pc.is_valid(c))
+    if op == "startswith":
+        mask = pc.starts_with(c, pattern=val)
+        return tbl.filter(pc.fill_null(mask, False))
     fns = {
         "==": pc.equal,
         "!=": pc.not_equal,
@@ -1063,10 +1099,12 @@ def decode_table(
     on a v1 blob the slice is applied after a full decode.
 
     ``predicate=(col, op, value)`` — or a list of such triples, ANDed —
-    with op in ``== != < <= > >=`` returns exactly the matching rows; on
-    a stats-bearing chunked blob (engine >= 3.1) chunks that any
-    conjunct's min/max (or Bloom bitset, for ``==``) proves unmatchable
-    are skipped without decompression — the reference's row-index-stats
+    with op in ``== != < <= > >= in isnull notnull startswith`` (value
+    is a tuple for ``in``, ignored for the null tests) returns exactly
+    the matching rows; on a stats-bearing chunked blob (engine >= 3.1)
+    chunks that any conjunct's min/max (or Bloom bitset, for ``==`` and
+    each ``in`` member; prefix-window for ``startswith``) proves
+    unmatchable are skipped without decompression — the reference's row-index-stats
     reader-side skipping (data/common.rs:24-48), which its own reader
     never shipped. ``predicate`` and ``rows`` are mutually exclusive (a
     row slice is positional; filtering renumbers rows)."""

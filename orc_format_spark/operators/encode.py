@@ -548,8 +548,12 @@ def _jvm_keep_condition(preds: list[tuple]):
 
     conds = []
     for col, op, val in preds:
-        if op in ("==", "contains") or isinstance(val, bool):
-            # == and list-membership need the Bloom bitset -> UDF path
+        if op in (
+            "==", "contains", "in", "isnull", "notnull", "startswith"
+        ) or isinstance(val, bool):
+            # ==/in/contains need the Bloom bitset, the null tests and
+            # prefix window their own stats logic -> UDF path (which
+            # evaluates _chunk_may_match itself)
             return None
         if op not in ("!=", "<", "<=", ">", ">="):
             raise ValueError(f"unsupported predicate op {op!r}")

@@ -68,14 +68,19 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
     Not,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -90,30 +95,57 @@ _OPS = {
 _NEG = {"==": "!=", ">": "<=", ">=": "<", "<": ">=", "<=": ">"}
 
 
+def _comparable_literal(val) -> bool:
+    """Literal the container compares with Spark-identical semantics:
+    non-bool int/float/str, and not NaN (Spark's EqualTo treats
+    NaN = NaN as TRUE per the SQL total order; Arrow's pc.equal does
+    not — consuming a NaN filter would silently drop the NaN rows
+    Spark semantics require). bool/None/temporal stay Spark-side: the
+    container's bool domain has no stats and temporal literal
+    conversion is not worth a wrong-prune risk here."""
+    if isinstance(val, bool) or not isinstance(val, (int, float, str)):
+        return False
+    return not (isinstance(val, float) and math.isnan(val))
+
+
 def _filter_to_pred(f: Filter) -> tuple | None:
     """Spark Filter -> container predicate triple, or None if out of
     the container's predicate domain (then Spark keeps the filter)."""
     neg = False
     if isinstance(f, Not):
         f, neg = f.child, True
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:  # nested column path: not prunable
+        return None
+    col = attr[0]
+    if isinstance(f, IsNull):
+        return (col, "notnull" if neg else "isnull", None)
+    if isinstance(f, IsNotNull):
+        return (col, "isnull" if neg else "notnull", None)
+    if isinstance(f, In):
+        # NOT IN has three-valued null semantics; leave it to Spark.
+        # Any null/NaN/non-primitive member likewise disqualifies.
+        vals = tuple(f.value)
+        if neg or not vals or not all(_comparable_literal(v) for v in vals):
+            return None
+        return (col, "in", vals)
+    if isinstance(f, StringStartsWith):
+        if neg or not isinstance(f.value, str):
+            return None
+        return (col, "startswith", f.value)
+    if isinstance(f, EqualNullSafe):
+        # <=> with a non-null literal ignores null rows exactly like
+        # the container's fill_null(False) residual; NOT(<=>) would
+        # MATCH null rows, which the residual cannot express.
+        if neg or f.value is None or not _comparable_literal(f.value):
+            return None
+        return (col, "==", f.value)
     op = _OPS.get(type(f))
     if op is None:
         return None
-    if len(f.attribute) != 1:  # nested column path: not prunable here
+    if not _comparable_literal(f.value):
         return None
-    val = f.value
-    if isinstance(val, bool) or not isinstance(val, (int, float, str)):
-        # bool/None/temporal literals: keep on the Spark side; the
-        # container's bool domain has no stats and temporal literal
-        # conversion is not worth a wrong-prune risk here
-        return None
-    if isinstance(val, float) and math.isnan(val):
-        # Spark's EqualTo treats NaN = NaN as TRUE (SQL total order);
-        # the container's residual filter uses Arrow pc.equal where
-        # NaN != NaN — consuming the filter here would silently drop
-        # the NaN rows Spark semantics require. Leave it to Spark.
-        return None
-    return (f.attribute[0], _NEG[op] if neg else op, val)
+    return (col, _NEG[op] if neg else op, f.value)
 
 
 def _local_path(path: str) -> str:

@@ -388,3 +388,35 @@ def test_nan_equality_filter_stays_spark_side(ds_spark, tmpdir_path):
     back = ds_spark.read.format("orc_format").load(tmpdir_path)
     got = back.filter(F.col("v") == float("nan")).select("k")
     assert sorted(r.k for r in got.collect()) == [1, 3]
+
+
+def test_pushdown_in_null_prefix_filters(ds_spark, tmpdir_path):
+    """Round-4 pushdown surface: IN lists, IS [NOT] NULL, <=> and
+    startswith are consumed by the reader (and NOT IN, with its
+    three-valued null semantics, is left to Spark) — all with rows
+    identical to Spark-side evaluation."""
+    rows = [
+        Row(k=i, s=None if i % 10 == 0 else f"s{i:04d}", v=float(i))
+        for i in range(200)
+    ]
+    ds_spark.createDataFrame(rows).write.format("orc_format").mode(
+        "append"
+    ).option("stride", "50").save(tmpdir_path)
+    ref = ds_spark.createDataFrame(rows)
+
+    def check(f):
+        got = (
+            ds_spark.read.format("orc_format").load(tmpdir_path).filter(f)
+        )
+        want = ref.filter(f)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    check(F.col("k").isin(3, 57, 121, 9999))
+    check(~F.col("k").isin(3, 57, 121))      # NOT IN: Spark-side
+    check(F.col("s").isNull())
+    check(F.col("s").isNotNull())
+    check(F.col("s").startswith("s01"))
+    check(F.col("k").eqNullSafe(42))
+    check(F.col("s").isin("s0042", "s0077"))

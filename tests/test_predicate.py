@@ -375,3 +375,74 @@ def test_contains_without_bloom_stats_still_exact():
     got = decode_table(blob, predicate=("tokens", "contains", 1007))
     want = sum(1 for t in tbl.column("tokens").to_pylist() if 1007 in t)
     assert got.num_rows == want
+
+
+def test_in_isnull_startswith_exact_and_pruning(monkeypatch):
+    """Round-4 predicate ops: IN-list (per-member min/max + Bloom
+    pruning), null tests, and string prefix (exact-bounds window)."""
+    import pyarrow.compute as pc
+
+    tbl = pa.table(
+        {
+            "k": pa.array(
+                [None if i % 9 == 0 else i for i in range(100)], pa.int64()
+            ),
+            "s": pa.array([f"s{i:05d}" for i in range(100)]),
+        }
+    )
+    blob, _ = encode_table(tbl, stride=10)
+
+    got = decode_table(blob, predicate=("k", "in", (5, 37, 86, 1000)))
+    assert sorted(got.column("k").to_pylist()) == [5, 37, 86]
+    got = decode_table(blob, predicate=("k", "isnull", None))
+    assert got.num_rows == 12 and got.column("k").null_count == 12
+    got = decode_table(blob, predicate=("k", "notnull", None))
+    assert got.num_rows == 88 and got.column("k").null_count == 0
+    got = decode_table(blob, predicate=("s", "startswith", "s0004"))
+    assert got.column("s").to_pylist() == [f"s{i:05d}" for i in range(40, 50)]
+    # empty IN matches nothing; prefix past the range matches nothing
+    assert decode_table(blob, predicate=("k", "in", ())).num_rows == 0
+    assert decode_table(blob, predicate=("s", "startswith", "t")).num_rows == 0
+
+    # pruning: IN over a sorted column touches only covering chunks;
+    # a prefix predicate only its window
+    calls = []
+    orig = container._decode_body
+
+    def spy(body, columns=None):
+        calls.append(len(body))
+        return orig(body, columns)
+
+    monkeypatch.setattr(container, "_decode_body", spy)
+    decode_table(blob, predicate=("k", "in", (5, 86)))
+    assert len(calls) == 2  # chunks [0,10) and [80,90) only
+    calls.clear()
+    decode_table(blob, predicate=("s", "startswith", "s0004"))
+    assert len(calls) == 1  # chunk [40,50) only
+    calls.clear()
+    decode_table(blob, predicate=("s", "startswith", "zz"))
+    # every chunk provably out of range; only the schema chunk decodes
+    assert len(calls) == 1
+
+
+def test_in_pruning_uses_bloom(monkeypatch):
+    """Unclustered ints: each IN member consults the Bloom bitset, so an
+    IN list of absent values decompresses zero chunks."""
+    rng = np.random.default_rng(5)
+    vals = rng.permutation(10_000)[:100] * 2  # even values only
+    tbl = pa.table({"k": pa.array(vals, pa.int64())})
+    blob, _ = encode_table(tbl, stride=25, bloom_columns=["k"])
+    calls = []
+    orig = container._decode_body
+
+    def spy(body, columns=None):
+        calls.append(len(body))
+        return orig(body, columns)
+
+    monkeypatch.setattr(container, "_decode_body", spy)
+    lo, hi = int(vals.min()), int(vals.max())
+    odd_probes = tuple(int(v) + 1 for v in vals[:8] if lo <= int(v) + 1 <= hi)
+    assert odd_probes
+    out = decode_table(blob, predicate=("k", "in", odd_probes))
+    assert out.num_rows == 0
+    assert len(calls) <= 1  # Bloom may rarely false-positive one chunk
