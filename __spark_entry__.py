@@ -286,6 +286,29 @@ def q_cshuffle_encode_roundtrip(spark, sf_dir):
     return detokenize(decoded).select("doc_id", "text")
 
 
+def q_schema_evolution(spark, sf_dir):
+    """Mixed-era decode (schema evolution by name, the Parquet/ORC/
+    Iceberg reader rule): blobs written before l_discount existed and
+    blobs written after decode TOGETHER under the current declared
+    schema — pre-evolution rows surface l_discount as NULL, stream-level
+    projection and stats skipping still apply per blob era."""
+    from orc_format_spark import decode_blobs, encode_groups
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+    old_era = li.filter(F.col("l_orderkey") % 2 == 0).drop("l_discount")
+    new_era = li.filter(F.col("l_orderkey") % 2 == 1)
+    b_old = encode_groups(old_era, num_groups=2, key_col="l_orderkey")
+    b_new = encode_groups(new_era, num_groups=2, key_col="l_orderkey")
+    return decode_blobs(
+        b_old.select("blob").unionAll(b_new.select("blob")),
+        "l_orderkey bigint, l_linenumber int, l_quantity double, "
+        "l_discount double",
+        evolution=True,
+    )
+
+
 def q_projection_decode(spark, sf_dir):
     """Reader-side column projection: decode only (doc_id, n_tok) from
     tokens blobs — the unread tokens column's streams are skipped
@@ -1680,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_remap": q_token_remap,
         "decontaminate": q_decontaminate,
         "compression_variants": q_compression_variants,
+        "schema_evolution": q_schema_evolution,
         # -- flagship + one representative per component family (r03 green)
         "tokens_roundtrip": q_tokens_roundtrip,
         "clustered_encode": q_clustered_encode,
@@ -1872,6 +1896,14 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(list_transform(range(0, event_id % 5 + 1), "
             "x -> CAST(x AS VARCHAR)), ',') AS lst_csv, "
             "event_type AS st_et, user_id AS st_uid, value AS mp_v FROM events"
+        ),
+        "schema_evolution": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, "
+            "CAST(NULL AS DOUBLE) AS l_discount FROM lineitem "
+            "WHERE l_orderkey % 2 = 0 "
+            "UNION ALL "
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_discount "
+            "FROM lineitem WHERE l_orderkey % 2 = 1"
         ),
         "compression_variants": (
             "SELECT s_suppkey, s_nationkey, s_acctbal, compression "

@@ -674,12 +674,58 @@ def prune_blobs(
     return blobs.filter(may_match(F.col("stats")))
 
 
+def _decode_one_evolved(
+    blob_bytes: bytes,
+    target: "pa.Schema",
+    columns: list[str] | None,
+    rows: tuple[int, int] | None,
+    predicate,
+) -> "pa.Table | None":
+    """Schema-evolution decode of ONE blob (the Parquet/ORC/Iceberg
+    reader rule — resolve by NAME): declared columns the blob lacks
+    decode as all-null of the declared type; stored columns absent from
+    the declared schema are skipped at the stream level; output order
+    follows the declared schema. Predicates on a column the blob
+    predates are decided on the virtual all-null column WITHOUT
+    decoding payload: ``isnull`` keeps every row, every other op
+    matches nothing (None is returned -> the blob contributes no
+    batches). Returns the aligned table, or None when provably empty."""
+    from ..codecs.container import blob_schema
+
+    have = set(blob_schema(blob_bytes).names)
+    preds = (
+        [predicate] if isinstance(predicate, tuple) else list(predicate or [])
+    )
+    for p in preds:
+        if p[0] not in have and p[1] != "isnull":
+            return None  # null never satisfies a non-isnull predicate
+    preds_eff = [p for p in preds if p[0] in have] or None
+    cols_eff = None
+    if columns is not None:
+        keep = [c for c in columns if c in have]
+        if preds_eff:  # decode_table requires predicate cols projected
+            keep += [p[0] for p in preds_eff if p[0] not in keep]
+        cols_eff = keep or None  # no overlap: full decode for row count
+    tbl = decode_table(
+        blob_bytes, columns=cols_eff, rows=rows, predicate=preds_eff
+    )
+    out = {}
+    for f in target:  # `schema` already names the (projected) output
+        out[f.name] = (
+            tbl.column(f.name)
+            if f.name in tbl.column_names
+            else pa.nulls(tbl.num_rows, f.type)
+        )
+    return _align_decoded_types(pa.table(out), target)
+
+
 def decode_blobs(
     blobs: DataFrame,
     schema: str,
     columns: list[str] | None = None,
     rows: tuple[int, int] | None = None,
     predicate: tuple | list[tuple] | None = None,
+    evolution: bool = False,
 ) -> DataFrame:
     """Decode blob rows back into the original table shape.
 
@@ -694,7 +740,14 @@ def decode_blobs(
     of the reference's row index, data/common.rs:24-48).
     ``schema`` may use char(n)/varchar(n); both decode as their string
     runtime representation (see ``_normalize_schema``).
-    """
+
+    ``evolution=True`` enables schema evolution by name (the
+    Parquet/ORC/Iceberg reader rule) for long-lived blob tables whose
+    schema accreted columns over time: blobs predating a declared
+    column yield it as all-null, stored columns not declared are
+    dropped, and predicates on a missing column are decided without
+    decoding payload. Default (False) keeps the strict
+    exact-schema-match contract."""
     schema = _normalize_schema(schema)
     expected = _ddl_names(schema)
     target = _arrow_target_schema(schema)
@@ -706,6 +759,13 @@ def decode_blobs(
         for batch in batches:
             col = batch.column(batch.schema.get_field_index("blob"))
             for v in col:
+                if evolution:
+                    t = _decode_one_evolved(
+                        v.as_py(), target, columns, rows, predicate
+                    )
+                    if t is not None:
+                        yield from t.to_batches()
+                    continue
                 tbl = decode_table(
                     v.as_py(), columns=columns, rows=rows, predicate=predicate
                 )
@@ -721,11 +781,15 @@ def decode_blob_files(
     columns: list[str] | None = None,
     rows: tuple[int, int] | None = None,
     predicate: tuple | list[tuple] | None = None,
+    evolution: bool = False,
 ) -> DataFrame:
     """Decode sink-written blob rows (``blob_path`` column, from
     ``encode_splits(blob_sink=...)``) back into the original table shape.
     The worker opens each blob file itself — like the encode side, the
-    payload never crosses the JVM; only paths do."""
+    payload never crosses the JVM; only paths do. ``evolution=True``
+    resolves each blob's stored schema by name against the declared one
+    (see :func:`decode_blobs`) — the mixed-era read path for a blob
+    table whose schema accreted columns over its life."""
     schema = _normalize_schema(schema)
     expected = _ddl_names(schema)
     target = _arrow_target_schema(schema)
@@ -738,9 +802,17 @@ def decode_blob_files(
             col = batch.column(batch.schema.get_field_index("blob_path"))
             for v in col:
                 with open(v.as_py(), "rb") as f:
-                    tbl = decode_table(
-                        f.read(), columns=columns, rows=rows, predicate=predicate
+                    raw = f.read()
+                if evolution:
+                    t = _decode_one_evolved(
+                        raw, target, columns, rows, predicate
                     )
+                    if t is not None:
+                        yield from t.to_batches()
+                    continue
+                tbl = decode_table(
+                    raw, columns=columns, rows=rows, predicate=predicate
+                )
                 _check_decoded_names(tbl, expected)
                 yield from _align_decoded_types(tbl, target).to_batches()
 

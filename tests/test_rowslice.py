@@ -139,3 +139,64 @@ def test_verify_blobs_on_chunked_blobs(spark):
     ver = verify_blobs(blobs)
     rows = ver.collect()
     assert len(rows) == 3 and all(r.ok for r in rows)
+
+
+def test_schema_evolution_decode(spark):
+    """evolution=True: mixed-era blobs resolve by name — missing columns
+    decode as all-null; predicates on a missing column are decided
+    without payload decode (isnull keeps all, others keep none); strict
+    mode (default) still fails loudly on the mismatch."""
+    import pytest as _pytest
+
+    from orc_format_spark import decode_blobs, decode_blob_files, encode_groups
+
+    old = spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k long, a double"
+    )
+    new = spark.createDataFrame(
+        [(i, float(i), f"s{i}") for i in range(40, 60)],
+        "k long, a double, s string",
+    )
+    b_old = encode_groups(old, num_groups=2, key_col="k")
+    b_new = encode_groups(new, num_groups=2, key_col="k")
+    mixed = b_old.select("blob").unionAll(b_new.select("blob"))
+    ddl = "k long, a double, s string"
+
+    out = decode_blobs(mixed, ddl, evolution=True).collect()
+    assert len(out) == 60
+    by_k = {r.k: r for r in out}
+    assert by_k[5].s is None and by_k[45].s == "s45"
+    # strict mode still refuses the era mismatch
+    with _pytest.raises(Exception, match="schema mismatch"):
+        decode_blobs(mixed, ddl).collect()
+    # predicate on the missing column: non-isnull ops drop old-era blobs
+    # entirely (no payload decode), isnull keeps exactly their rows
+    got = decode_blobs(mixed, ddl, predicate=("s", "==", "s45"), evolution=True)
+    assert [r.k for r in got.collect()] == [45]
+    got = decode_blobs(mixed, ddl, predicate=("s", "isnull", None), evolution=True)
+    assert sorted(r.k for r in got.collect()) == list(range(40))
+    # projection: declared schema = the projected columns (convention)
+    got = decode_blobs(mixed, "k long, s string", columns=["k", "s"], evolution=True)
+    rows = {r.k: r.s for r in got.collect()}
+    assert rows[3] is None and rows[52] == "s52"
+
+    # sink-file variant
+    import glob as _glob
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as sink:
+        # separate era directories: sink names are deterministic per
+        # group_id, so two encodes into one dir would collide
+        encode_groups(
+            old, num_groups=2, key_col="k", blob_sink=f"{sink}/e1"
+        ).collect()
+        encode_groups(
+            new, num_groups=2, key_col="k", blob_sink=f"{sink}/e2"
+        ).collect()
+        files = spark.createDataFrame(
+            [(p,) for p in sorted(_glob.glob(f"{sink}/e*/*.ofs"))],
+            "blob_path string",
+        )
+        out = decode_blob_files(files, ddl, evolution=True).collect()
+        assert len(out) == 60
+        assert sorted(r.k for r in out if r.s is None) == list(range(40))
