@@ -57,6 +57,7 @@ HEADLINE = [
     "union_roundtrip",
     "rowslice_decode",
     "projection_decode",
+    "schema_evolution",
     "predicate_decode",
     "bloom_filter_decode",
     "token_contains",

@@ -258,6 +258,54 @@ def _columns_option(options: dict) -> list[str] | None:
     return cols or None
 
 
+def _evolution_option(options: dict) -> bool:
+    return str(options.get("evolution", "")).lower() in ("true", "1")
+
+
+def _file_blob_schema(path: str):
+    """Blob header schema reading as few bytes as possible: start at
+    64 KiB and double until the self-describing header parses (the
+    header + first chunk body carry every column's type string)."""
+    from ..codecs.container import blob_schema
+
+    size = os.path.getsize(path)
+    want = 65536
+    with open(path, "rb") as f:
+        buf = f.read(min(want, size))
+        while True:
+            try:
+                return blob_schema(buf)
+            except Exception:
+                if len(buf) >= size:
+                    raise
+                want *= 4
+                buf += f.read(min(want, size) - len(buf))
+
+
+def _merged_blob_schema(files: list[str]):
+    """Union of the blob files' schemas by NAME in first-seen order —
+    the mixed-era table schema. A name carried with two different
+    arrow types raises (declare the schema explicitly via
+    ``spark.read.schema(...)`` and let the decode-side casts resolve
+    it). Planning cost is one header read per file; a deployment at
+    manifest scale supplies the schema instead of inferring it."""
+    merged: dict = {}
+    for p in files:
+        for field in _file_blob_schema(p):
+            prev = merged.get(field.name)
+            if prev is None:
+                merged[field.name] = field
+            elif not prev.type.equals(field.type):
+                raise ValueError(
+                    f"orc_format: column {field.name!r} stored as both "
+                    f"{prev.type} and {field.type} across blob eras — "
+                    "supply .schema(...) explicitly to resolve"
+                )
+    import pyarrow as pa
+
+    return pa.schema(list(merged.values()))
+
+
 class OrcFormatReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType):
         self.path = _local_path(options.get("path") or "")
@@ -269,6 +317,12 @@ class OrcFormatReader(DataSourceReader):
         # Python Data Source API has no automatic column-pruning hook
         # yet; this is the explicit projection pushdown.)
         self.columns = _columns_option(options)
+        # .option("evolution", "true"): mixed-era directories resolve
+        # per blob by name (missing columns -> all-null; predicates on
+        # them decided without payload decode) against the declared
+        # schema — user-supplied .schema(...), or the by-name union of
+        # every blob's header schema (see _merged_blob_schema)
+        self.evolution = _evolution_option(options)
         self.preds: list[tuple] = []
 
     def pushFilters(self, filters: "list[Filter]") -> Iterable[Filter]:
@@ -324,6 +378,21 @@ class OrcFormatReader(DataSourceReader):
         limit_worker_threads()
         with open(partition.path, "rb") as f:
             blob = f.read()
+        if self.evolution:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            from ..operators.encode import _decode_one_evolved
+
+            t = _decode_one_evolved(
+                blob,
+                to_arrow_schema(self.spark_schema),
+                self.columns,
+                None,
+                self.preds or None,
+            )
+            if t is not None:
+                yield from t.to_batches()
+            return
         tbl = decode_table(
             blob, columns=self.columns, predicate=self.preds or None
         )
@@ -472,9 +541,12 @@ class OrcFormatDataSource(DataSource):
                 f"orc_format: manifest at {path!r} records zero blob files"
                 " — no schema source (read after a committed empty write?)"
             )
-        with open(files[0], "rb") as f:
-            blob = f.read()
-        full = blob_schema(blob)
+        if _evolution_option(dict(self.options)):
+            full = _merged_blob_schema(files)
+        else:
+            with open(files[0], "rb") as f:
+                blob = f.read()
+            full = blob_schema(blob)
         cols = _columns_option(dict(self.options))
         if cols is None:
             return from_arrow_schema(full)

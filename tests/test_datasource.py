@@ -420,3 +420,49 @@ def test_pushdown_in_null_prefix_filters(ds_spark, tmpdir_path):
     check(F.col("s").startswith("s01"))
     check(F.col("k").eqNullSafe(42))
     check(F.col("s").isin("s0042", "s0077"))
+
+
+def test_reader_evolution_option(ds_spark, tmp_path):
+    """Mixed-era directory through the format face: evolution=true
+    infers the by-name union schema (or takes a user-supplied one) and
+    decodes each blob per its own era; filters on a late column still
+    push down and are decided without decoding old-era payload."""
+    p = str(tmp_path / "evo")
+    old = ds_spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "k long, a double"
+    )
+    new = ds_spark.createDataFrame(
+        [(i, float(i), f"s{i}") for i in range(30, 50)],
+        "k long, a double, s string",
+    )
+    old.write.format("orc_format").mode("append").save(p)
+    new.write.format("orc_format").mode("append").save(p)
+
+    # strict read of the mixed dir fails (first-blob schema mismatch)
+    with pytest.raises(Exception):
+        ds_spark.read.format("orc_format").load(p).collect()
+
+    back = (
+        ds_spark.read.format("orc_format").option("evolution", "true").load(p)
+    )
+    assert set(back.columns) == {"k", "a", "s"}
+    rows = {r.k: r.s for r in back.collect()}
+    assert len(rows) == 50 and rows[3] is None and rows[42] == "s42"
+    # filter on the late column: old-era blobs contribute nothing
+    got = back.filter(F.col("s") == "s40").collect()
+    assert [(r.k, r.s) for r in got] == [(40, "s40")]
+    got = (
+        ds_spark.read.format("orc_format")
+        .option("evolution", "true")
+        .load(p)
+        .filter(F.col("s").isNull())
+    )
+    assert sorted(r.k for r in got.collect()) == list(range(30))
+    # user-supplied schema (the manifest-scale path: no header sweep)
+    got = (
+        ds_spark.read.format("orc_format")
+        .option("evolution", "true")
+        .schema("k long, a double, s string")
+        .load(p)
+    )
+    assert got.count() == 50
