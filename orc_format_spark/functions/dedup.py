@@ -619,6 +619,20 @@ def dedup_ladder(
         from pyspark.storagelevel import StorageLevel
 
         cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    return verify_candidate_pairs(uniq, cand, n=n, threshold=threshold)
+
+
+def verify_candidate_pairs(
+    docs: DataFrame,
+    cand: DataFrame,
+    n: int = 4,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Ladder stage 3 standalone: exact n-gram Jaccard over CANDIDATE
+    PAIRS ONLY (``cand`` = (doc_a, doc_b)). The candidate doc-id set is
+    broadcast so gram arrays are built map-side for candidate docs
+    alone; the verify join carries candidate volume, never corpus
+    volume. Returns (doc_a, doc_b, common, na, nb, jaccard_e6)."""
     cand_docs = (
         cand.select(
             F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("doc_id")
@@ -626,7 +640,7 @@ def dedup_ladder(
         .distinct()
     )
     grams = (
-        uniq.filter(F.length("text") >= n)
+        docs.filter(F.length("text") >= n)
         .join(F.broadcast(cand_docs), "doc_id")
         .select("doc_id", char_ngrams(F.col("text"), n).alias("grams"))
     )
