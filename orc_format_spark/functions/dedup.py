@@ -285,7 +285,11 @@ HAVING COUNT(*) >= {min_common}
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 4, num_perm: int = 32, hasher: str = "xxh"
+    docs: DataFrame,
+    n: int = 4,
+    num_perm: int = 32,
+    hasher: str = "xxh",
+    bands: int = 8,
 ) -> DataFrame:
     """num_perm-wide MinHash signature per doc.
 
@@ -293,39 +297,51 @@ def minhash_signatures(
     ``hasher="md5"`` uses the DuckDB-reproducible 60-bit md5 hash
     (``md5_hash60``) so the whole pipeline can be checked against a SQL
     oracle; both are pure JVM expressions.
-    """
-    if hasher == "md5":
-        # one md5 per gram + num_perm affine permutations over the prime
-        # field p=2^31-1 (the classic universal MinHash family): 32x
-        # cheaper than per-seed hashing and exactly reproducible in SQL
-        # (all arithmetic stays < 2^62)
-        p = _MINHASH_P
-        ab = [_minhash_affine(s) for s in range(num_perm)]
-        base = F.array_sort(
-            F.array_distinct(
-                F.transform(F.col("grams"), lambda g: md5_hash60(g) % F.lit(p))
-            )
-        )
-        def affine_min(a: int, b: int):
-            # factory: Spark introspects lambda arity, so no default args
-            return F.array_min(
-                F.transform(
-                    F.col("hbase"),
-                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(p),
-                )
-            )
 
-        sig = F.array(*[affine_min(a, b) for a, b in ab])
-        pre = [F.col("doc_id"), base.alias("hbase")]
-    else:
-        seeds = F.array(*[F.lit(s) for s in range(num_perm)])
-        sig = F.transform(
-            seeds,
-            lambda s: F.array_min(
-                F.transform(F.col("grams"), lambda g: F.xxhash64(g, s))
-            ),
+    Structure (both hashers): ONE base hash per gram PER BAND (seed =
+    band index), then ``num_perm/bands`` affine permutations over the
+    prime field p=2^31-1 within each band — ``bands`` hashes per gram
+    instead of ``num_perm`` (4x cheaper at 32/8, measured 3.8x on the
+    ladder's LSH stage vs the old per-seed form at ~2x its recall,
+    BENCH.md §8). The base
+    seed varies BY BAND because band collisions must be independent for
+    the 1-(1-j^r)^b recall guarantee: with a single corpus-wide base
+    draw, the fate of the corpus' most frequent shared grams under that
+    one draw correlates every band (measured recall 0.035-0.35 across
+    draws at true ~0.16 on the sf0.01 corpus); per-band seeds measured
+    at the independent-coordinate theory value. All arithmetic stays
+    < 2^62.
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm {num_perm} not divisible by bands {bands}")
+    rows_per = num_perm // bands
+    p = _MINHASH_P
+    ab = [_minhash_affine(s) for s in range(num_perm)]
+
+    def base_for(band: int):
+        if hasher == "md5":
+            def h(g):
+                return md5_hash60(g, band) % F.lit(p)
+        else:
+            def h(g):
+                return F.pmod(F.xxhash64(g, F.lit(band)), F.lit(p))
+        return F.array_sort(F.array_distinct(F.transform(F.col("grams"), h)))
+
+    def affine_min(band: int, a: int, b: int):
+        # factory: Spark introspects lambda arity, so no default args
+        return F.array_min(
+            F.transform(
+                F.col(f"hb{band}"),
+                lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(p),
+            )
         )
-        pre = [F.col("doc_id"), F.col("grams")]
+
+    pre = [F.col("doc_id")] + [
+        base_for(band).alias(f"hb{band}") for band in range(bands)
+    ]
+    sig = F.array(
+        *[affine_min(s // rows_per, *ab[s]) for s in range(num_perm)]
+    )
     # docs shorter than n have no grams -> all-null signatures that would
     # collide into one LSH bucket per band (O(m^2) spurious pairs); gate on
     # gram availability, not signature width (which is always num_perm)
@@ -351,7 +367,7 @@ def lsh_candidate_pairs(
     per doc instead of comparing pairs.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, n, num_perm, hasher)
+    sigs = minhash_signatures(docs, n, num_perm, hasher, bands=bands)
 
     def bucket_of(b):
         sl = F.slice(F.col("signature"), b * rows + 1, rows)
@@ -396,7 +412,6 @@ def lsh_candidate_pairs_sql(
     where = f"WHERE length(text) >= {n}"
     if max_doc_id is not None:
         where += f" AND doc_id < {max_doc_id}"
-    h = _md5_hash60_sql("g")
     p = _MINHASH_P
     perm_rows = ", ".join(
         f"({s}, {a}, {b})"
@@ -409,11 +424,14 @@ WITH grams AS (
                    i -> substr(text, CAST(i AS INT), {n})))) AS g
   FROM {table} {where}
 ), hb AS (
-  SELECT DISTINCT doc_id, {h} % {p} AS h FROM grams
+  SELECT DISTINCT doc_id, bb AS band,
+         CAST('0x' || substr(md5(g || '#' || CAST(bb AS VARCHAR)), 1, 15)
+              AS BIGINT) % {p} AS h
+  FROM grams CROSS JOIN range(0, {bands}) tb(bb)
 ), perms(s, a, b) AS (VALUES {perm_rows}),
 mh AS (
   SELECT doc_id, s, MIN((h * a + b) % {p}) AS v
-  FROM hb CROSS JOIN perms
+  FROM hb JOIN perms ON hb.band = s // {rows}
   GROUP BY doc_id, s
 ), sigs AS (
   SELECT doc_id, list(v ORDER BY s) AS signature FROM mh GROUP BY doc_id
