@@ -75,12 +75,21 @@ def compact_blobs(
     codec: str | dict = "auto",
     compression: str = "zstd",
     row_index_stride: int | None = DEFAULT_ROW_INDEX_STRIDE,
+    cluster_by: list[str] | None = None,
 ) -> DataFrame:
     """Merge small blobs into ~``target_values``-value blobs.
 
     Returns a new blobs DataFrame (same BLOB_SCHEMA, bucket ids as
     group_id). Lossless: decoding the compacted set yields exactly the
     rows of the input set (asserted by oracle in the driver contract).
+
+    ``cluster_by`` re-sorts each merged stripe on the named columns
+    before re-encoding — compaction is the natural re-clustering
+    opportunity: longer runs for RLE/dict and tighter per-chunk min/max
+    windows for predicate skipping, at zero extra passes (the rows are
+    already in memory to merge). Same semantics as
+    ``encode_groups(cluster_by=...)``; sort is inside the Arrow kernel,
+    never a plan-level Exchange.
 
     Planning is DISTRIBUTED — nothing per-blob ever reaches the driver:
     bucket = floor(exclusive-cumsum(n_values, ordered by group_id) /
@@ -115,6 +124,8 @@ def compact_blobs(
         blob_col = tbl.column("blob")
         parts = [decode_table(blob_col[i].as_py()) for i in order]
         data = pa.concat_tables(parts).combine_chunks()
+        if cluster_by:
+            data = data.sort_by([(c, "ascending") for c in cluster_by])
         blob, lineage = encode_table(
             data, codec=codec, compression=compression, stride=row_index_stride
         )

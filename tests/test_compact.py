@@ -66,3 +66,32 @@ def test_compact_blobs_empty_and_deterministic(spark, docs):
     b = {r.group_id: (r.checksum, r.output_bytes)
          for r in compact_blobs(small, target_values=50_000).collect()}
     assert a == b and a
+
+
+def test_compact_blobs_cluster_by_shrinks(spark):
+    """Re-clustering during compaction: rows sorted on the predicate
+    column give longer runs + tighter chunk windows, so the compacted
+    blob is no larger (usually smaller) and decodes to the same rows."""
+    import random
+
+    from orc_format_spark import TOKENS_SCHEMA, compact_blobs, decode_blobs, encode_groups
+
+    rng = random.Random(3)
+    # k is incompressible either way; cat + the cat-dependent v reward
+    # clustering (long runs after the sort, none before)
+    rows = [
+        (rng.randrange(1 << 40), cat := rng.randrange(50), float(cat) * 1.5)
+        for _ in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, "k long, cat long, v double").repartition(8)
+    small = encode_groups(df, num_groups=8, key_col="k")
+    plain = compact_blobs(small, target_values=10**9)
+    clustered = compact_blobs(small, target_values=10**9, cluster_by=["cat"])
+    pb = sum(r.output_bytes for r in plain.select("output_bytes").collect())
+    cb = sum(r.output_bytes for r in clustered.select("output_bytes").collect())
+    assert cb <= pb
+    want = sorted(map(tuple, df.collect()))
+    got = sorted(
+        map(tuple, decode_blobs(clustered, "k long, cat long, v double").collect())
+    )
+    assert got == want
