@@ -810,6 +810,28 @@ def q_dedup_ladder(spark, sf_dir):
     )
 
 
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encode (Jegou et al., TPAMI 2011): every
+    embedding compresses to m=8 codes (argmin exact-int L2 per subspace
+    against stride-sampled codebooks — 32x smaller than the raw floats
+    at D=64). Map-side only; codes CSV for byte-exact oracle compare."""
+    from orc_format_spark.functions.pq import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_encode(emb, m=8, k=16, stride=31)
+
+
+def q_pq_ann(spark, sf_dir):
+    """ANN over PQ codes via asymmetric distance: per query one exact
+    integer (m x k) lookup table, per corpus vector m gathers + a sum —
+    the IVF-PQ search kernel. Ranks reproduced exactly by the SQL
+    oracle (same codes, tables, tie rules)."""
+    from orc_format_spark.functions.pq import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(emb, k_nn=5, n_queries=10, m=8, k=16, stride=31)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Char-4-gram Jaccard near-dup pairs (first 80 docs) with the
     document-frequency ceiling active (the stop-gram safety valve the
@@ -1691,6 +1713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "pq_encode": q_pq_encode,
+        "pq_ann": q_pq_ann,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "resize_payload": q_resize_payload,
@@ -1765,6 +1789,7 @@ def oracle_sql() -> dict[str, str]:
         extract_features_sql,
         resize_payload_sql,
     )
+    from orc_format_spark.functions.pq import pq_encode_sql, pq_topk_sql
     from orc_format_spark.functions.scrub import scrub_pii_sql
     from orc_format_spark.functions.semantic import semantic_dedup_sql
     from orc_format_spark.functions.similarity import (
@@ -2044,6 +2069,8 @@ def oracle_sql() -> dict[str, str]:
             k=8, window=4, table="(SELECT * FROM documents WHERE doc_id < 200)"
         ),
         "ann_topk": brute_force_topk_sql(k=5, n_queries=10),
+        "pq_encode": pq_encode_sql(m=8, k=16, stride=31),
+        "pq_ann": pq_topk_sql(k_nn=5, n_queries=10, m=8, k=16, stride=31),
         "ann_lsh": lsh_bucketed_topk_sql(k=5, n_queries=10, sign_dims=8, n_tables=4),
         "ann_ivf": ivf_topk_sql(k=5, n_queries=10, centroid_stride=59, nprobe=3),
         "multimodal_features": extract_features_sql(),

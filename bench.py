@@ -80,6 +80,8 @@ HEADLINE = [
     "ngram_jaccard",
     "ann_topk",
     "ann_ivf",
+    "pq_encode",
+    "pq_ann",
     "embedding_neardup",
     "semantic_dedup",
     "pii_scrub",

@@ -18,6 +18,7 @@ from .dedup import (
     simhash_near_pairs,
 )
 from .kmeans import train_kmeans_centroids
+from .pq import pq_encode, pq_topk, train_pq_codebooks
 from .multimodal import (
     decode_image,
     extract_features,
@@ -55,10 +56,13 @@ __all__ = [
     "near_duplicate_pairs",
     "ngram_jaccard_pairs",
     "quality_score",
+    "pq_encode",
+    "pq_topk",
     "simhash64",
     "simhash_near_pairs",
     "text_profile",
     "train_kmeans_centroids",
+    "train_pq_codebooks",
     "with_payload",
     "ws_token_count",
 ]

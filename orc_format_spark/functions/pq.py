@@ -1,0 +1,328 @@
+"""Product Quantization (PQ) for embedding columns — the
+billion-vector ANN compression standard (Jégou, Douze, Schmid, "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011; the IVF-PQ
+layout every large-scale vector system uses).
+
+Not in the reference repo (SURVEY.md §2.7); a first-class
+training-pipeline addition: a (C, D) float corpus compresses to m
+uint8-range codes per vector (m bytes instead of 4D — 32x at D=64,
+m=8), and search runs over the CODES via asymmetric distance (ADC):
+per query, one m x k lookup table of exact subspace distances, then
+dist(v) = sum of m table lookups. At 100 TB the codes column rides the
+normal blob encoder like any int list; nothing here shuffles payload.
+
+Spark-first shapes:
+- **Codebooks are metadata** (m x k x D/m). Deterministic default:
+  the quantized subvectors of the first ``k`` stride-sampled corpus
+  vectors — the same offline-training stand-in as IVF's stride
+  centroids, hard-capped like :func:`similarity.resolve_centroids`.
+  Production path: :func:`train_pq_codebooks` (numpy Lloyd per
+  subspace on a capped sample — codebook training is sample-based in
+  practice) injected via ``codebooks=``.
+- **Encoding is pure map-side**: one Arrow batch -> (N, m) argmin over
+  the broadcast codebook tensor, all int64 — no join, no shuffle.
+- **ADC search is map-side + one window**: query tables broadcast,
+  per-vector distance is m gathers + a sum; the window ranks
+  (queries x corpus) rows only after map-side distance computation.
+
+Determinism/oracle: vectors quantize as floor(x*1000) (the repo-wide
+cosine contract); subspace distances are EXACT integer L2 sums, ties
+break to the lowest code / lowest neighbor id — so
+:func:`pq_encode_sql` and :func:`pq_topk_sql` reproduce codes,
+distances, and ranks bit-for-bit in DuckDB.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .similarity import MAX_CENTROIDS, _with_quant, batch_qmatrix
+
+QUANT_SQL = (
+    "list_transform(embedding, x -> "
+    "CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+)
+
+
+def _stride_codebooks(
+    emb: DataFrame, m: int, k: int, stride: int, id_col: str, vec_col: str
+) -> np.ndarray:
+    """(m, k, ds) int64 codebooks from the first ``k`` stride-sampled
+    vectors (sorted by id) — deterministic, SQL-reproducible."""
+    corpus = _with_quant(emb, id_col, vec_col)
+    rows = (
+        corpus.filter((F.col(id_col) % stride) == 0)
+        .orderBy(id_col)
+        .limit(min(k, MAX_CENTROIDS))
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(
+            f"pq: stride sample has {len(rows)} vectors < k={k} codebook "
+            "entries; lower stride or inject codebooks="
+        )
+    mat = np.array([r[1] for r in rows], np.int64)  # (k, D)
+    dims = mat.shape[1]
+    if dims % m != 0:
+        raise ValueError(f"pq: dims {dims} not divisible by m={m}")
+    ds = dims // m
+    return np.stack([mat[:, s * ds : (s + 1) * ds] for s in range(m)])
+
+
+def _as_codebooks(codebooks, m: int) -> np.ndarray:
+    cb = np.asarray(codebooks)
+    if cb.ndim != 3 or cb.shape[0] != m:
+        raise ValueError(
+            f"pq: codebooks must be (m={m}, k, ds), got {cb.shape}"
+        )
+    if cb.dtype.kind == "f":
+        cb = np.floor(cb * 1000.0).astype(np.int64)  # same quantization
+    return cb.astype(np.int64)
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 10,
+    sample_stride: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Float (m, k, ds) codebooks via numpy Lloyd per subspace over a
+    stride sample (capped at ``similarity.MAX_CENTROIDS`` rows — PQ
+    codebooks are trained on a sample in practice; faiss defaults to
+    the same). Deterministic init: first k sample subvectors. Feed the
+    result to ``pq_encode(codebooks=...)`` / ``pq_topk(codebooks=...)``
+    (they re-quantize it under the shared floor(x*1000) contract)."""
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .filter((F.col(id_col) % sample_stride) == 0)
+        .limit(MAX_CENTROIDS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_CENTROIDS:
+        raise ValueError(
+            f"pq: training sample exceeds {MAX_CENTROIDS} rows — raise "
+            "sample_stride (codebooks are metadata, not corpus)"
+        )
+    x = np.array([r[1] for r in rows], np.float64)
+    if x.shape[0] < k:
+        raise ValueError(f"pq: sample {x.shape[0]} rows < k={k}")
+    dims = x.shape[1]
+    if dims % m != 0:
+        raise ValueError(f"pq: dims {dims} not divisible by m={m}")
+    ds = dims // m
+    out = np.empty((m, k, ds), np.float64)
+    for s in range(m):
+        sub = x[:, s * ds : (s + 1) * ds]
+        cent = sub[:k].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                mask = assign == j
+                if mask.any():
+                    cent[j] = sub[mask].mean(axis=0)
+        out[s] = cent
+    return out
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    stride: int = 31,
+    codebooks=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes_csv): each vector's m PQ codes (argmin exact-int L2
+    per subspace against the codebook, tie -> lowest code), as a CSV
+    string so the DuckDB oracle compares byte-for-byte. Map-side only."""
+    import pyarrow as pa
+
+    cb = (
+        _stride_codebooks(emb, m, k, stride, id_col, vec_col)
+        if codebooks is None
+        else _as_codebooks(codebooks, m)
+    )
+    ds = cb.shape[2]
+    corpus = _with_quant(emb, id_col, vec_col)
+
+    def encode(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            t = pa.Table.from_batches([batch])
+            qs = batch_qmatrix(t, m * ds)
+            codes = np.empty((len(qs), m), np.int64)
+            for s in range(m):
+                sub = qs[:, s * ds : (s + 1) * ds]
+                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)  # first min = lowest code
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            csv = [",".join(str(c) for c in row) for row in codes]
+            yield pa.record_batch(
+                [
+                    pa.array(ids.astype(np.int64), pa.int64()),
+                    pa.array(csv, pa.string()),
+                ],
+                names=[id_col, "codes_csv"],
+            )
+
+    return corpus.mapInArrow(encode, f"{id_col} long, codes_csv string")
+
+
+def pq_topk(
+    emb: DataFrame,
+    k_nn: int = 5,
+    n_queries: int = 10,
+    m: int = 8,
+    k: int = 16,
+    stride: int = 31,
+    codebooks=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance over PQ codes: exact
+    query subvectors against each codebook entry form a per-query
+    (m, k) int table; a corpus vector's distance is the sum of its m
+    code lookups. Returns (query_id, neighbor_id, rank, adc_dist);
+    rank orders by dist ASC, neighbor_id ASC."""
+    import pyarrow as pa
+
+    cb = (
+        _stride_codebooks(emb, m, k, stride, id_col, vec_col)
+        if codebooks is None
+        else _as_codebooks(codebooks, m)
+    )
+    ds = cb.shape[2]
+    corpus = _with_quant(emb, id_col, vec_col)
+    qrows = sorted(
+        (r[0], r[1])
+        for r in corpus.filter(F.col(id_col) < n_queries).collect()
+    )
+    if not qrows:
+        raise ValueError(f"pq_topk: no query vectors with id < {n_queries}")
+    q_ids = np.array([r[0] for r in qrows], np.int64)
+    q_mat = np.array([r[1] for r in qrows], np.int64)  # (Q, D)
+    # (Q, m, k) ADC tables: exact integer L2 per subspace
+    tables = np.empty((len(q_ids), m, cb.shape[1]), np.int64)
+    for s in range(m):
+        qs = q_mat[:, s * ds : (s + 1) * ds]
+        tables[:, s, :] = (
+            (qs[:, None, :] - cb[s][None, :, :]) ** 2
+        ).sum(axis=2)
+
+    def score(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            t = pa.Table.from_batches([batch])
+            vs = batch_qmatrix(t, m * ds)
+            codes = np.empty((len(vs), m), np.int64)
+            for s in range(m):
+                sub = vs[:, s * ds : (s + 1) * ds]
+                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            # dists[q, v] = sum_s tables[q, s, codes[v, s]] — one (Q, N)
+            # gather per subspace
+            dists = np.zeros((len(q_ids), len(ids)), np.int64)
+            for s in range(m):
+                dists += tables[:, s, :][:, codes[:, s]]
+            n = len(ids)
+            yield pa.record_batch(
+                [
+                    pa.array(np.repeat(q_ids, n), pa.int64()),
+                    pa.array(np.tile(ids, len(q_ids)), pa.int64()),
+                    pa.array(dists.reshape(-1), pa.int64()),
+                ],
+                names=["query_id", "neighbor_id", "adc_dist"],
+            )
+
+    scored = corpus.mapInArrow(
+        score, "query_id long, neighbor_id long, adc_dist long"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_nn)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def _codes_cte(m: int, k: int, stride: int, table: str) -> str:
+    """Shared SQL: quantized corpus + stride codebooks + per-vector PQ
+    codes (argmin exact-int subspace L2, tie -> lowest code)."""
+    d2 = (
+        "list_sum(list_transform(range(1, dims.ds + 1), "
+        "i -> (q.qv[CAST(s.s * dims.ds + i AS INT)] "
+        "- cb.cv[CAST(s.s * dims.ds + i AS INT)]) * "
+        "(q.qv[CAST(s.s * dims.ds + i AS INT)] "
+        "- cb.cv[CAST(s.s * dims.ds + i AS INT)])))"
+    )
+    return f"""q AS (
+  SELECT vec_id, {QUANT_SQL} AS qv FROM {table}
+), dims AS (
+  SELECT len(qv) // {m} AS ds FROM q LIMIT 1
+), cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv AS cv
+  FROM q WHERE vec_id % {stride} = 0 ORDER BY vec_id LIMIT {k}
+), dist AS (
+  SELECT q.vec_id, s.s, cb.j, {d2} AS d2
+  FROM q CROSS JOIN dims CROSS JOIN range(0, {m}) s(s) CROSS JOIN cb
+), codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+    FROM dist
+  ) WHERE rn = 1
+)"""
+
+
+def pq_encode_sql(
+    m: int = 8, k: int = 16, stride: int = 31, table: str = "embeddings"
+) -> str:
+    """DuckDB oracle for :func:`pq_encode` (stride codebooks)."""
+    return f"""
+WITH {_codes_cte(m, k, stride, table)}
+SELECT vec_id,
+       array_to_string(list(code ORDER BY s), ',') AS codes_csv
+FROM codes GROUP BY vec_id
+"""
+
+
+def pq_topk_sql(
+    k_nn: int = 5,
+    n_queries: int = 10,
+    m: int = 8,
+    k: int = 16,
+    stride: int = 31,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for :func:`pq_topk` — same codes, exact ADC
+    tables, same tie rules."""
+    return f"""
+WITH {_codes_cte(m, k, stride, table)},
+qt AS (
+  SELECT vec_id AS query_id, s, j, d2 FROM dist WHERE vec_id < {n_queries}
+), adc AS (
+  SELECT qt.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(qt.d2) AS BIGINT) AS adc_dist
+  FROM codes c JOIN qt ON qt.s = c.s AND qt.j = c.code
+  GROUP BY 1, 2
+  HAVING COUNT(*) = {m}
+)
+SELECT query_id, neighbor_id, rank, adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc WHERE neighbor_id <> query_id
+) WHERE rank <= {k_nn}
+"""

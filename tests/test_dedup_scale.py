@@ -251,3 +251,75 @@ def test_train_kmeans_centroids_and_feed_injection(spark):
     # the trained matrix is exactly what centroids= consumes
     dropped = semantic_dedup(emb, centroids=cents)
     assert dropped.count() >= 0
+
+
+def test_pq_trained_codebooks_and_adc_quality(spark):
+    """PQ production path: float k-means codebooks train on a capped
+    sample, inject into encode/search, and ADC ranking with trained
+    codebooks finds true nearest neighbors far better than chance
+    (recall@5 of the exact top-1 on this 500-vector corpus)."""
+    import numpy as np
+
+    from orc_format_spark.functions.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = train_pq_codebooks(emb, m=8, k=16, iters=5)
+    assert cb.shape == (8, 16, 8)
+    codes = pq_encode(emb, m=8, k=16, codebooks=cb)
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(
+        0 <= int(c) < 16 for r in rows for c in r.codes_csv.split(",")
+    )
+    # deterministic: same codebooks -> same codes
+    again = pq_encode(emb, m=8, k=16, codebooks=cb).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # exact ground truth in the SAME metric ADC approximates: L2 over
+    # the quantized (floor(x*1000)) vectors
+    vecs = {r.vec_id: np.floor(np.array(r.embedding, np.float64) * 1000.0)
+            for r in emb.collect()}
+    ids = np.array(sorted(vecs), np.int64)
+    mat = np.stack([vecs[i] for i in ids])
+    exact_top1 = {}
+    for qi in range(20):
+        qpos = int(np.searchsorted(ids, qi))
+        d2 = ((mat - mat[qpos]) ** 2).sum(axis=1)
+        d2[qpos] = np.iinfo(np.int64).max
+        order = np.lexsort((ids, d2))
+        exact_top1[qi] = int(ids[order[0]])
+    # search at higher resolution (m=16, k=64 -> 96 bits/vector, still
+    # ~10x smaller than raw): these synthetic embeddings are near-
+    # uniform random — the hardest case for PQ, whose distance gaps
+    # concentrate — so recall needs more bits than real clustered
+    # embeddings would (measured here: 45% at 32 bits, 85% at 96)
+    cb16 = train_pq_codebooks(emb, m=16, k=64, iters=5)
+    pq5 = {}
+    for r in pq_topk(
+        emb, k_nn=5, n_queries=20, m=16, k=64, codebooks=cb16
+    ).collect():
+        pq5.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        1 for q, nb in exact_top1.items() if nb in pq5.get(q, set())
+    )
+    # chance of the exact top-1 landing in 5 of ~500 is ~1%
+    assert hits >= len(exact_top1) * 0.6, (hits, len(exact_top1))
+
+
+def test_pq_validation_errors(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from orc_format_spark.functions.pq import pq_encode, train_pq_codebooks
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_encode(emb, m=7)
+    with _pytest.raises(ValueError, match="< k="):
+        pq_encode(emb, k=64, stride=97)  # sample smaller than k
+    with _pytest.raises(ValueError, match="must be \\(m="):
+        pq_encode(emb, m=8, codebooks=np.zeros((4, 16, 8)))
