@@ -69,6 +69,7 @@ HEADLINE = [
     "sink_encode_roundtrip",
     "datasource_roundtrip",
     "file_prune_scan",
+    "zorder_prune_scan",
     "compact_roundtrip",
     "clustered_encode",
     "minhash_lsh",
