@@ -441,10 +441,12 @@ def q_zorder_prune_scan(spark, sf_dir):
     (operators/zorder.py), one range shuffle on the z-key. Each blob
     file then covers a tight hyper-rectangle, so the manifest's
     per-file [min,max] prunes reads filtered on ANY participating
-    column — measured at sf0.01: a 1/4 x 1/4 box keeps 3/16 files
+    column — measured at sf0.01: a 1/4 x 1/4 box keeps 2-3/16 files
     (vs 5/16 for single-column range clustering, which keeps 16/16
-    on the off-axis column). Reference N/A (single-file writer, no
-    clustering); oracle = plain SQL over the same box."""
+    on the off-axis column). bits=8 (256 rank buckets/column) is
+    plenty for 16 files and keeps the quantile sketch cheap.
+    Reference N/A (single-file writer, no clustering); oracle =
+    plain SQL over the same box."""
     import os
     import tempfile
 
@@ -458,7 +460,7 @@ def q_zorder_prune_scan(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey", "l_quantity"
     )
-    zorder_write(li, d, ["l_orderkey", "l_partkey"], num_files=16)
+    zorder_write(li, d, ["l_orderkey", "l_partkey"], num_files=16, bits=8)
     hi_ok, hi_pk = li.agg(F.max("l_orderkey"), F.max("l_partkey")).first()
     return (
         spark.read.format("orc_format")
