@@ -65,28 +65,44 @@ def _transform(v64: np.ndarray, e: int, f: int):
     return d_int, exact
 
 
+# all 153 (e, f) candidates with f <= e, in the (e asc, f asc) order the
+# original per-pair loop scanned — np.argmin's first-minimum tie-break
+# then reproduces that loop's selection exactly
+_CAND = [(e, f) for e in range(MAX_EXPONENT + 1) for f in range(e + 1)]
+_CAND_E = np.array([e for e, _ in _CAND])
+_CAND_F = np.array([f for _, f in _CAND])
+
+
 def _choose_exponents(v64: np.ndarray, sample: int = 1024) -> tuple[int, int]:
     """Best (e, f) on a bounded head sample: minimize estimated bits =
     bitwidth(digit span) * n + 80 * n_exceptions (paper's cost model,
-    exception = 64-bit pattern + position)."""
-    s = v64[: min(v64.size, sample)]
-    best = (0, 0)
-    best_cost = float("inf")
+    exception = 64-bit pattern + position).
+
+    All 153 candidates are scored in ONE vectorized pass (a
+    candidates x sample matrix, ~1 MB at the default sample) instead of
+    153 separate numpy call chains — same selection, ~50x less chooser
+    overhead, which dominated encode wall on low-entropy columns."""
+    s = np.ascontiguousarray(v64[: min(v64.size, sample)])
     n = s.size
-    for e in range(MAX_EXPONENT + 1):
-        for f in range(e + 1):
-            d, exact = _transform(s, e, f)
-            n_exc = int(n - exact.sum())
-            if n_exc == n:
-                continue
-            de = d[exact]
-            span = int(de.max() - de.min())
-            width = max(1, span.bit_length())
-            cost = width * n + 80 * n_exc
-            if cost < best_cost:
-                best_cost = cost
-                best = (e, f)
-    return best
+    pe = _POW10[_CAND_E][:, None]
+    ipf = _IPOW10[_CAND_F][:, None]
+    with np.errstate(over="ignore", invalid="ignore"):
+        scaled = s[None, :] * pe * ipf
+        in_range = np.isfinite(scaled) & (np.abs(scaled) < _SAFE_DIGITS)
+        d_int = np.round(np.where(in_range, scaled, 0.0)).astype(np.int64)
+        # the same two-constant product decode_alp evaluates (10^e*10^-f
+        # is NOT 10^(e-f) bit-for-bit, so the constants must match)
+        recon = d_int * _POW10[_CAND_F][:, None] * _IPOW10[_CAND_E][:, None]
+    exact = in_range & (recon.view(np.int64) == s.view(np.int64)[None, :])
+    n_exc = n - exact.sum(axis=1)
+    hi = np.where(exact, d_int, np.int64(-(1 << 62))).max(axis=1)
+    lo = np.where(exact, d_int, np.int64(1 << 62)).min(axis=1)
+    span = np.maximum(hi - lo, 0)
+    width = np.array([max(1, int(x).bit_length()) for x in span])
+    cost = np.where(n_exc == n, np.inf, width * n + 80 * n_exc)
+    if not np.isfinite(cost).any():
+        return (0, 0)
+    return _CAND[int(np.argmin(cost))]
 
 
 def encode_alp(values: np.ndarray, double: bool = True) -> bytes:
