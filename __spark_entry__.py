@@ -1732,7 +1732,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver-verified) per-type codec roundtrips last — those remain
     covered by pytest + check_oracles every round regardless."""
     return {
-        # -- never driver-verified before round 4 (r02/r03 window misses)
+        # -- new this round (never driver-verified), then the round-3
+        # -- window misses
+        "zorder_prune_scan": q_zorder_prune_scan,
         "sink_encode_roundtrip": q_sink_encode_roundtrip,
         "compact_roundtrip": q_compact_roundtrip,
         "struct_map_roundtrip": q_struct_map_roundtrip,
@@ -1781,14 +1783,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_contains": q_token_contains,
         "datasource_roundtrip": q_datasource_roundtrip,
         "file_prune_scan": q_file_prune_scan,
-        "zorder_prune_scan": q_zorder_prune_scan,
         "codec_lineage": q_codec_lineage,
         "curation_pipeline": q_curation_pipeline,
+        # ---- driver window boundary (~50) — below: 3x driver-green ----
         "stream_encode_roundtrip": q_stream_encode_roundtrip,
         "stream_dedup": q_stream_dedup,
         "encode_job_roundtrip": q_encode_job_roundtrip,
         "iceberg_manifest_scan": q_iceberg_manifest_scan,
-        # ---- driver window boundary (~50) — below: 3x driver-green ----
         "rle_v1_roundtrip": q_rle_v1_roundtrip,
         "float_codecs_roundtrip": q_float_codecs_roundtrip,
         "for_bitpack_roundtrip": q_for_bitpack_roundtrip,

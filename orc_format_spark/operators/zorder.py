@@ -13,8 +13,9 @@ bucketing to make the curve skew-robust).
 
 Scale shape (the 100 TB story):
 - boundary computation is one distributed ``approxQuantile`` sketch
-  (driver receives ``cols × (2^bits - 1)`` doubles — bits<=12 keeps that
-  ~32 KB/col, asserted);
+  (driver receives ``cols × (2^bits - 1)`` doubles: ~32 KB/col at the
+  default bits=12, ~512 KB/col at the bits=16 cap — always metadata
+  scale; 8-12 bits is ample for any realistic file count);
 - bucket lookup + bit interleave run map-side in one ``mapInArrow`` pass
   (``np.searchsorted`` + vectorized bit spread, no Python per row);
 - the only shuffle is the caller's final ``repartitionByRange`` on the
@@ -33,7 +34,27 @@ import numpy as np
 import pyarrow as pa
 from pyspark.sql import DataFrame
 
-MAX_BITS = 16  # per-column; 16 bits x 4 cols = 64-bit z fits a LongType
+MAX_BITS = 16  # per-column; bits*cols must stay <= 63 (signed LongType z)
+
+# arrow timestamp unit -> divisor to epoch SECONDS, matching Spark's
+# cast(timestamp as double) that zorder_boundaries uses — the kernel
+# must bucket in the same units the cut points were computed in
+_TS_DIVISOR = {"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}
+
+
+def _check_zorder_types(df: DataFrame, cols: Sequence[str]) -> None:
+    """Numeric and timestamp columns only, loudly. Dates/strings/etc.
+    would either fail Spark's cast or bucket under a different value
+    representation than the kernel sees — silent layout corruption."""
+    kinds = dict(df.select(*cols).dtypes)
+    ok = {"tinyint", "smallint", "int", "bigint", "float", "double", "timestamp"}
+    for c in cols:
+        base = kinds[c].split("(")[0]
+        if base not in ok and not base.startswith("decimal"):
+            raise ValueError(
+                f"zorder: column {c!r} has type {kinds[c]} — only numeric "
+                "and timestamp columns have a defined z-curve position"
+            )
 
 
 def zorder_boundaries(
@@ -49,7 +70,7 @@ def zorder_boundaries(
     """
     if not 1 <= bits <= MAX_BITS:
         raise ValueError(f"bits must be in [1, {MAX_BITS}], got {bits}")
-    n_cuts = (1 << bits) - 1
+    _check_zorder_types(df, cols)
     probs = [i / (1 << bits) for i in range(1, (1 << bits))]
     casted = df.select(*[df[c].cast("double").alias(c) for c in cols])
     qs = casted.approxQuantile(list(cols), probs, rel_err)
@@ -90,10 +111,26 @@ def with_zorder_key(
     cols = list(cols)
     if not 2 <= len(cols) <= 4:
         raise ValueError("zorder takes 2-4 columns")
-    if bits * len(cols) > 64:
-        raise ValueError(f"bits*cols = {bits * len(cols)} exceeds 64-bit z-key")
+    if bits * len(cols) > 63:
+        # bit 63 would flip the sign of the int64 z-key and signed range
+        # partitioning would join the curve's two ends in one file
+        raise ValueError(
+            f"bits*cols = {bits * len(cols)} exceeds the 63 usable bits "
+            "of a signed 64-bit z-key"
+        )
+    _check_zorder_types(df, cols)
     if boundaries is None:
         boundaries = zorder_boundaries(df, cols, bits)
+    else:
+        want = (1 << bits) - 1
+        for c in cols:
+            if len(boundaries[c]) != want:
+                raise ValueError(
+                    f"zorder: boundaries[{c!r}] has {len(boundaries[c])} cut "
+                    f"points but bits={bits} needs exactly {want} — a "
+                    "mismatch silently truncates bucket bits; pass the bits "
+                    "the boundaries were computed with"
+                )
     bcuts = {c: np.asarray(b, np.float64) for c, b in boundaries.items()}
 
     from pyspark.sql.types import LongType, StructField, StructType
@@ -110,7 +147,20 @@ def with_zorder_key(
                         f"zorder: NULL in column {c!r} — a z-curve position "
                         "for NULL is undefined; filter or fill first"
                     )
-                v = a.to_numpy(zero_copy_only=False).astype(np.float64)
+                if pa.types.is_timestamp(a.type):
+                    # boundaries were computed from Spark's
+                    # cast(timestamp as double) = epoch SECONDS; the raw
+                    # arrow payload is epoch ticks in the column's unit
+                    v = a.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    v = v.astype(np.float64) / _TS_DIVISOR[a.type.unit]
+                else:
+                    v = a.to_numpy(zero_copy_only=False).astype(np.float64)
+                    if np.isnan(v).any():
+                        raise ValueError(
+                            f"zorder: NaN in column {c!r} — NaN has no "
+                            "z-curve position (it would silently collapse "
+                            "into the top bucket); filter or fill first"
+                        )
                 arrs.append(np.searchsorted(bcuts[c], v, side="right").astype(np.uint64))
             z = _interleave(arrs, bits).view(np.int64)
             yield pa.RecordBatch.from_arrays(

@@ -49,13 +49,55 @@ def test_contracts(zs):
     )
     with pytest.raises(ValueError, match="2-4 columns"):
         with_zorder_key(df, ["a"])
-    with pytest.raises(ValueError, match="exceeds 64-bit"):
-        with_zorder_key(df, ["a", "b"], bits=33)
+    with pytest.raises(ValueError, match="63 usable bits"):
+        with_zorder_key(df, ["a", "b"], bits=32)
     with pytest.raises(ValueError, match="bits must be"):
         zorder_boundaries(df, ["a", "b"], bits=0)
     nulls = df.withColumn("b", F.when(F.col("a") < 5, F.col("b")))
     with pytest.raises(Exception, match="NULL in column"):
         with_zorder_key(nulls, ["a", "b"], bits=4).collect()
+    # NaN has no curve position either — loud, not a silent top bucket
+    nan_df = df.withColumn(
+        "b", F.when(F.col("a") < 5, F.col("b").cast("double")).otherwise(
+            F.lit(float("nan"))
+        )
+    )
+    with pytest.raises(Exception, match="NaN in column"):
+        with_zorder_key(nan_df, ["a", "b"], bits=4).collect()
+    # non-numeric columns rejected up front
+    s_df = df.withColumn("s", F.col("a").cast("string"))
+    with pytest.raises(ValueError, match="z-curve position"):
+        with_zorder_key(s_df, ["a", "s"], bits=4)
+    # reused boundaries must match the bits they were computed with
+    b = zorder_boundaries(df, ["a", "b"], bits=6)
+    with pytest.raises(ValueError, match="cut points but bits"):
+        with_zorder_key(df, ["a", "b"], bits=4, boundaries=b)
+
+
+def test_timestamp_units_consistent(zs):
+    """Boundaries come from Spark's cast(ts as double) = epoch seconds;
+    the kernel must bucket in the same units, or every row lands in the
+    max bucket and the column silently stops contributing to the curve."""
+    df = zs.range(1000).select(
+        F.timestamp_seconds(F.lit(1_500_000_000) + F.col("id") * 3600).alias("ts"),
+        (F.col("id") % 50).alias("x"),
+    )
+    z = with_zorder_key(df, ["ts", "x"], bits=6)
+    import pandas as pd  # noqa: F401
+
+    keys = z.select("z").toPandas()["z"]
+    # ts spans ~42 days uniformly: its 6-bit rank bucket must actually
+    # vary (the bug collapsed every row into bucket 63)
+    ts_bits = [(int(k) >> 1) & 0b111 for k in keys]  # a few low ts bits
+    assert len(set(ts_bits)) > 1
+    # and the full key is bijective enough to order the time range:
+    # early rows and late rows must not share z-keys
+    early = z.filter(F.col("ts") < F.timestamp_seconds(F.lit(1_500_600_000)))
+    late = z.filter(F.col("ts") > F.timestamp_seconds(F.lit(1_503_000_000)))
+    emax = early.agg(F.max("z")).first()[0]
+    lmin = late.agg(F.min("z")).first()[0]
+    assert emax is not None and lmin is not None
+    assert emax != lmin
 
 
 def test_zorder_key_deterministic_and_local(zs):
