@@ -179,13 +179,18 @@ def zorder_write(
     num_files: int = 16,
     bits: int = 12,
     mode: str = "overwrite",
+    boundaries: dict[str, list[float]] | None = None,
 ) -> None:
     """Z-order-clustered write to the blob datasource: one range shuffle
     on the z-key, z dropped before encode (it is derivable metadata, not
     data). Each output file then covers a tight hyper-rectangle in every
     participating column, so the manifest's per-file [min,max] prunes
-    filtered reads on ANY of them at planning time."""
-    z = with_zorder_key(df, cols, bits=bits)
+    filtered reads on ANY of them at planning time.
+
+    For incremental appends, compute ``zorder_boundaries`` once and pass
+    the same ``boundaries`` to every write so new files land on the same
+    curve (validated against ``bits``)."""
+    z = with_zorder_key(df, cols, bits=bits, boundaries=boundaries)
     (
         z.repartitionByRange(num_files, "z")
         .sortWithinPartitions("z")
