@@ -16,6 +16,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+# NULL-text sentinel fingerprint (DuckDB side) — must mirror the Spark
+# sentinel in dedup_keep_first / exact_duplicate_groups: NULL content
+# is not equal content, each NULL-text doc stays its own group.
+_fp_sentinel_sql = (
+    "COALESCE(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), "
+    "'null:' || CAST(doc_id AS VARCHAR))"
+)
+
 
 def _roundtrip(
     df: DataFrame,
@@ -1073,7 +1081,10 @@ def _curation_v2_sql() -> str:
     clean = "text"
     for pat, repl, _ in _ORDER:
         clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
-    fp = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    from orc_format_spark.functions.dedup import fingerprint_sentinel_sql
+
+    fp = fingerprint_sentinel_sql()
+    fp_f = fingerprint_sentinel_sql(doc_id="f.doc_id", text="f.text")
     return f"""
 WITH a AS (SELECT doc_id, {_PII_TEXT_EXPR} AS text FROM documents),
 s AS (
@@ -1084,7 +1095,7 @@ s AS (
 f AS (SELECT * FROM s WHERE quality_e6 >= 500000),
 keep AS (SELECT {fp} AS fp, MIN(doc_id) AS doc_id FROM f GROUP BY 1)
 SELECT f.doc_id, f.n_pii, f.quality_e6, f.text AS clean_text
-FROM f JOIN keep ON keep.doc_id = f.doc_id AND keep.fp = {fp}
+FROM f JOIN keep ON keep.doc_id = f.doc_id AND keep.fp = {fp_f}
 """
 
 
@@ -2066,7 +2077,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, text FROM documents WHERE {quality_e6_sql()} >= 400000"
             "), dd AS ("
             "SELECT doc_id, text, row_number() OVER ("
-            "PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+            f"PARTITION BY {_fp_sentinel_sql} "
             "ORDER BY doc_id) AS rn FROM kept) "
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM dd WHERE rn = 1"
         ),
@@ -2078,7 +2089,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT doc_id + 1000000 AS doc_id, text FROM documents "
             "WHERE doc_id % 7 = 0) "
-            "SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint, "
+            f"SELECT {_fp_sentinel_sql} AS fingerprint, "
             "COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id "
             "FROM alldocs GROUP BY 1"
         ),

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -236,7 +237,9 @@ def run_encode(spark, sf_dir: str, split_only: bool | None = None):
         t0 = time.monotonic()
         agg = sink_pass()
         draws.append(time.monotonic() - t0)
-    dt = sorted(draws)[len(draws) // 2]
+    # true median: for even draw counts (the scaling sweep uses 2)
+    # sorted()[n//2] would be the MAX, biasing numbers pessimistically
+    dt = statistics.median(draws)
     n_tok = int(agg["n_values"])
 
     out = {

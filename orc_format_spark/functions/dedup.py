@@ -57,9 +57,15 @@ def _minhash_affine(s: int) -> tuple[int, int]:
 
 
 def exact_duplicate_groups(docs: DataFrame) -> DataFrame:
-    """One row per distinct content: copies count + the doc kept."""
+    """One row per distinct content: copies count + the doc kept.
+    NULL text is not equal content — each NULL-text doc is its own
+    group via the same per-doc sentinel as :func:`dedup_keep_first`."""
+    key = F.coalesce(
+        fingerprint(F.col("text")),
+        F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+    )
     return (
-        docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+        docs.select("doc_id", key.alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.count("*").alias("n_copies"),
@@ -572,10 +578,21 @@ FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
 """
 
 
+def fingerprint_sentinel_sql(
+    doc_id: str = "doc_id", text: str = "text"
+) -> str:
+    """DuckDB twin of the Spark-side NULL-text sentinel fingerprint:
+    md5 of normalized text, or a per-doc 'null:<doc_id>' key so NULL
+    content never merges into one duplicate group (mirrors
+    :func:`dedup_keep_first` / :func:`exact_duplicate_groups`)."""
+    fp = f"md5(regexp_replace(lower({text}), '\\s+', ' ', 'g'))"
+    return f"COALESCE({fp}, 'null:' || CAST({doc_id} AS VARCHAR))"
+
+
 def exact_duplicate_groups_sql(table: str = "documents") -> str:
-    fp = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
     return (
-        f"SELECT {fp} AS fingerprint, COUNT(*) AS n_copies, "
+        f"SELECT {fingerprint_sentinel_sql()} AS fingerprint, "
+        f"COUNT(*) AS n_copies, "
         f"MIN(doc_id) AS keep_doc_id FROM {table} GROUP BY 1"
     )
 
@@ -701,7 +718,7 @@ def dedup_ladder_sql(
     :func:`lsh_candidate_pairs_sql` pipeline over the deduped docs, and
     a ``list_intersect`` verify with the identical int/int double
     division + floor as the Spark side."""
-    fp = "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    fp = fingerprint_sentinel_sql()
     lsh = lsh_candidate_pairs_sql(n=n, num_perm=num_perm, bands=bands, table="dd")
     return f"""
 WITH dd AS (

@@ -130,12 +130,15 @@ def train_kmeans_centroids(
 
         def reduce_cluster(tbl: pa.Table) -> pa.Table:
             limit_worker_threads()
-            order = pa.compute.sort_indices(tbl.column("pid"))
+            # explicit submodule import: bare `pyarrow` does not expose
+            # .compute until something imports it; don't rely on the
+            # pyspark worker having done so
+            import pyarrow.compute as pc
+
+            order = pc.sort_indices(tbl.column("pid"))
             t = tbl.take(order)  # pin float accumulation order
             cid = t.column("cid")[0].as_py()
-            n = int(
-                pa.compute.sum(t.column("n")).as_py()
-            )
+            n = int(pc.sum(t.column("n")).as_py())
             sv = t.column("s").combine_chunks()
             flat = sv.flatten().to_numpy(zero_copy_only=False)
             total = flat.reshape(len(sv), dims).sum(axis=0)

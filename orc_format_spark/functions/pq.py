@@ -234,19 +234,43 @@ def pq_topk(
             dists = np.zeros((len(q_ids), len(ids)), np.int64)
             for s in range(m):
                 dists += tables[:, s, :][:, codes[:, s]]
-            n = len(ids)
+            # Partial top-k INSIDE the kernel: the Exchange must carry
+            # <= Q*k rows per batch, never the Q*N candidate matrix (at
+            # a 100-TB corpus Q*N through one shuffle onto Q reducer
+            # keys is the scale-killer). Exactness: keep every row with
+            # dist <= the k-th smallest (boundary ties included), then
+            # order by the SAME (dist, id) lexicographic rule as the
+            # final window, so the global merge of per-batch partials
+            # is identical to ranking the full matrix.
+            out_q, out_i, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                keep = ids != q_ids[qi]  # self-match excluded map-side
+                dm, im = dists[qi][keep], ids[keep]
+                n = len(im)
+                if n == 0:
+                    continue
+                kk = min(k_nn, n)
+                thresh = np.partition(dm, kk - 1)[kk - 1]
+                cand = dm <= thresh
+                dc, ic = dm[cand], im[cand]
+                order = np.lexsort((ic, dc))[:kk]
+                out_q.append(np.full(kk, q_ids[qi], np.int64))
+                out_i.append(ic[order])
+                out_d.append(dc[order])
+            if not out_q:
+                continue
             yield pa.record_batch(
                 [
-                    pa.array(np.repeat(q_ids, n), pa.int64()),
-                    pa.array(np.tile(ids, len(q_ids)), pa.int64()),
-                    pa.array(dists.reshape(-1), pa.int64()),
+                    pa.array(np.concatenate(out_q), pa.int64()),
+                    pa.array(np.concatenate(out_i), pa.int64()),
+                    pa.array(np.concatenate(out_d), pa.int64()),
                 ],
                 names=["query_id", "neighbor_id", "adc_dist"],
             )
 
     scored = corpus.mapInArrow(
         score, "query_id long, neighbor_id long, adc_dist long"
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist"), F.col("neighbor_id")
     )

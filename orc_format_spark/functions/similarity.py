@@ -162,24 +162,83 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k neighbors for the first ``n_queries`` vectors."""
+    """Exact cosine top-k neighbors for the first ``n_queries`` vectors.
+
+    Scale shape: the scoring kernel is map-side (broadcast query matrix
+    into a mapInArrow numpy matmul) and cuts a PARTIAL top-k per Arrow
+    batch before anything reaches the Exchange — the shuffle carries at
+    most Q*k rows per batch, never the Q*N candidate matrix. The final
+    window then ranks a metadata-sized frame. Exactness is preserved:
+    the per-batch cut keeps every row tied with the k-th best (threshold
+    cut) and orders by the same (cos_e6 DESC, neighbor_id ASC) rule as
+    the global window; integer dot products are order-exact and the
+    float steps replicate the oracle's IEEE op order
+    (dot / (sqrt(na)*sqrt(nb)) * 1e6, floored)."""
+    import numpy as np
+    import pyarrow as pa
+
     corpus = _with_quant(emb, id_col, vec_col)
-    queries = corpus.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"),
-        F.col("q").alias("qq"),
-        F.col("norm2").alias("qnorm2"),
+    qrows = sorted(
+        (r[0], r[1], r[2])
+        for r in corpus.filter(
+            (F.col(id_col) < n_queries) & (F.col("norm2") > 0)
+        ).collect()  # bounded by n_queries — never corpus-scale
     )
-    scored = (
-        corpus.filter(F.col("norm2") > 0)
-        .crossJoin(F.broadcast(queries.filter(F.col("qnorm2") > 0)))
-        .filter(F.col(id_col) != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col(id_col).alias("neighbor_id"),
-            cosine_e6(
-                F.col("qq"), F.col("q"), F.col("qnorm2"), F.col("norm2")
-            ).alias("cos_e6"),
-        )
+    if not qrows:
+        raise ValueError(f"brute_force_topk: no queries with id < {n_queries}")
+    q_ids = np.array([r[0] for r in qrows], np.int64)
+    q_mat = np.array([r[1] for r in qrows], np.int64)  # (Q, D)
+    q_sqrt = np.sqrt(np.array([r[2] for r in qrows], np.float64))
+    dims = q_mat.shape[1]
+
+    def score(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            t = pa.Table.from_batches([batch])
+            vs = batch_qmatrix(t, dims)
+            ids = (
+                t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            n2 = (
+                t.column("norm2").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            live = n2 > 0
+            if not live.any():
+                continue
+            vs, ids, n2 = vs[live], ids[live], n2[live]
+            dot = (vs @ q_mat.T).astype(np.float64)  # (N, Q) exact int64
+            cos = dot / (np.sqrt(n2.astype(np.float64))[:, None] * q_sqrt[None, :])
+            ce6 = np.floor(cos * 1000000.0).astype(np.int64)
+            out_q, out_i, out_c = [], [], []
+            for qi in range(len(q_ids)):
+                keep = ids != q_ids[qi]
+                cm, im = ce6[keep, qi], ids[keep]
+                n = len(im)
+                if n == 0:
+                    continue
+                kk = min(k, n)
+                # keep all boundary ties: threshold = k-th LARGEST cos
+                thresh = np.partition(cm, n - kk)[n - kk]
+                cand = cm >= thresh
+                cc, ic = cm[cand], im[cand]
+                order = np.lexsort((ic, -cc))[:kk]
+                out_q.append(np.full(kk, q_ids[qi], np.int64))
+                out_i.append(ic[order])
+                out_c.append(cc[order])
+            if not out_q:
+                continue
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_q), pa.int64()),
+                    pa.array(np.concatenate(out_i), pa.int64()),
+                    pa.array(np.concatenate(out_c), pa.int64()),
+                ],
+                names=["query_id", "neighbor_id", "cos_e6"],
+            )
+
+    scored = corpus.mapInArrow(
+        score, "query_id long, neighbor_id long, cos_e6 long"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_e6").desc(), F.col("neighbor_id")

@@ -107,8 +107,14 @@ def compact_blobs(
     from pyspark.sql import Window
 
     w = Window.orderBy("group_id").rowsBetween(Window.unboundedPreceding, -1)
+    # groupBy first: `planned` must be UNIQUE on group_id or the join
+    # back to the payload fans out multiplicatively (duplicated rows in
+    # the compacted output). A lineage table that repeats a group_id
+    # (e.g. two encode epochs unioned) now packs by the group's TOTAL
+    # n_values and every blob of the group lands in the same bucket.
     planned = (
-        blobs.select("group_id", "n_values")
+        blobs.groupBy("group_id")
+        .agg(F.sum("n_values").alias("n_values"))
         .withColumn("cum", F.coalesce(F.sum("n_values").over(w), F.lit(0)))
         .select(
             "group_id",

@@ -702,6 +702,20 @@ def _decode_one_evolved(
     preds_eff = [p for p in preds if p[0] in have] or None
     cols_eff = None
     if columns is not None:
+        # A declared field the blob DOES store must be projected, or the
+        # null-fill below would silently fabricate data the blob has
+        # (mirrors the strict path's _check_decoded_names loud failure).
+        shadowed = [
+            f.name
+            for f in target
+            if f.name in have and f.name not in columns
+        ]
+        if shadowed:
+            raise ValueError(
+                "evolution decode: declared schema names columns the blob "
+                f"stores but `columns` excludes: {shadowed}; project them "
+                "or narrow the declared schema to the projection"
+            )
         keep = [c for c in columns if c in have]
         if preds_eff:  # decode_table requires predicate cols projected
             keep += [p[0] for p in preds_eff if p[0] not in keep]

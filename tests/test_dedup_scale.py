@@ -323,3 +323,45 @@ def test_pq_validation_errors(spark):
         pq_encode(emb, k=64, stride=97)  # sample smaller than k
     with _pytest.raises(ValueError, match="must be \\(m="):
         pq_encode(emb, m=8, codebooks=np.zeros((4, 16, 8)))
+
+
+def test_null_text_sentinel_matches_oracle(spark):
+    """NULL text is not equal content: each NULL-text doc survives
+    dedup as its own group, and the DuckDB oracles reproduce the same
+    sentinel (COALESCE(md5(..), 'null:'||doc_id)) so Spark and oracle
+    agree on a corpus CONTAINING NULL text (ADVICE r4: the oracles used
+    to merge all NULL-text docs into one md5(NULL) group)."""
+    import duckdb
+
+    from orc_format_spark.functions.dedup import (
+        dedup_keep_first,
+        exact_duplicate_groups,
+        exact_duplicate_groups_sql,
+    )
+
+    rows = [
+        (1, "alpha beta", "a"),
+        (2, "alpha beta", "a"),  # exact dup of 1
+        (3, None, "b"),
+        (4, None, "b"),  # NULL content: NOT a dup of 3
+        (5, "gamma", "c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    kept = sorted(r.doc_id for r in dedup_keep_first(docs).collect())
+    assert kept == [1, 3, 4, 5]  # both NULL docs kept, dup 2 dropped
+
+    groups = exact_duplicate_groups(docs).collect()
+    spark_set = {(r.fingerprint, r.n_copies, r.keep_doc_id) for r in groups}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'alpha beta', 'a'), (2, 'alpha beta', 'a'), "
+        "(3, NULL, 'b'), (4, NULL, 'b'), (5, 'gamma', 'c')"
+        ") t(doc_id, text, source)"
+    )
+    oracle = con.execute(exact_duplicate_groups_sql()).fetchall()
+    oracle_set = {(r[0], r[1], r[2]) for r in oracle}
+    assert spark_set == oracle_set
+    assert len(spark_set) == 4  # 'null:3' and 'null:4' are distinct groups

@@ -179,6 +179,11 @@ def test_schema_evolution_decode(spark):
     got = decode_blobs(mixed, "k long, s string", columns=["k", "s"], evolution=True)
     rows = {r.k: r.s for r in got.collect()}
     assert rows[3] is None and rows[52] == "s52"
+    # declared column stored in the blob but excluded from the
+    # projection must fail loudly, never null-fill real data (the same
+    # call raises "schema mismatch" on the strict path)
+    with _pytest.raises(Exception, match="excludes"):
+        decode_blobs(mixed, ddl, columns=["k"], evolution=True).collect()
 
     # sink-file variant
     import glob as _glob
