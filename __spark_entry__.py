@@ -878,6 +878,23 @@ def q_pq_ann(spark, sf_dir):
     return pq_topk(emb, k_nn=5, n_queries=10, m=8, k=16, stride=31)
 
 
+def q_ivf_pq_ann(spark, sf_dir):
+    """IVF-ADC composed index (faiss IndexIVFPQ layout): IVF prunes
+    which vectors are scored (nprobe nearest centroid lists), PQ prunes
+    the per-vector cost (m ADC table lookups over codes). One map-side
+    Arrow kernel assigns lists, PQ-encodes, scores, and cuts partial
+    top-k per batch; the Exchange carries <= Q*k rows per batch. The
+    oracle composes the IVF assignment CTEs with the PQ codes/ADC CTEs
+    — exact match on ranks and distances."""
+    from orc_format_spark.functions.pq import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_pq_topk(
+        emb, k_nn=5, n_queries=10, m=8, k=16, pq_stride=31,
+        centroid_stride=37, nprobe=4,
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Char-4-gram Jaccard near-dup pairs (first 80 docs) with the
     document-frequency ceiling active (the stop-gram safety valve the
@@ -1766,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "pq_encode": q_pq_encode,
         "pq_ann": q_pq_ann,
+        "ivf_pq_ann": q_ivf_pq_ann,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
         "resize_payload": q_resize_payload,
@@ -1840,7 +1858,11 @@ def oracle_sql() -> dict[str, str]:
         extract_features_sql,
         resize_payload_sql,
     )
-    from orc_format_spark.functions.pq import pq_encode_sql, pq_topk_sql
+    from orc_format_spark.functions.pq import (
+        ivf_pq_topk_sql,
+        pq_encode_sql,
+        pq_topk_sql,
+    )
     from orc_format_spark.functions.scrub import scrub_pii_sql
     from orc_format_spark.functions.semantic import semantic_dedup_sql
     from orc_format_spark.functions.similarity import (
@@ -2127,6 +2149,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": brute_force_topk_sql(k=5, n_queries=10),
         "pq_encode": pq_encode_sql(m=8, k=16, stride=31),
         "pq_ann": pq_topk_sql(k_nn=5, n_queries=10, m=8, k=16, stride=31),
+        "ivf_pq_ann": ivf_pq_topk_sql(
+            k_nn=5, n_queries=10, m=8, k=16, pq_stride=31,
+            centroid_stride=37, nprobe=4,
+        ),
         "ann_lsh": lsh_bucketed_topk_sql(k=5, n_queries=10, sign_dims=8, n_tables=4),
         "ann_ivf": ivf_topk_sql(k=5, n_queries=10, centroid_stride=59, nprobe=3),
         "multimodal_features": extract_features_sql(),

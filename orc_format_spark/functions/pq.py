@@ -350,3 +350,260 @@ SELECT query_id, neighbor_id, rank, adc_dist FROM (
   FROM adc WHERE neighbor_id <> query_id
 ) WHERE rank <= {k_nn}
 """
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    k_nn: int = 5,
+    n_queries: int = 10,
+    m: int = 8,
+    k: int = 16,
+    pq_stride: int = 31,
+    centroid_stride: int = 37,
+    nprobe: int = 4,
+    codebooks=None,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-ADC: the composed IVF x PQ index — the layout every
+    billion-vector ANN system runs (Jégou et al. 2011 §V; faiss
+    ``IndexIVFPQ``). IVF prunes WHICH vectors are scored (a query
+    probes its ``nprobe`` nearest centroid lists, touching
+    ~nprobe/n_lists of the corpus); PQ prunes HOW MUCH each scoring
+    costs (m table lookups over codes instead of a D-dim dot product).
+
+    Scale shape — everything is ONE map-side Arrow kernel over the
+    corpus: centroids, codebooks, query probe sets and query ADC
+    tables are all metadata (collected once, numpy-captured); per
+    batch the kernel assigns lists (argmax cosine affinity, the exact
+    :func:`similarity.ivf_topk` rule), PQ-encodes (argmin exact-int
+    subspace L2, the exact :func:`pq_encode` rule), gathers ADC
+    distances for the queries probing each vector's list, and cuts a
+    PARTIAL top-k (boundary ties kept) before anything reaches the
+    Exchange — the shuffle carries <= Q*k rows per batch, never
+    candidates. The final window ranks a metadata-sized frame.
+
+    Corpus contract: vectors with norm2 == 0 are excluded (cosine
+    affinity is undefined for them) — the IVF half's rule; the PQ
+    codebook stride sample is drawn from the SAME filtered corpus so
+    one corpus definition serves both halves (this is why results
+    differ slightly from ``pq_topk``'s unfiltered stride sample when
+    zero vectors exist). Deterministic end-to-end -> reproduced
+    bit-for-bit by :func:`ivf_pq_topk_sql`."""
+    import pyarrow as pa
+
+    from .similarity import resolve_centroids
+
+    corpus = _with_quant(emb, id_col, vec_col).filter(F.col("norm2") > 0)
+    cent_ids, cent_mat, cent_sqrt = resolve_centroids(
+        corpus, centroid_stride, centroids, id_col, vec_col
+    )
+    if codebooks is None:
+        rows = (
+            corpus.filter((F.col(id_col) % pq_stride) == 0)
+            .orderBy(id_col)
+            .limit(min(k, MAX_CENTROIDS))
+            .collect()
+        )
+        if len(rows) < k:
+            raise ValueError(
+                f"ivf_pq: stride sample has {len(rows)} vectors < k={k}; "
+                "lower pq_stride or inject codebooks="
+            )
+        mat = np.array([r[1] for r in rows], np.int64)
+        dims = mat.shape[1]
+        if dims % m != 0:
+            raise ValueError(f"ivf_pq: dims {dims} not divisible by m={m}")
+        ds = dims // m
+        cb = np.stack([mat[:, s * ds : (s + 1) * ds] for s in range(m)])
+    else:
+        cb = _as_codebooks(codebooks, m)
+        ds = cb.shape[2]
+    dims = m * ds
+
+    qrows = sorted(
+        (r[0], r[1], r[2])
+        for r in corpus.filter(F.col(id_col) < n_queries).collect()
+    )
+    if not qrows:
+        raise ValueError(f"ivf_pq: no query vectors with id < {n_queries}")
+    q_ids = np.array([r[0] for r in qrows], np.int64)
+    q_mat = np.array([r[1] for r in qrows], np.int64)
+    q_n2 = np.array([r[2] for r in qrows], np.int64)
+
+    # query probe sets: same affinity + tie rule as the corpus kernel
+    q_aff = np.floor(
+        (q_mat @ cent_mat.T).astype(np.float64)
+        / (np.sqrt(q_n2.astype(np.float64))[:, None] * cent_sqrt[None, :])
+        * 1000000.0
+    )
+    q_order = np.argsort(-q_aff, axis=1, kind="stable")
+    probe_sets = [
+        np.sort(cent_ids[q_order[qi, : min(nprobe, len(cent_ids))]])
+        for qi in range(len(q_ids))
+    ]
+    # (Q, m, k) ADC tables: exact integer subspace L2
+    tables = np.empty((len(q_ids), m, cb.shape[1]), np.int64)
+    for s in range(m):
+        qs = q_mat[:, s * ds : (s + 1) * ds]
+        tables[:, s, :] = ((qs[:, None, :] - cb[s][None, :, :]) ** 2).sum(
+            axis=2
+        )
+
+    def score(batches):
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            t = pa.Table.from_batches([batch])
+            vs = batch_qmatrix(t, dims)
+            ids = (
+                t.column(id_col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            n2 = (
+                t.column("norm2")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            # IVF assignment (argmax affinity, tie -> lowest cent_id)
+            aff = np.floor(
+                (vs @ cent_mat.T).astype(np.float64)
+                / (np.sqrt(n2)[:, None] * cent_sqrt[None, :])
+                * 1000000.0
+            )
+            order = np.argsort(-aff, axis=1, kind="stable")
+            list_id = cent_ids[order[:, 0]]
+            # PQ codes (argmin exact-int L2, tie -> lowest code)
+            codes = np.empty((len(vs), m), np.int64)
+            for s in range(m):
+                sub = vs[:, s * ds : (s + 1) * ds]
+                d2 = ((sub[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            out_q, out_i, out_d = [], [], []
+            for qi in range(len(q_ids)):
+                cand = np.isin(list_id, probe_sets[qi]) & (ids != q_ids[qi])
+                if not cand.any():
+                    continue
+                cc, ic = codes[cand], ids[cand]
+                dm = np.zeros(len(ic), np.int64)
+                for s in range(m):
+                    dm += tables[qi, s, cc[:, s]]
+                n = len(ic)
+                kk = min(k_nn, n)
+                thresh = np.partition(dm, kk - 1)[kk - 1]
+                keep = dm <= thresh
+                dk, ik = dm[keep], ic[keep]
+                o = np.lexsort((ik, dk))[:kk]
+                out_q.append(np.full(kk, q_ids[qi], np.int64))
+                out_i.append(ik[o])
+                out_d.append(dk[o])
+            if not out_q:
+                continue
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_q), pa.int64()),
+                    pa.array(np.concatenate(out_i), pa.int64()),
+                    pa.array(np.concatenate(out_d), pa.int64()),
+                ],
+                names=["query_id", "neighbor_id", "adc_dist"],
+            )
+
+    scored = corpus.mapInArrow(
+        score, "query_id long, neighbor_id long, adc_dist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_nn)
+        .select("query_id", "neighbor_id", "rank", "adc_dist")
+    )
+
+
+def ivf_pq_topk_sql(
+    k_nn: int = 5,
+    n_queries: int = 10,
+    m: int = 8,
+    k: int = 16,
+    pq_stride: int = 31,
+    centroid_stride: int = 37,
+    nprobe: int = 4,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for :func:`ivf_pq_topk` — composes the IVF
+    assignment/probe CTEs (same affinity + tie rules as
+    :func:`similarity.ivf_topk_sql`) with the PQ codes + exact ADC
+    tables (same rules as :func:`pq_topk_sql`), both over the
+    norm2 > 0 corpus."""
+    cos = (
+        "CAST(floor("
+        "list_sum(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[CAST(i AS INT)] * {b}[CAST(i AS INT)])) "
+        "/ (sqrt(CAST({na} AS DOUBLE)) * sqrt(CAST({nb} AS DOUBLE))) "
+        "* 1000000.0) AS BIGINT)"
+    )
+    aff = cos.format(a="nn.qv", b="c.cq", na="nn.norm2", nb="c.cnorm2")
+    d2 = (
+        "list_sum(list_transform(range(1, dims.ds + 1), "
+        "i -> (nn.qv[CAST(s.s * dims.ds + i AS INT)] "
+        "- cbk.cv[CAST(s.s * dims.ds + i AS INT)]) * "
+        "(nn.qv[CAST(s.s * dims.ds + i AS INT)] "
+        "- cbk.cv[CAST(s.s * dims.ds + i AS INT)])))"
+    )
+    return f"""
+WITH n AS (
+  SELECT vec_id, {QUANT_SQL} AS qv,
+         list_sum(list_transform({QUANT_SQL}, x -> x * x)) AS norm2
+  FROM {table}
+), nn AS (
+  SELECT * FROM n WHERE norm2 > 0
+), c AS (
+  SELECT vec_id AS cent_id, qv AS cq, norm2 AS cnorm2
+  FROM nn WHERE vec_id % {centroid_stride} = 0
+), aff AS (
+  SELECT nn.vec_id, c.cent_id,
+         row_number() OVER (PARTITION BY nn.vec_id
+                            ORDER BY {aff} DESC, c.cent_id) AS arank
+  FROM nn CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, cent_id AS list_id FROM aff WHERE arank = 1
+), pr AS (
+  SELECT vec_id AS query_id, cent_id AS probe
+  FROM aff WHERE vec_id < {n_queries} AND arank <= {nprobe}
+), dims AS (
+  SELECT len(qv) // {m} AS ds FROM nn LIMIT 1
+), cbk AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, qv AS cv
+  FROM nn WHERE vec_id % {pq_stride} = 0 ORDER BY vec_id LIMIT {k}
+), dist AS (
+  SELECT nn.vec_id, s.s, cbk.j, {d2} AS d2
+  FROM nn CROSS JOIN dims CROSS JOIN range(0, {m}) s(s) CROSS JOIN cbk
+), codes AS (
+  SELECT vec_id, s, j AS code FROM (
+    SELECT vec_id, s, j,
+           row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+    FROM dist
+  ) WHERE rn = 1
+), qt AS (
+  SELECT vec_id AS query_id, s, j, d2 FROM dist WHERE vec_id < {n_queries}
+), adc AS (
+  SELECT qt.query_id, cd.vec_id AS neighbor_id,
+         CAST(SUM(qt.d2) AS BIGINT) AS adc_dist
+  FROM codes cd
+  JOIN assigned a ON a.vec_id = cd.vec_id
+  JOIN pr ON pr.probe = a.list_id
+  JOIN qt ON qt.query_id = pr.query_id AND qt.s = cd.s AND qt.j = cd.code
+  WHERE cd.vec_id <> pr.query_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) = {m}
+)
+SELECT query_id, neighbor_id, rank, adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist, neighbor_id) AS rank
+  FROM adc
+) WHERE rank <= {k_nn}
+"""

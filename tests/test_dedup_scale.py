@@ -365,3 +365,39 @@ def test_null_text_sentinel_matches_oracle(spark):
     oracle_set = {(r[0], r[1], r[2]) for r in oracle}
     assert spark_set == oracle_set
     assert len(spark_set) == 4  # 'null:3' and 'null:4' are distinct groups
+
+
+def test_ivf_pq_full_probe_equals_pq_topk(spark):
+    """With nprobe >= number of lists, IVF pruning admits every vector,
+    so IVF-ADC must return exactly pq_topk's ranking (same codebooks,
+    same ADC tables) — the composition adds pruning, never different
+    scoring. (Corpus has no zero-norm vectors, so the norm2>0 filter
+    and the filtered codebook sample are no-ops here.)"""
+    from orc_format_spark.functions.pq import ivf_pq_topk, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in pq_topk(emb, k_nn=5, n_queries=8, m=8, k=16, stride=31).collect()
+    }
+    # centroid_stride=37 over 500 vectors -> 14 lists; nprobe=14 = all
+    full = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist)
+        for r in ivf_pq_topk(
+            emb, k_nn=5, n_queries=8, m=8, k=16, pq_stride=31,
+            centroid_stride=37, nprobe=14,
+        ).collect()
+    }
+    assert full == base
+
+    # pruned probe: results are a (possibly different-ranked) subset of
+    # scored candidates, but ranks stay dense 1..k per query
+    pruned = ivf_pq_topk(
+        emb, k_nn=5, n_queries=8, m=8, k=16, pq_stride=31,
+        centroid_stride=37, nprobe=2,
+    ).collect()
+    per_q = {}
+    for r in pruned:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
