@@ -1334,6 +1334,42 @@ def q_sink_encode_roundtrip(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_orc_file_roundtrip(spark, sf_dir):
+    """Real ORC files, validated by an INDEPENDENT reader: tokenize ->
+    write genuine .orc files per group (our RLEv1/boolean streams +
+    hand-rolled protobuf StripeFooter/Footer/PostScript, zstd block
+    compression) -> read them back with pyarrow.orc (Apache ORC C++,
+    zero code shared with the writer) -> detokenize == the original
+    documents. This is the reference's own validation loop (open
+    target/test.orc with another reader, src/bin/test_writer.rs)
+    promoted into the correctness gate."""
+    import shutil
+    import tempfile
+
+    from orc_format_spark import TOKENS_SCHEMA, detokenize, tokenize_documents
+    from orc_format_spark.sources.orc_file import (
+        read_orc_files,
+        write_orc_groups,
+    )
+
+    work = tempfile.mkdtemp(prefix="ofs_orc_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = tokenize_documents(docs)
+        files = write_orc_groups(
+            toks, f"{work}/orc", num_groups=4, key_col="doc_id",
+            size_col="n_tok", compression="zstd",
+        )
+        out = detokenize(read_orc_files(files, TOKENS_SCHEMA)).select(
+            "doc_id", "text"
+        )
+        out = out.cache()
+        out.count()  # materialize before the scratch dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_manifest_scan(spark, sf_dir):
     """Iceberg source driven for real (no jar): commit the lineitem
     parquet as a data file of a freshly written Iceberg v2 table (pure-
@@ -1751,70 +1787,16 @@ def q_codec_lineage(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ORDER IS LOAD-BEARING: the per-round driver records a
     CORRECTNESS row for (at most) the first 50 entries in dict order.
-    Round 3 had the LLM-pipeline operators past that window, so they
-    never got a driver-visible row despite passing the identical local
-    gate (scripts/check_oracles.py). Ordering rule since: queries whose
-    operators have the FEWEST recorded driver rows come first (the whole
-    LLM-pipeline section + this round's new queries), then the flagship
-    and per-family representatives, and the long-green (3 rounds of
-    driver-verified) per-type codec roundtrips last — those remain
-    covered by pytest + check_oracles every round regardless."""
+    Rotation rule (round 5): queries whose last driver row is OLDEST
+    come first — the 30 entries below round 4's window (last driver row
+    r03) lead, then this round's new queries (never driver-verified),
+    then the r04-green queries whose UNDERLYING CODE CHANGED this round
+    (dedup sentinel, pq/brute-force top-k, compact planner, evolution
+    decode) plus the flagship — so no query's driver row is ever more
+    than one round stale. The r04-green remainder sits below the window
+    (still covered every round by pytest + scripts/check_oracles.py)."""
     return {
-        # -- new this round (never driver-verified), then the round-3
-        # -- window misses
-        "zorder_prune_scan": q_zorder_prune_scan,
-        "sink_encode_roundtrip": q_sink_encode_roundtrip,
-        "compact_roundtrip": q_compact_roundtrip,
-        "struct_map_roundtrip": q_struct_map_roundtrip,
-        "text_profile": q_text_profile,
-        "repetition_profile": q_repetition_profile,
-        "exact_dedup": q_exact_dedup,
-        "dedup_ladder": q_dedup_ladder,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "embedding_neardup": q_embedding_neardup,
-        "semantic_dedup": q_semantic_dedup,
-        "pii_scrub": q_pii_scrub,
-        "curation_pipeline_v2": q_curation_pipeline_v2,
-        "winnow_fingerprint": q_winnow_fingerprint,
-        "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "pq_encode": q_pq_encode,
-        "pq_ann": q_pq_ann,
-        "ivf_pq_ann": q_ivf_pq_ann,
-        "multimodal_features": q_multimodal_features,
-        "frame_sample": q_frame_sample,
-        "resize_payload": q_resize_payload,
-        "seq_pack": q_seq_pack,
-        "pack_encode_roundtrip": q_pack_encode_roundtrip,
-        "token_histogram": q_token_histogram,
-        "mixture_sample": q_mixture_sample,
-        "train_val_split": q_train_val_split,
-        "epoch_shuffle": q_epoch_shuffle,
-        "token_remap": q_token_remap,
-        "decontaminate": q_decontaminate,
-        "compression_variants": q_compression_variants,
-        "schema_evolution": q_schema_evolution,
-        # -- flagship + one representative per component family (r03 green)
-        "tokens_roundtrip": q_tokens_roundtrip,
-        "clustered_encode": q_clustered_encode,
-        "rle_v2_roundtrip": q_rle_v2_roundtrip,
-        "alp_roundtrip": q_alp_roundtrip,
-        "fsst_roundtrip": q_fsst_roundtrip,
-        "dict_roundtrip": q_dict_roundtrip,
-        "composite_roundtrip": q_composite_roundtrip,
-        "union_roundtrip": q_union_roundtrip,
-        "rowslice_decode": q_rowslice_decode,
-        "predicate_decode": q_predicate_decode,
-        "bloom_filter_decode": q_bloom_filter_decode,
-        "token_contains": q_token_contains,
-        "datasource_roundtrip": q_datasource_roundtrip,
-        "file_prune_scan": q_file_prune_scan,
-        "codec_lineage": q_codec_lineage,
-        "curation_pipeline": q_curation_pipeline,
-        # ---- driver window boundary (~50) — below: 3x driver-green ----
+        # -- last driver row r03 (below round 4's window) --
         "stream_encode_roundtrip": q_stream_encode_roundtrip,
         "stream_dedup": q_stream_dedup,
         "encode_job_roundtrip": q_encode_job_roundtrip,
@@ -1845,6 +1827,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_partition_scan": q_iceberg_partition_scan,
         "iceberg_equality_delete": q_iceberg_equality_delete,
         "iceberg_incremental_encode": q_iceberg_incremental_encode,
+        # -- new this round (never driver-verified) --
+        "ivf_pq_ann": q_ivf_pq_ann,
+        "orc_file_roundtrip": q_orc_file_roundtrip,
+        # -- r04-green whose code changed this round, plus flagship --
+        "tokens_roundtrip": q_tokens_roundtrip,
+        "clustered_encode": q_clustered_encode,
+        "ann_topk": q_ann_topk,
+        "pq_ann": q_pq_ann,
+        "exact_dedup": q_exact_dedup,
+        "dedup_ladder": q_dedup_ladder,
+        "curation_pipeline": q_curation_pipeline,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
+        "compact_roundtrip": q_compact_roundtrip,
+        "schema_evolution": q_schema_evolution,
+        "sink_encode_roundtrip": q_sink_encode_roundtrip,
+        "datasource_roundtrip": q_datasource_roundtrip,
+        "bloom_filter_decode": q_bloom_filter_decode,
+        "file_prune_scan": q_file_prune_scan,
+        "token_contains": q_token_contains,
+        "zorder_prune_scan": q_zorder_prune_scan,
+        "codec_lineage": q_codec_lineage,
+        "compression_variants": q_compression_variants,
+        # ---- driver window boundary (50) — below: r04 driver-green ----
+        "struct_map_roundtrip": q_struct_map_roundtrip,
+        "text_profile": q_text_profile,
+        "repetition_profile": q_repetition_profile,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "embedding_neardup": q_embedding_neardup,
+        "semantic_dedup": q_semantic_dedup,
+        "pii_scrub": q_pii_scrub,
+        "winnow_fingerprint": q_winnow_fingerprint,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "pq_encode": q_pq_encode,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
+        "resize_payload": q_resize_payload,
+        "seq_pack": q_seq_pack,
+        "pack_encode_roundtrip": q_pack_encode_roundtrip,
+        "token_histogram": q_token_histogram,
+        "mixture_sample": q_mixture_sample,
+        "train_val_split": q_train_val_split,
+        "epoch_shuffle": q_epoch_shuffle,
+        "token_remap": q_token_remap,
+        "decontaminate": q_decontaminate,
+        "rle_v2_roundtrip": q_rle_v2_roundtrip,
+        "alp_roundtrip": q_alp_roundtrip,
+        "fsst_roundtrip": q_fsst_roundtrip,
+        "dict_roundtrip": q_dict_roundtrip,
+        "composite_roundtrip": q_composite_roundtrip,
+        "union_roundtrip": q_union_roundtrip,
+        "rowslice_decode": q_rowslice_decode,
+        "predicate_decode": q_predicate_decode,
     }
 
 
@@ -1909,6 +1946,7 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "tokens_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+        "orc_file_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "clustered_encode": (
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "

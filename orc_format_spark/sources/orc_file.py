@@ -1,0 +1,430 @@
+"""Real ORC file assembly — the protobuf tail around our bit-exact
+streams, so an EXTERNAL reader (pyarrow.orc, i.e. Apache ORC C++) can
+open what we write.
+
+The reference's own validation loop was "open ``target/test.orc`` with
+another reader" (/root/reference/src/bin/test_writer.rs); this module
+closes that loop for the repo: our RLEv1/boolean/byte streams are
+already bit-identical to the reference's golden vectors, and here they
+are framed into genuine stripes + StripeFooter / Footer / PostScript
+(reference /root/reference/src/writer.rs:92-114, stripe.rs:55-78,
+protos/orc_proto.proto) — hand-rolled proto2 wire encoding, no
+protobuf dependency.
+
+Scope (the types a tokens pipeline emits): boolean, int8..int64,
+float, double, string, binary, date32, list<...>, struct<...> —
+DIRECT encodings only (RLEv1), no dictionary, no row index
+(rowIndexStride=0), optional ORC block compression (none / zlib /
+snappy / zstd with the reference's 256 KiB blocks). Timestamps and
+decimals stay on the blob container path (their ORC stream split is
+implemented there; the proto tail for them is out of scope) and raise
+loudly here.
+
+Scale shape: one ORC file is written per task/group inside a
+``mapInArrow`` kernel (same sink pattern as ``encode_splits``) — the
+payload never crosses the JVM boundary, the driver only ever sees
+per-file lineage rows.
+"""
+
+from __future__ import annotations
+
+from typing import BinaryIO
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs.blocks import DEFAULT_BLOCK_SIZE, DEFAULT_ZSTD_LEVEL
+from ..codecs.rle_v1 import (
+    encode_boolean_rle,
+    encode_byte_rle,
+    encode_int_rle_v1,
+)
+
+# orc_proto.proto enum values (reference protos/orc_proto.proto)
+_KIND = {
+    "bool": 0, "int8": 1, "int16": 2, "int32": 3, "int64": 4,
+    "float": 5, "double": 6, "string": 7, "binary": 8,
+    "list": 10, "struct": 12, "date32[day]": 15,
+}
+_COMPRESSION = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}
+_PRESENT, _DATA, _LENGTH = 0, 1, 2  # Stream.Kind
+_DIRECT = 0  # ColumnEncoding.Kind
+
+
+# ------------------------------------------------------- proto2 wire fmt
+
+
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pv(field: int, value: int) -> bytes:
+    """varint-typed field"""
+    return _uvarint(field << 3) + _uvarint(value)
+
+
+def _pb(field: int, data: bytes) -> bytes:
+    """length-delimited field"""
+    return _uvarint((field << 3) | 2) + _uvarint(len(data)) + data
+
+
+# -------------------------------------------------------- ORC block comp
+
+
+def _orc_compress(
+    data: bytes, kind: str, block_size: int, level: int
+) -> bytes:
+    """Pure ORC block framing (3-byte LE ``len*2 + is_original`` headers,
+    store-original fallback) — the blob container's framing minus its
+    varint total-length prefix, which real ORC has no room for."""
+    if kind == "none":
+        return data
+    if kind == "zlib":
+        import zlib
+
+        def comp(b):  # ORC ZLIB is raw DEFLATE (no zlib wrapper)
+            c = zlib.compressobj(level if level <= 9 else 6, zlib.DEFLATED, -15)
+            return c.compress(b) + c.flush()
+
+    elif kind in ("snappy", "zstd", "lz4"):
+        codec = pa.Codec(
+            "zstd" if kind == "zstd" else
+            "lz4_raw" if kind == "lz4" else "snappy",
+            compression_level=level if kind == "zstd" else None,
+        )
+
+        def comp(b):
+            return codec.compress(b, asbytes=True)
+
+    else:
+        raise ValueError(f"orc_file: unsupported compression {kind!r}")
+    parts = []
+    for start in range(0, len(data), block_size):
+        block = data[start : start + block_size]
+        c = comp(block)
+        if len(c) >= len(block):  # store original
+            parts.append((len(block) * 2 + 1).to_bytes(3, "little"))
+            parts.append(block)
+        else:
+            parts.append((len(c) * 2).to_bytes(3, "little"))
+            parts.append(c)
+    return b"".join(parts)
+
+
+# ----------------------------------------------------------- type walk
+
+
+def _plan_types(schema: pa.Schema):
+    """Pre-order column-id assignment (root struct = column 0) ->
+    list of (kind, subtype_ids, field_names) proto Type nodes."""
+    nodes: list[tuple[int, list[int], list[str]]] = []
+
+    def walk(typ: pa.DataType) -> int:
+        my_id = len(nodes)
+        nodes.append((0, [], []))  # placeholder
+        if pa.types.is_struct(typ):
+            subs, names = [], []
+            for f in typ:
+                names.append(f.name)
+                subs.append(walk(f.type))
+            nodes[my_id] = (_KIND["struct"], subs, names)
+        elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            child = walk(typ.value_type)
+            nodes[my_id] = (_KIND["list"], [child], [])
+        else:
+            key = str(typ)
+            if key in ("large_string",):
+                key = "string"
+            if key in ("large_binary",):
+                key = "binary"
+            if key not in _KIND:
+                raise NotImplementedError(
+                    f"orc_file: type {typ} not supported in the real-ORC "
+                    "tail (timestamp/decimal stay on the blob container)"
+                )
+            nodes[my_id] = (_KIND[key], [], [])
+        return my_id
+
+    walk(pa.struct([pa.field(f.name, f.type) for f in schema]))
+    return nodes
+
+
+def _types_proto(nodes) -> bytes:
+    out = []
+    for kind, subs, names in nodes:
+        msg = _pv(1, kind)
+        for s in subs:
+            msg += _pv(2, s)
+        for nm in names:
+            msg += _pb(3, nm.encode())
+        out.append(_pb(4, msg))  # Footer.types
+    return b"".join(out)
+
+
+# ------------------------------------------------------- column streams
+
+
+def _validity(arr: pa.Array) -> np.ndarray:
+    if arr.null_count == 0:
+        return np.ones(len(arr), bool)
+    return np.asarray(arr.is_valid())
+
+
+def _column_streams(arr: pa.Array, col_id: int, streams: list) -> int:
+    """Append (kind, column, raw_bytes) streams for this column and its
+    children, pre-order. Returns the next free column id."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    valid = _validity(arr)
+    if arr.null_count:
+        streams.append((_PRESENT, col_id, encode_boolean_rle(valid)))
+        dense = arr.drop_null()
+    else:
+        dense = arr
+    t = arr.type
+    if pa.types.is_struct(t):
+        next_id = col_id + 1
+        for i in range(t.num_fields):
+            next_id = _column_streams(dense.field(i), next_id, streams)
+        return next_id
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        offs = np.asarray(dense.offsets)
+        lengths = np.diff(offs).astype(np.int64)
+        streams.append(
+            (_LENGTH, col_id, encode_int_rle_v1(lengths, signed=False))
+        )
+        return _column_streams(dense.flatten(), col_id + 1, streams)
+    if pa.types.is_boolean(t):
+        vals = np.asarray(dense.to_numpy(zero_copy_only=False), bool)
+        streams.append((_DATA, col_id, encode_boolean_rle(vals)))
+    elif pa.types.is_int8(t):
+        v = dense.to_numpy(zero_copy_only=False).astype(np.int8)
+        streams.append((_DATA, col_id, encode_byte_rle(v.view(np.uint8))))
+    elif pa.types.is_integer(t):
+        v = dense.to_numpy(zero_copy_only=False).astype(np.int64)
+        streams.append((_DATA, col_id, encode_int_rle_v1(v, signed=True)))
+    elif pa.types.is_float32(t) or pa.types.is_float64(t):
+        v = dense.to_numpy(zero_copy_only=False)
+        streams.append((_DATA, col_id, v.astype("<f4" if pa.types.is_float32(t) else "<f8").tobytes()))
+    elif pa.types.is_string(t) or pa.types.is_large_string(t) or \
+            pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        if pa.types.is_string(t) or pa.types.is_binary(t):
+            dense = dense.cast(
+                pa.large_string()
+                if pa.types.is_string(t)
+                else pa.large_binary()
+            )
+        buf = dense.combine_chunks() if isinstance(dense, pa.ChunkedArray) else dense
+        off_buf = buf.buffers()[1]
+        offs = np.frombuffer(off_buf, np.int64)[
+            buf.offset : buf.offset + len(buf) + 1
+        ]
+        lengths = np.diff(offs).astype(np.int64)
+        data = buf.buffers()[2]
+        raw = b"" if data is None else data.to_pybytes()[offs[0] : offs[-1]]
+        streams.append((_DATA, col_id, raw))
+        streams.append(
+            (_LENGTH, col_id, encode_int_rle_v1(lengths, signed=False))
+        )
+    elif pa.types.is_date32(t):
+        v = dense.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
+        streams.append((_DATA, col_id, encode_int_rle_v1(v, signed=True)))
+    else:
+        raise NotImplementedError(f"orc_file: type {t} not supported")
+    return col_id + 1
+
+
+# -------------------------------------------------------------- writer
+
+
+def write_orc(
+    table: pa.Table,
+    out: "str | BinaryIO",
+    compression: str = "none",
+    stripe_rows: int = 65_536,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    level: int = DEFAULT_ZSTD_LEVEL,
+) -> int:
+    """Write ``table`` as a genuine ORC file; returns bytes written.
+
+    Single-pass, stripes of ``stripe_rows`` rows; every stream is our
+    own encoder output (RLEv1 signed/unsigned, boolean RLE, byte RLE,
+    raw-LE floats) framed by the hand-rolled proto tail. Readable by
+    pyarrow.orc / Apache ORC C++."""
+    if compression not in _COMPRESSION:
+        raise ValueError(
+            f"orc_file: compression {compression!r} not in "
+            f"{sorted(_COMPRESSION)}"
+        )
+    nodes = _plan_types(table.schema)
+    close = False
+    if isinstance(out, str):
+        f: BinaryIO = open(out, "wb")
+        close = True
+    else:
+        f = out
+    try:
+        f.write(b"ORC")
+        pos = 3
+        stripe_infos = []
+        n_rows = table.num_rows
+        for start in range(0, max(n_rows, 1), stripe_rows):
+            batch_tbl = table.slice(start, stripe_rows)
+            if batch_tbl.num_rows == 0 and n_rows > 0:
+                break
+            root = pa.StructArray.from_arrays(
+                [
+                    c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                    for c in batch_tbl.columns
+                ],
+                names=list(batch_tbl.schema.names),
+            )
+            streams: list[tuple[int, int, bytes]] = []
+            _column_streams(root, 0, streams)
+            sf = b""
+            data_len = 0
+            payloads = []
+            for kind, col, raw in streams:
+                comp = _orc_compress(raw, compression, block_size, level)
+                payloads.append(comp)
+                stream_msg = _pv(1, kind) + _pv(2, col) + _pv(3, len(comp))
+                sf += _pb(1, stream_msg)
+                data_len += len(comp)
+            for _ in nodes:
+                sf += _pb(2, _pv(1, _DIRECT))  # ColumnEncoding per column
+            sf += _pb(3, b"UTC")
+            sf_bytes = _orc_compress(sf, compression, block_size, level)
+            for p in payloads:
+                f.write(p)
+            f.write(sf_bytes)
+            si = (
+                _pv(1, pos)
+                + _pv(2, 0)  # indexLength: no row index
+                + _pv(3, data_len)
+                + _pv(4, len(sf_bytes))
+                + _pv(5, batch_tbl.num_rows)
+            )
+            stripe_infos.append(si)
+            pos += data_len + len(sf_bytes)
+            if n_rows == 0:
+                break
+        content_len = pos
+        footer = _pv(1, 3) + _pv(2, content_len)
+        for si in stripe_infos:
+            footer += _pb(3, si)
+        footer += _types_proto(nodes)
+        footer += _pv(6, n_rows)
+        footer += _pv(8, 0)  # rowIndexStride: none
+        footer_bytes = _orc_compress(footer, compression, block_size, level)
+        f.write(footer_bytes)
+        ps = _pv(1, len(footer_bytes))
+        ps += _pv(2, _COMPRESSION[compression])
+        if compression != "none":
+            ps += _pv(3, block_size)
+        ps += _pv(4, 0) + _pv(4, 12)  # file version 0.12
+        ps += _pv(5, 0)  # metadataLength: no metadata section
+        ps += _pv(6, 1)  # writerVersion
+        ps += _pb(8000, b"ORC")
+        if len(ps) > 255:
+            raise AssertionError("postscript > 255 bytes")
+        f.write(ps)
+        f.write(bytes([len(ps)]))
+        return content_len + len(footer_bytes) + len(ps) + 1
+    finally:
+        if close:
+            f.close()
+
+
+# ------------------------------------------------------- Spark operators
+
+
+def write_orc_groups(
+    df,
+    out_dir: str,
+    num_groups: int | None = None,
+    key_col: str | None = None,
+    size_col: str | None = None,
+    compression: str = "zstd",
+    stripe_rows: int = 65_536,
+):
+    """Distributed real-ORC sink: salt rows into groups (the same
+    :func:`operators.partitioning.with_group_id` salting as
+    ``encode_groups``), ONE shuffle on group_id, then each group's task
+    writes ``<out_dir>/group-<id>.orc`` itself (atomic tmp+rename, the
+    payload never crosses the Python->JVM socket). Returns the lineage
+    frame (group_id, orc_path, n_rows, n_bytes).
+
+    This is the "hand our columns to the rest of the world" exit ramp:
+    the files are genuine ORC, openable by Hive/Trino/Spark's native
+    reader/pyarrow — and therefore also our third-party correctness
+    oracle (an independent reader must agree with what we wrote)."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ..operators.partitioning import with_group_id
+    from ..worker_env import limit_worker_threads
+
+    os.makedirs(out_dir, exist_ok=True)
+    if "group_id" not in df.columns:
+        if num_groups is None:
+            num_groups = max(1, df.rdd.getNumPartitions())
+        key = key_col or df.columns[0]
+        df = with_group_id(df, num_groups, key_col=key, size_col=size_col)
+    sort_key = key_col or [c for c in df.columns if c != "group_id"][0]
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        limit_worker_threads()
+        gid = tbl.column("group_id")[0].as_py() if tbl.num_rows else -1
+        data = tbl.drop_columns(["group_id"]).sort_by(
+            [(sort_key, "ascending")]
+        )
+        dest = os.path.join(out_dir, f"group-{gid:08d}.orc")
+        tmp = f"{dest}.tmp.{os.getpid()}"
+        n_bytes = write_orc(
+            data, tmp, compression=compression, stripe_rows=stripe_rows
+        )
+        os.replace(tmp, dest)
+        return pa.table(
+            {
+                "group_id": pa.array([gid], pa.int64()),
+                "orc_path": pa.array([dest], pa.string()),
+                "n_rows": pa.array([data.num_rows], pa.int64()),
+                "n_bytes": pa.array([n_bytes], pa.int64()),
+            }
+        )
+
+    return df.groupBy("group_id").applyInArrow(
+        fn, "group_id long, orc_path string, n_rows long, n_bytes long"
+    )
+
+
+def read_orc_files(files, schema: str):
+    """Decode sink-written ORC rows (``orc_path`` column) back into the
+    original table shape THROUGH THE INDEPENDENT READER: each worker
+    opens its files with pyarrow.orc (Apache ORC C++), not with any
+    code from this repo — so a pass through here is third-party
+    validation of the writer, the loop the reference ran by opening
+    target/test.orc with another reader (src/bin/test_writer.rs)."""
+    from collections.abc import Iterator
+
+    from ..worker_env import limit_worker_threads
+
+    def fn(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        import pyarrow.orc as po
+
+        limit_worker_threads()
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index("orc_path"))
+            for v in col:
+                yield from po.ORCFile(v.as_py()).read().to_batches()
+
+    return files.select("orc_path").mapInArrow(fn, schema)

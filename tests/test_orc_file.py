@@ -1,0 +1,137 @@
+"""Real-ORC writer (sources/orc_file.py) vs the INDEPENDENT Apache ORC
+C++ reader (pyarrow.orc) — the reference's own validation loop
+(src/bin/test_writer.rs opened target/test.orc with another reader)
+re-expressed as the correctness gate for the protobuf tail."""
+
+import datetime
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.orc as po
+import pytest
+
+from orc_format_spark.sources.orc_file import write_orc
+
+
+def _roundtrip(t: pa.Table, **kw) -> pa.Table:
+    p = tempfile.mktemp(suffix=".orc")
+    try:
+        write_orc(t, p, **kw)
+        return po.ORCFile(p).read()
+    finally:
+        if os.path.exists(p):
+            os.unlink(p)
+
+
+def test_all_types_all_compressions():
+    rng = np.random.default_rng(7)
+    n = 5_000
+    t = pa.table(
+        {
+            "i64": pa.array(rng.integers(-(2**40), 2**40, n), pa.int64()),
+            "i32": pa.array(rng.integers(-(2**20), 2**20, n), pa.int32()),
+            "i16": pa.array(rng.integers(-30000, 30000, n), pa.int16()),
+            "i8": pa.array(rng.integers(-128, 128, n), pa.int8()),
+            "f32": pa.array(rng.random(n), pa.float32()),
+            "f64": pa.array(rng.random(n), pa.float64()),
+            "s": pa.array([f"val{i % 97}" for i in range(n)]),
+            "b": pa.array([bytes([i % 251]) for i in range(n)], pa.binary()),
+            "d": pa.array(
+                [
+                    datetime.date(2020, 1, 1) + datetime.timedelta(days=int(x))
+                    for x in rng.integers(0, 1000, n)
+                ]
+            ),
+            "bl": pa.array(rng.random(n) > 0.5),
+            "lst": pa.array(
+                [[int(x) for x in rng.integers(0, 50000, i % 7)] for i in range(n)],
+                pa.list_(pa.int32()),
+            ),
+            "st": pa.array(
+                [{"x": int(i), "y": f"n{i % 100}"} for i in range(n)],
+                pa.struct([("x", pa.int64()), ("y", pa.string())]),
+            ),
+        }
+    )
+    for comp in ["none", "zlib", "snappy", "zstd"]:
+        rd = _roundtrip(t, compression=comp)
+        assert rd.cast(t.schema).equals(t), comp
+
+
+def test_multi_stripe_and_stripe_count():
+    t = pa.table({"a": pa.array(range(10_000), pa.int64())})
+    p = tempfile.mktemp(suffix=".orc")
+    try:
+        write_orc(t, p, stripe_rows=3_000)
+        f = po.ORCFile(p)
+        assert f.nstripes == 4
+        assert f.read().equals(t)
+    finally:
+        os.unlink(p)
+
+
+def test_nulls_nested_and_empty():
+    tn = pa.table(
+        {
+            "a": pa.array([None, None, None], pa.int64()),
+            "l": pa.array([None, [1, None, 3], None], pa.list_(pa.int64())),
+            "st": pa.array(
+                [None, {"x": None}, {"x": 5}], pa.struct([("x", pa.int64())])
+            ),
+        }
+    )
+    assert _roundtrip(tn, compression="zlib").cast(tn.schema).equals(tn)
+    te = tn.slice(0, 0)
+    rd = _roundtrip(te)
+    assert rd.num_rows == 0 and rd.schema.names == te.schema.names
+
+
+def test_unsupported_types_raise_loudly():
+    with pytest.raises(NotImplementedError, match="not supported"):
+        write_orc(
+            pa.table({"ts": pa.array([datetime.datetime(2024, 1, 1)])}),
+            tempfile.mktemp(),
+        )
+    with pytest.raises(ValueError, match="compression"):
+        write_orc(pa.table({"a": [1]}), tempfile.mktemp(), compression="lzo")
+
+
+def test_spark_orc_group_sink_roundtrip(spark):
+    """Distributed sink + independent-reader scan: tokenize sf0.001,
+    write per-group .orc files, read back via pyarrow.orc in workers,
+    detokenize == original. ALSO read the files with Spark's own native
+    ORC datasource — a SECOND independent reader."""
+    import glob
+
+    from orc_format_spark import detokenize, tokenize_documents, TOKENS_SCHEMA
+    from orc_format_spark.sources.orc_file import (
+        read_orc_files,
+        write_orc_groups,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with tempfile.TemporaryDirectory() as work:
+        files = write_orc_groups(
+            tokenize_documents(docs),
+            f"{work}/orc",
+            num_groups=4,
+            key_col="doc_id",
+            size_col="n_tok",
+            compression="zstd",
+        )
+        out = detokenize(read_orc_files(files, TOKENS_SCHEMA))
+        got = {r.doc_id: r.text for r in out.collect()}
+        want = {r.doc_id: r.text for r in docs.select(
+            docs.doc_id.cast("string").alias("doc_id"), "text").collect()}
+        assert got == want
+        # second independent reader: Spark's built-in ORC source
+        paths = sorted(glob.glob(f"{work}/orc/*.orc"))
+        assert len(paths) == 4
+        native = spark.read.orc(paths)
+        assert native.count() == docs.count()
+        n_tok = {r.doc_id: r.n_tok for r in native.select("doc_id", "n_tok").collect()}
+        want_tok = {r.doc_id: r.n_tok for r in
+                    tokenize_documents(docs).select("doc_id", "n_tok").collect()}
+        assert n_tok == want_tok
