@@ -217,3 +217,125 @@ def resize_payload_sql(target: int = 32, table: str = "documents") -> str:
         "), '')) AS resized_hex "
         f"FROM {table}"
     )
+
+
+# ------------------------------------------------------- real image decode
+
+
+def decode_image_array(payload: bytes) -> "np.ndarray":
+    """Decode an image payload to an (H, W, 3) uint8 RGB array.
+
+    Uncompressed container formats decode here in pure numpy — no
+    third-party dependency, testable with the committed fixtures under
+    tests/fixtures/:
+
+    - **PPM (P6)**: ASCII header (magic, width, height, maxval<=255,
+      '#' comments allowed) + raw RGB bytes.
+    - **BMP (BITMAPINFOHEADER, 24bpp, uncompressed)**: bottom-up BGR
+      rows padded to 4 bytes.
+
+    Compressed formats (PNG/JPEG/...) require a real codec: they route
+    through PIL and raise ``NotImplementedError`` when it is absent
+    (the original gate, preserved)."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    img = decode_image(payload)  # PIL gate (PNG/JPEG/...)
+    return np.asarray(img.convert("RGB"))
+
+
+def _decode_ppm(payload: bytes) -> "np.ndarray":
+    pos = 2
+    vals: list[int] = []
+    n = len(payload)
+    while len(vals) < 3:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < n and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("ppm: truncated header")
+        vals.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("ppm: 16-bit samples not supported")
+    need = w * h * 3
+    raw = np.frombuffer(payload, np.uint8, count=need, offset=pos)
+    return raw.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes) -> "np.ndarray":
+    if len(payload) < 54:
+        raise ValueError("bmp: truncated header")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise NotImplementedError("bmp: pre-BITMAPINFOHEADER not supported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"bmp: only uncompressed 24bpp supported (got {bpp}bpp comp={comp})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, np.uint8, count=row_bytes * h, offset=data_off)
+    rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """(doc_id, payload) -> (doc_id, height, width, mean_r, mean_g,
+    mean_b): decode each payload with :func:`decode_image_array` and
+    emit shape + integer channel means (sum // count — exact, so any
+    oracle can reproduce it). Arrow-batched; the per-image decode is a
+    numpy reshape over the payload bytes, not per-pixel Python. Payload
+    formats needing a real codec (PNG/JPEG) surface the preserved
+    NotImplementedError gate."""
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            pay = tbl.column("payload").combine_chunks()
+            ids = tbl.column("doc_id").combine_chunks().cast(pa.string())
+            hh, ww, mr, mg, mb = [], [], [], [], []
+            for v in pay:
+                img = decode_image_array(v.as_py())
+                h, w = img.shape[:2]
+                px = img.reshape(-1, 3).astype(np.int64)
+                npx = max(h * w, 1)
+                s = px.sum(axis=0)
+                hh.append(h); ww.append(w)
+                mr.append(int(s[0] // npx))
+                mg.append(int(s[1] // npx))
+                mb.append(int(s[2] // npx))
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(hh, pa.int32()),
+                    pa.array(ww, pa.int32()),
+                    pa.array(mr, pa.int64()),
+                    pa.array(mg, pa.int64()),
+                    pa.array(mb, pa.int64()),
+                ],
+                names=["doc_id", "height", "width", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return df.select("doc_id", "payload").mapInArrow(
+        fn,
+        "doc_id string, height int, width int, "
+        "mean_r long, mean_g long, mean_b long",
+    )
