@@ -84,6 +84,8 @@ HEADLINE = [
     "ann_ivf",
     "pq_encode",
     "pq_ann",
+    "ivf_pq_ann",
+    "orc_file_roundtrip",
     "embedding_neardup",
     "semantic_dedup",
     "pii_scrub",

@@ -22,8 +22,13 @@ Spark-first shapes:
 - **Encoding is pure map-side**: one Arrow batch -> (N, m) argmin over
   the broadcast codebook tensor, all int64 — no join, no shuffle.
 - **ADC search is map-side + one window**: query tables broadcast,
-  per-vector distance is m gathers + a sum; the window ranks
-  (queries x corpus) rows only after map-side distance computation.
+  per-vector distance is m gathers + a sum, and a PARTIAL top-k is cut
+  inside the kernel (boundary ties kept, same (dist, id) order as the
+  final window) — the Exchange carries <= Q*k rows per batch, never
+  the Q x corpus candidate matrix; the window ranks a metadata-sized
+  frame. :func:`ivf_pq_topk` composes this with IVF list pruning (the
+  faiss IndexIVFPQ layout) so only ~nprobe/n_lists of the corpus is
+  scored at all.
 
 Determinism/oracle: vectors quantize as floor(x*1000) (the repo-wide
 cosine contract); subspace distances are EXACT integer L2 sums, ties
