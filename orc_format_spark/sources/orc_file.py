@@ -11,14 +11,13 @@ are framed into genuine stripes + StripeFooter / Footer / PostScript
 protos/orc_proto.proto) — hand-rolled proto2 wire encoding, no
 protobuf dependency.
 
-Scope (the types a tokens pipeline emits): boolean, int8..int64,
-float, double, string, binary, date32, list<...>, struct<...> —
-DIRECT encodings only (RLEv1), no dictionary, no row index
-(rowIndexStride=0), optional ORC block compression (none / zlib /
-snappy / zstd with the reference's 256 KiB blocks). Timestamps and
-decimals stay on the blob container path (their ORC stream split is
-implemented there; the proto tail for them is out of scope) and raise
-loudly here.
+Scope: boolean, int8..int64, float, double, string, binary, date32,
+timestamp (naive, writerTimezone=UTC, the probed Apache negative-
+seconds convention), decimal (v1 unbounded zigzag varint + scale
+SECONDARY), list<...>, struct<...> — DIRECT encodings only (RLEv1), no
+dictionary, no row index (rowIndexStride=0), optional ORC block
+compression (none / zlib / snappy / zstd with the reference's 256 KiB
+blocks). tz-aware timestamps and map/union raise loudly.
 
 Scale shape: one ORC file is written per task/group inside a
 ``mapInArrow`` kernel (same sink pattern as ``encode_splits``) — the
@@ -44,10 +43,11 @@ from ..codecs.rle_v1 import (
 _KIND = {
     "bool": 0, "int8": 1, "int16": 2, "int32": 3, "int64": 4,
     "float": 5, "double": 6, "string": 7, "binary": 8,
-    "list": 10, "struct": 12, "date32[day]": 15,
+    "timestamp": 9, "list": 10, "struct": 12, "decimal": 14,
+    "date32[day]": 15,
 }
 _COMPRESSION = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}
-_PRESENT, _DATA, _LENGTH = 0, 1, 2  # Stream.Kind
+_PRESENT, _DATA, _LENGTH, _SECONDARY = 0, 1, 2, 5  # Stream.Kind
 _DIRECT = 0  # ColumnEncoding.Kind
 
 
@@ -124,8 +124,10 @@ def _orc_compress(
 
 def _plan_types(schema: pa.Schema):
     """Pre-order column-id assignment (root struct = column 0) ->
-    list of (kind, subtype_ids, field_names) proto Type nodes."""
+    (nodes, extras): (kind, subtype_ids, field_names) proto Type nodes
+    plus per-column (precision, scale) for decimals."""
     nodes: list[tuple[int, list[int], list[str]]] = []
+    extras: dict[int, tuple[int, int]] = {}
 
     def walk(typ: pa.DataType) -> int:
         my_id = len(nodes)
@@ -139,6 +141,22 @@ def _plan_types(schema: pa.Schema):
         elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
             child = walk(typ.value_type)
             nodes[my_id] = (_KIND["list"], [child], [])
+        elif pa.types.is_timestamp(typ):
+            if typ.tz is not None:
+                raise NotImplementedError(
+                    "orc_file: tz-aware timestamps not supported; cast to "
+                    "timestamp_ntz (ORC TIMESTAMP is timezone-naive here, "
+                    "writerTimezone=UTC)"
+                )
+            nodes[my_id] = (_KIND["timestamp"], [], [])
+        elif pa.types.is_decimal(typ):
+            # Type.precision=5, Type.scale=6 (orc_proto.proto)
+            nodes[my_id] = (
+                _KIND["decimal"],
+                [],
+                [],
+            )
+            extras[my_id] = (typ.precision, typ.scale)
         else:
             key = str(typ)
             if key in ("large_string",):
@@ -148,23 +166,26 @@ def _plan_types(schema: pa.Schema):
             if key not in _KIND:
                 raise NotImplementedError(
                     f"orc_file: type {typ} not supported in the real-ORC "
-                    "tail (timestamp/decimal stay on the blob container)"
+                    "tail"
                 )
             nodes[my_id] = (_KIND[key], [], [])
         return my_id
 
     walk(pa.struct([pa.field(f.name, f.type) for f in schema]))
-    return nodes
+    return nodes, extras
 
 
-def _types_proto(nodes) -> bytes:
+def _types_proto(nodes, extras) -> bytes:
     out = []
-    for kind, subs, names in nodes:
+    for i, (kind, subs, names) in enumerate(nodes):
         msg = _pv(1, kind)
         for s in subs:
             msg += _pv(2, s)
         for nm in names:
             msg += _pb(3, nm.encode())
+        if i in extras:  # decimal precision/scale
+            p, s = extras[i]
+            msg += _pv(5, p) + _pv(6, s)
         out.append(_pb(4, msg))  # Footer.types
     return b"".join(out)
 
@@ -237,6 +258,62 @@ def _column_streams(arr: pa.Array, col_id: int, streams: list) -> int:
     elif pa.types.is_date32(t):
         v = dense.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
         streams.append((_DATA, col_id, encode_int_rle_v1(v, signed=True)))
+    elif pa.types.is_timestamp(t):
+        from ..codecs.timestamp import EPOCH_SECONDS, compact_nanos
+
+        ns = dense.cast(pa.timestamp("ns")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        sec = np.floor_divide(ns, 1_000_000_000)
+        nanos = ns - sec * 1_000_000_000  # always in [0, 1e9)
+        # Apache ORC's historical negative-seconds convention (probed
+        # against the C++ reader): read = stored*1e9 + nanos, minus one
+        # second when stored < 0 and nanos > 999999 — so pre-epoch
+        # values with nanos > 999999 must store sec+1. The one-second
+        # window (-1s, 0) with nanos > 999999 is unrepresentable under
+        # that convention (stored would be 0, no longer negative):
+        # refuse it loudly rather than write a value every ORC reader
+        # returns one second late.
+        adj = (sec < 0) & (nanos > 999_999)
+        if bool(np.any(adj & (sec == -1))):
+            raise ValueError(
+                "orc_file: timestamps inside 1969-12-31 23:59:59.001-"
+                ".999999999 cannot be represented under ORC's "
+                "negative-seconds convention"
+            )
+        streams.append(
+            (_DATA, col_id,
+             encode_int_rle_v1(sec + adj + EPOCH_SECONDS, signed=True))
+        )
+        streams.append(
+            (_SECONDARY, col_id,
+             encode_int_rle_v1(compact_nanos(nanos), signed=False))
+        )
+    elif pa.types.is_decimal(t):
+        # ORC DECIMAL v1: DATA = unbounded zigzag base-128 varint of the
+        # unscaled value, SECONDARY = per-value scale (signed RLEv1).
+        # Per-value Python ints here — decimal columns are driver/test
+        # scale in this repo; the blob container owns the fast path.
+        scale = t.scale
+        data = bytearray()
+        count = 0
+        for v in dense:
+            u = int(v.as_py().scaleb(scale))
+            z = u << 1 if u >= 0 else ((-u) << 1) - 1  # zigzag, unbounded
+            while True:
+                b = z & 0x7F
+                z >>= 7
+                if z:
+                    data.append(b | 0x80)
+                else:
+                    data.append(b)
+                    break
+            count += 1
+        streams.append((_DATA, col_id, bytes(data)))
+        streams.append(
+            (_SECONDARY, col_id,
+             encode_int_rle_v1(np.full(count, scale, np.int64), signed=True))
+        )
     else:
         raise NotImplementedError(f"orc_file: type {t} not supported")
     return col_id + 1
@@ -264,7 +341,7 @@ def write_orc(
             f"orc_file: compression {compression!r} not in "
             f"{sorted(_COMPRESSION)}"
         )
-    nodes = _plan_types(table.schema)
+    nodes, extras = _plan_types(table.schema)
     close = False
     if isinstance(out, str):
         f: BinaryIO = open(out, "wb")
@@ -320,7 +397,7 @@ def write_orc(
         footer = _pv(1, 3) + _pv(2, content_len)
         for si in stripe_infos:
             footer += _pb(3, si)
-        footer += _types_proto(nodes)
+        footer += _types_proto(nodes, extras)
         footer += _pv(6, n_rows)
         footer += _pv(8, 0)  # rowIndexStride: none
         footer_bytes = _orc_compress(footer, compression, block_size, level)

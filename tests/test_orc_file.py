@@ -91,7 +91,13 @@ def test_nulls_nested_and_empty():
 def test_unsupported_types_raise_loudly():
     with pytest.raises(NotImplementedError, match="not supported"):
         write_orc(
-            pa.table({"ts": pa.array([datetime.datetime(2024, 1, 1)])}),
+            pa.table(
+                {
+                    "m": pa.array(
+                        [[("k", 1)]], pa.map_(pa.string(), pa.int64())
+                    )
+                }
+            ),
             tempfile.mktemp(),
         )
     with pytest.raises(ValueError, match="compression"):
@@ -135,3 +141,65 @@ def test_spark_orc_group_sink_roundtrip(spark):
         want_tok = {r.doc_id: r.n_tok for r in
                     tokenize_documents(docs).select("doc_id", "n_tok").collect()}
         assert n_tok == want_tok
+
+
+def test_timestamp_decimal_roundtrip():
+    """ORC TIMESTAMP (2015-epoch seconds + trailing-zero-compacted
+    nanos, the probed Apache negative-seconds convention) and DECIMAL
+    v1 (unbounded zigzag varint + scale SECONDARY) through the
+    independent reader — including pre-epoch and pre-1950 values."""
+    import decimal
+
+    ts = [
+        datetime.datetime(2024, 3, 1, 12, 0, 0, 123456),
+        datetime.datetime(1969, 12, 31, 23, 59, 59),
+        datetime.datetime(2014, 12, 31, 23, 59, 59),
+        datetime.datetime(1950, 6, 1, 0, 0, 0, 5),
+        None,
+        datetime.datetime(2015, 1, 1),
+        datetime.datetime(1969, 12, 31, 23, 59, 58, 999999),
+        datetime.datetime(1900, 1, 1, 6, 30, 15, 250000),
+    ]
+    dec = [
+        decimal.Decimal("123.45"),
+        decimal.Decimal("-9999999999999999.99"),
+        decimal.Decimal("0.01"),
+        None,
+        decimal.Decimal("-0.50"),
+        decimal.Decimal("31415926535.89"),
+        decimal.Decimal("2.00"),
+        decimal.Decimal("-0.01"),
+    ]
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "dec": pa.array(dec, pa.decimal128(20, 2)),
+        }
+    )
+    for comp in ["none", "zstd"]:
+        assert _roundtrip(t, compression=comp).cast(t.schema).equals(t), comp
+
+
+def test_timestamp_unrepresentable_window_raises():
+    """The one-second pre-epoch window ORC's negative-seconds
+    convention cannot express must fail loudly, never read back 1 s
+    late."""
+    bad = pa.table(
+        {
+            "ts": pa.array(
+                [datetime.datetime(1969, 12, 31, 23, 59, 59, 500000)],
+                pa.timestamp("us"),
+            )
+        }
+    )
+    with pytest.raises(ValueError, match="negative-seconds"):
+        write_orc(bad, tempfile.mktemp())
+    tz = pa.table(
+        {
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1)], pa.timestamp("us", tz="UTC")
+            )
+        }
+    )
+    with pytest.raises(NotImplementedError, match="tz-aware"):
+        write_orc(tz, tempfile.mktemp())
