@@ -124,9 +124,13 @@ def compact_blobs(
     tagged = blobs.select("group_id", "blob").join(planned, "group_id")
 
     def fn(tbl: pa.Table) -> pa.Table:
+        # explicit import: bare `pyarrow` does not expose .compute in a
+        # fresh process (same hazard ADVICE flagged in kmeans.py)
+        import pyarrow.compute as pc
+
         limit_worker_threads()
         bucket = tbl.column("bucket")[0].as_py()
-        order = pa.compute.sort_indices(tbl.column("group_id")).to_pylist()
+        order = pc.sort_indices(tbl.column("group_id")).to_pylist()
         blob_col = tbl.column("blob")
         parts = [decode_table(blob_col[i].as_py()) for i in order]
         data = pa.concat_tables(parts).combine_chunks()
