@@ -345,13 +345,18 @@ def q_predicate_decode(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+    # scale-relative threshold (80% of max key — one metadata-scale agg
+    # on the driver): a fixed 55000 matched 0 rows at sf0.01, making the
+    # correctness row trivially green; this keeps ~20% of rows at every
+    # SF while still letting chunk stats skip the other ~80%
+    threshold = int(0.8 * li.agg({"l_orderkey": "max"}).first()[0])
     blobs = encode_groups(
         li, num_groups=4, key_col="l_orderkey", row_index_stride=2500
     )
     return decode_blobs(
         blobs,
         "l_orderkey bigint, l_linenumber int, l_quantity double",
-        predicate=("l_orderkey", ">=", 55000),
+        predicate=("l_orderkey", ">=", threshold),
     )
 
 
@@ -2054,8 +2059,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_tok FROM documents"
         ),
         "predicate_decode": (
+            # scale-relative threshold (80% of max key): at a fixed 55000
+            # the sf0.01 gate row was 0 rows == 0 rows, a trivially-green
+            # check; this keeps ~20% of rows at every SF
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
-            "WHERE l_orderkey >= 55000"
+            "WHERE l_orderkey >= (SELECT CAST(0.8 * MAX(l_orderkey) AS "
+            "BIGINT) FROM lineitem)"
         ),
         "bloom_filter_decode": (
             "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem "

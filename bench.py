@@ -774,8 +774,16 @@ def main_scaling():
     eff28 = (thr[8] / thr[2]) / 4.0
     eff832 = (thr[32] / thr[8]) / 4.0
     # the Spark-free same-kernel ceiling at the same proc counts: how
-    # much of the remaining 8->32 loss is the box, not Spark
-    ceil = {c: run_ceiling(c, int(scaling_repl)) for c in (8, 32)}
+    # much of the remaining 8->32 loss is the box, not Spark.
+    # best-of-reps like the Spark side — a single draw at 8 procs has
+    # been observed 20% slow (lazy page backing), which flips the
+    # ceiling-efficiency narrative spuriously
+    ceil = {}
+    for c in (8, 32):
+        for _ in range(reps):
+            r = run_ceiling(c, int(scaling_repl))
+            if c not in ceil or r["tokens_per_sec"] > ceil[c]["tokens_per_sec"]:
+                ceil[c] = r
     ceff = (ceil[32]["tokens_per_sec"] / ceil[8]["tokens_per_sec"]) / 4.0
     report = {
         "metric": "scaling efficiency at N -> 4N cores",
