@@ -14,10 +14,13 @@ protobuf dependency.
 Scope: boolean, int8..int64, float, double, string, binary, date32,
 timestamp (naive, writerTimezone=UTC, the probed Apache negative-
 seconds convention), decimal (v1 unbounded zigzag varint + scale
-SECONDARY), list<...>, struct<...> — DIRECT encodings only (RLEv1), no
-dictionary, no row index (rowIndexStride=0), optional ORC block
-compression (none / zlib / snappy / zstd with the reference's 256 KiB
-blocks). tz-aware timestamps and map/union raise loudly.
+SECONDARY), list<...>, map<...> , struct<...> — RLEv1-family encodings:
+DIRECT everywhere, plus per-stripe DICTIONARY for string columns when
+distinct/total <= 0.8 (Apache's default threshold; sorted dictionary,
+DICTIONARY_DATA + LENGTH streams). No row index (rowIndexStride=0),
+optional ORC block compression (none / zlib / snappy / zstd with the
+reference's 256 KiB blocks). tz-aware timestamps and union raise
+loudly.
 
 Scale shape: one ORC file is written per task/group inside a
 ``mapInArrow`` kernel (same sink pattern as ``encode_splits``) — the
@@ -43,12 +46,16 @@ from ..codecs.rle_v1 import (
 _KIND = {
     "bool": 0, "int8": 1, "int16": 2, "int32": 3, "int64": 4,
     "float": 5, "double": 6, "string": 7, "binary": 8,
-    "timestamp": 9, "list": 10, "struct": 12, "decimal": 14,
+    "timestamp": 9, "list": 10, "map": 11, "struct": 12, "decimal": 14,
     "date32[day]": 15,
 }
 _COMPRESSION = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}
-_PRESENT, _DATA, _LENGTH, _SECONDARY = 0, 1, 2, 5  # Stream.Kind
-_DIRECT = 0  # ColumnEncoding.Kind
+# Stream.Kind (orc_proto.proto)
+_PRESENT, _DATA, _LENGTH, _DICT_DATA, _SECONDARY = 0, 1, 2, 3, 5
+_DIRECT, _DICTIONARY = 0, 1  # ColumnEncoding.Kind (RLEv1 family)
+# Apache ORC's default dictionary threshold: encode via dictionary when
+# distinct/total <= 0.8 (hive.exec.orc.dictionary.key.size.threshold)
+DICT_THRESHOLD = 0.8
 
 
 # ------------------------------------------------------- proto2 wire fmt
@@ -138,6 +145,10 @@ def _plan_types(schema: pa.Schema):
                 names.append(f.name)
                 subs.append(walk(f.type))
             nodes[my_id] = (_KIND["struct"], subs, names)
+        elif pa.types.is_map(typ):
+            k = walk(typ.key_type)
+            v = walk(typ.item_type)
+            nodes[my_id] = (_KIND["map"], [k, v], [])
         elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
             child = walk(typ.value_type)
             nodes[my_id] = (_KIND["list"], [child], [])
@@ -199,9 +210,55 @@ def _validity(arr: pa.Array) -> np.ndarray:
     return np.asarray(arr.is_valid())
 
 
-def _column_streams(arr: pa.Array, col_id: int, streams: list) -> int:
+def _dict_streams(
+    dense: pa.Array, col_id: int, streams: list, encodings: dict,
+    threshold: float,
+) -> bool:
+    """Try ORC DICTIONARY encoding (RLEv1 family, ColumnEncoding kind 1)
+    for a string column: DATA = unsigned-RLEv1 indices into the SORTED
+    dictionary, DICTIONARY_DATA = concatenated utf8 entries, LENGTH =
+    per-entry byte lengths. Used when distinct/total <= ``threshold``
+    (Apache ORC's 0.8 default); returns False to fall back to DIRECT."""
+    import pyarrow.compute as pc
+
+    n = len(dense)
+    if n == 0:
+        return False
+    enc = dense.dictionary_encode()
+    dct = enc.dictionary
+    if len(dct) > threshold * n:
+        return False
+    order = pc.sort_indices(dct)
+    onp = order.to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(dct), np.int64)
+    rank[onp] = np.arange(len(dct), dtype=np.int64)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    sdict = dct.take(order).cast(pa.large_string())
+    offs = np.frombuffer(sdict.buffers()[1], np.int64)[
+        sdict.offset : sdict.offset + len(sdict) + 1
+    ]
+    lengths = np.diff(offs).astype(np.int64)
+    datab = sdict.buffers()[2]
+    raw = b"" if datab is None else datab.to_pybytes()[offs[0] : offs[-1]]
+    streams.append((_DATA, col_id, encode_int_rle_v1(rank[idx], signed=False)))
+    streams.append((_DICT_DATA, col_id, raw))
+    streams.append((_LENGTH, col_id, encode_int_rle_v1(lengths, signed=False)))
+    encodings[col_id] = (_DICTIONARY, len(dct))
+    return True
+
+
+def _column_streams(
+    arr: pa.Array,
+    col_id: int,
+    streams: list,
+    encodings: dict,
+    dict_strings: bool = True,
+    dict_threshold: float = DICT_THRESHOLD,
+) -> int:
     """Append (kind, column, raw_bytes) streams for this column and its
-    children, pre-order. Returns the next free column id."""
+    children, pre-order; record non-DIRECT ColumnEncodings in
+    ``encodings`` (col_id -> (kind, dictionarySize)). Returns the next
+    free column id."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     valid = _validity(arr)
@@ -211,18 +268,36 @@ def _column_streams(arr: pa.Array, col_id: int, streams: list) -> int:
     else:
         dense = arr
     t = arr.type
+
+    def recurse(child: pa.Array, cid: int) -> int:
+        return _column_streams(
+            child, cid, streams, encodings, dict_strings, dict_threshold
+        )
+
     if pa.types.is_struct(t):
         next_id = col_id + 1
         for i in range(t.num_fields):
-            next_id = _column_streams(dense.field(i), next_id, streams)
+            next_id = recurse(dense.field(i), next_id)
         return next_id
+    if pa.types.is_map(t):
+        offs = np.asarray(dense.offsets).astype(np.int64)
+        if len(offs) == 0:
+            offs = np.zeros(1, np.int64)
+        streams.append(
+            (_LENGTH, col_id, encode_int_rle_v1(np.diff(offs), signed=False))
+        )
+        # .keys/.items are the PHYSICAL child arrays; the offsets window
+        # [offs[0], offs[-1]) selects this array's slice of them
+        lo, hi = int(offs[0]), int(offs[-1])
+        nid = recurse(dense.keys.slice(lo, hi - lo), col_id + 1)
+        return recurse(dense.items.slice(lo, hi - lo), nid)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         offs = np.asarray(dense.offsets)
         lengths = np.diff(offs).astype(np.int64)
         streams.append(
             (_LENGTH, col_id, encode_int_rle_v1(lengths, signed=False))
         )
-        return _column_streams(dense.flatten(), col_id + 1, streams)
+        return recurse(dense.flatten(), col_id + 1)
     if pa.types.is_boolean(t):
         vals = np.asarray(dense.to_numpy(zero_copy_only=False), bool)
         streams.append((_DATA, col_id, encode_boolean_rle(vals)))
@@ -237,6 +312,12 @@ def _column_streams(arr: pa.Array, col_id: int, streams: list) -> int:
         streams.append((_DATA, col_id, v.astype("<f4" if pa.types.is_float32(t) else "<f8").tobytes()))
     elif pa.types.is_string(t) or pa.types.is_large_string(t) or \
             pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        if (
+            dict_strings
+            and (pa.types.is_string(t) or pa.types.is_large_string(t))
+            and _dict_streams(dense, col_id, streams, encodings, dict_threshold)
+        ):
+            return col_id + 1
         if pa.types.is_string(t) or pa.types.is_binary(t):
             dense = dense.cast(
                 pa.large_string()
@@ -329,13 +410,20 @@ def write_orc(
     stripe_rows: int = 65_536,
     block_size: int = DEFAULT_BLOCK_SIZE,
     level: int = DEFAULT_ZSTD_LEVEL,
+    dict_strings: bool = True,
+    dict_threshold: float = DICT_THRESHOLD,
 ) -> int:
     """Write ``table`` as a genuine ORC file; returns bytes written.
 
     Single-pass, stripes of ``stripe_rows`` rows; every stream is our
     own encoder output (RLEv1 signed/unsigned, boolean RLE, byte RLE,
     raw-LE floats) framed by the hand-rolled proto tail. Readable by
-    pyarrow.orc / Apache ORC C++."""
+    pyarrow.orc / Apache ORC C++.
+
+    String columns are DICTIONARY-encoded per stripe when distinct/total
+    <= ``dict_threshold`` (Apache ORC's 0.8 default; RLEv1-family
+    ColumnEncoding kind 1 with sorted dictionary), else DIRECT; set
+    ``dict_strings=False`` to force DIRECT everywhere."""
     if compression not in _COMPRESSION:
         raise ValueError(
             f"orc_file: compression {compression!r} not in "
@@ -365,7 +453,10 @@ def write_orc(
                 names=list(batch_tbl.schema.names),
             )
             streams: list[tuple[int, int, bytes]] = []
-            _column_streams(root, 0, streams)
+            encodings: dict[int, tuple[int, int]] = {}
+            _column_streams(
+                root, 0, streams, encodings, dict_strings, dict_threshold
+            )
             sf = b""
             data_len = 0
             payloads = []
@@ -375,8 +466,12 @@ def write_orc(
                 stream_msg = _pv(1, kind) + _pv(2, col) + _pv(3, len(comp))
                 sf += _pb(1, stream_msg)
                 data_len += len(comp)
-            for _ in nodes:
-                sf += _pb(2, _pv(1, _DIRECT))  # ColumnEncoding per column
+            for i in range(len(nodes)):  # ColumnEncoding per column
+                enc, size = encodings.get(i, (_DIRECT, -1))
+                msg = _pv(1, enc)
+                if size >= 0:
+                    msg += _pv(2, size)  # dictionarySize
+                sf += _pb(2, msg)
             sf += _pb(3, b"UTC")
             sf_bytes = _orc_compress(sf, compression, block_size, level)
             for p in payloads:

@@ -93,8 +93,9 @@ def test_unsupported_types_raise_loudly():
         write_orc(
             pa.table(
                 {
-                    "m": pa.array(
-                        [[("k", 1)]], pa.map_(pa.string(), pa.int64())
+                    "u": pa.UnionArray.from_sparse(
+                        pa.array([0, 1], pa.int8()),
+                        [pa.array([1, 2]), pa.array(["a", "b"])],
                     )
                 }
             ),
@@ -102,6 +103,81 @@ def test_unsupported_types_raise_loudly():
         )
     with pytest.raises(ValueError, match="compression"):
         write_orc(pa.table({"a": [1]}), tempfile.mktemp(), compression="lzo")
+
+
+def test_map_roundtrip():
+    """ORC MAP (kind 11): LENGTH stream + key/value children sliced to
+    the offsets window — including null maps, empty maps, nested-null
+    values, a sliced input, and multi-stripe — through the independent
+    reader."""
+    mt = pa.map_(pa.string(), pa.int64())
+    rows = [
+        [("a", 1), ("b", 2)],
+        None,
+        [],
+        [("c", None), ("d", 4)],
+        [("e", 5)],
+        [],
+    ]
+    t = pa.table({"m": pa.array(rows, mt), "i": pa.array(range(6))})
+    for comp in ["none", "zstd"]:
+        assert _roundtrip(t, compression=comp).cast(t.schema).equals(t), comp
+    # sliced input: physical child arrays are larger than the window
+    ts = pa.table(
+        {"m": pa.array(rows, mt).slice(1, 4), "i": pa.array(range(4))}
+    )
+    assert _roundtrip(ts).cast(ts.schema).equals(ts)
+    # multi-stripe + nested value dictionaries (map<string,string>)
+    big = pa.table(
+        {
+            "m": pa.array(
+                [[(f"k{i % 5}", f"v{i % 3}")] for i in range(7_000)],
+                pa.map_(pa.string(), pa.string()),
+            )
+        }
+    )
+    p = tempfile.mktemp(suffix=".orc")
+    try:
+        write_orc(big, p, stripe_rows=2_000)
+        f = po.ORCFile(p)
+        assert f.nstripes == 4
+        assert f.read().cast(big.schema).equals(big)
+    finally:
+        os.unlink(p)
+
+
+def test_dictionary_encoding_chosen_and_equal():
+    """Low-cardinality strings take the DICTIONARY path (kind 1, sorted
+    dictionary): the file must shrink vs forced-DIRECT and read back
+    identical; high-cardinality strings must stay DIRECT (file size
+    parity); nulls + dictionary must compose."""
+    n = 20_000
+    t = pa.table(
+        {
+            "s": pa.array([f"name-{i % 37}" for i in range(n)]),
+            "u": pa.array([f"uniq-{i}" for i in range(n)]),
+        }
+    )
+    pd_, pdir = tempfile.mktemp(suffix=".orc"), tempfile.mktemp(suffix=".orc")
+    try:
+        n_dict = write_orc(t, pd_, compression="none")
+        n_direct = write_orc(t, pdir, compression="none", dict_strings=False)
+        assert po.ORCFile(pd_).read().cast(t.schema).equals(t)
+        assert po.ORCFile(pdir).read().cast(t.schema).equals(t)
+        # 's' dictionary-encodes (37 uniques / 20k rows) -> much smaller;
+        # 'u' is all-unique so both files carry it DIRECT
+        assert n_dict < n_direct * 0.75, (n_dict, n_direct)
+    finally:
+        os.unlink(pd_)
+        os.unlink(pdir)
+    tn = pa.table(
+        {"s": pa.array((["x", None, "y", "x"] * 500) + [None] * 100)}
+    )
+    for comp in ["none", "zlib", "zstd"]:
+        assert _roundtrip(tn, compression=comp).cast(tn.schema).equals(tn)
+    # all-equal column: dictionary of size 1
+    t1 = pa.table({"s": pa.array(["same"] * 5_000)})
+    assert _roundtrip(t1).cast(t1.schema).equals(t1)
 
 
 def test_spark_orc_group_sink_roundtrip(spark):
