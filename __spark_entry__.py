@@ -1375,6 +1375,57 @@ def q_orc_file_roundtrip(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_orc_dict_map_roundtrip(spark, sf_dir):
+    """Round-5 ORC surface extensions through the independent reader:
+    MAP columns (Type kind 11) and per-stripe DICTIONARY string
+    encoding (ColumnEncoding kind 1, Apache's 0.8 distinct-ratio
+    threshold — `lang` has 5 distinct values, so it takes the
+    dictionary path). Build (doc_id, lang, map) rows, write genuine
+    .orc files per group, read them back with pyarrow.orc, explode the
+    map — the oracle reconstructs the exploded rows in plain SQL."""
+    import shutil
+    import tempfile
+
+    from orc_format_spark.sources.orc_file import (
+        read_orc_files,
+        write_orc_groups,
+    )
+
+    work = tempfile.mkdtemp(prefix="ofs_orcdm_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = docs.select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("n_chars") % 3 == 0,
+                F.create_map(F.lit("lang"), F.col("lang")),
+            )
+            .otherwise(
+                F.create_map(
+                    F.lit("lang"), F.col("lang"),
+                    F.lit("source"), F.col("source"),
+                )
+            )
+            .alias("m"),
+        )
+        files = write_orc_groups(
+            df, f"{work}/orc", num_groups=4, key_col="doc_id",
+            compression="zstd",
+        )
+        rt = read_orc_files(
+            files, "doc_id bigint, lang string, m map<string,string>"
+        )
+        out = (
+            rt.select("doc_id", "lang", F.explode("m").alias("k", "v"))
+            .cache()
+        )
+        out.count()  # materialize before the scratch dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_manifest_scan(spark, sf_dir):
     """Iceberg source driven for real (no jar): commit the lineitem
     parquet as a data file of a freshly written Iceberg v2 table (pure-
@@ -1835,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new this round (never driver-verified) --
         "ivf_pq_ann": q_ivf_pq_ann,
         "orc_file_roundtrip": q_orc_file_roundtrip,
+        "orc_dict_map_roundtrip": q_orc_dict_map_roundtrip,
         # -- r04-green whose code changed this round, plus flagship --
         "tokens_roundtrip": q_tokens_roundtrip,
         "clustered_encode": q_clustered_encode,
@@ -1952,6 +2004,15 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tokens_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
         "orc_file_roundtrip": "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+        "orc_dict_map_roundtrip": (
+            # the exploded (doc_id, lang, k, v) rows the Spark side gets
+            # back from the .orc map column: every doc carries a 'lang'
+            # entry; docs with n_chars % 3 != 0 also carry 'source'
+            "SELECT doc_id, lang, 'lang' AS k, lang AS v FROM documents "
+            "UNION ALL "
+            "SELECT doc_id, lang, 'source' AS k, source AS v "
+            "FROM documents WHERE n_chars % 3 != 0"
+        ),
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "clustered_encode": (
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
