@@ -86,6 +86,7 @@ HEADLINE = [
     "pq_ann",
     "ivf_pq_ann",
     "orc_file_roundtrip",
+    "orc_dict_map_roundtrip",
     "embedding_neardup",
     "semantic_dedup",
     "pii_scrub",
