@@ -1426,6 +1426,46 @@ def q_orc_dict_map_roundtrip(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_orc_rle_v2_file_roundtrip(spark, sf_dir):
+    """Real ORC files in RLEv2 mode (`rle="v2"`): every integer stream —
+    int DATA, string/dict LENGTH, dictionary indices — is emitted by the
+    repo's ORC RLEv2 encoder (short-repeat / direct / patched-base /
+    delta) and the file is read back by pyarrow.orc (Apache ORC C++),
+    the external validation loop for the RLEv2 codec's wire bytes. This
+    loop caught two real spec deviations our symmetric decoder masked
+    (patch-list entry width, sign-bit-safe base bytes). Oracle = plain
+    projection."""
+    import shutil
+    import tempfile
+
+    from orc_format_spark.sources.orc_file import (
+        read_orc_files,
+        write_orc_groups,
+    )
+
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_returnflag", "l_linestatus",
+    ]
+    work = tempfile.mkdtemp(prefix="ofs_orcv2_")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*cols)
+        files = write_orc_groups(
+            li, f"{work}/orc", num_groups=4, key_col="l_orderkey",
+            compression="zstd", rle="v2",
+        )
+        out = read_orc_files(
+            files,
+            "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+            "l_linenumber int, l_quantity double, l_returnflag string, "
+            "l_linestatus string",
+        ).cache()
+        out.count()  # materialize before the scratch dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_manifest_scan(spark, sf_dir):
     """Iceberg source driven for real (no jar): commit the lineitem
     parquet as a data file of a freshly written Iceberg v2 table (pure-
@@ -1887,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_ann": q_ivf_pq_ann,
         "orc_file_roundtrip": q_orc_file_roundtrip,
         "orc_dict_map_roundtrip": q_orc_dict_map_roundtrip,
+        "orc_rle_v2_file_roundtrip": q_orc_rle_v2_file_roundtrip,
         # -- r04-green whose code changed this round, plus flagship --
         "tokens_roundtrip": q_tokens_roundtrip,
         "clustered_encode": q_clustered_encode,
@@ -2012,6 +2053,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT doc_id, lang, 'source' AS k, source AS v "
             "FROM documents WHERE n_chars % 3 != 0"
+        ),
+        "orc_rle_v2_file_roundtrip": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
+            "l_quantity, l_returnflag, l_linestatus FROM lineitem"
         ),
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "clustered_encode": (

@@ -87,6 +87,7 @@ HEADLINE = [
     "ivf_pq_ann",
     "orc_file_roundtrip",
     "orc_dict_map_roundtrip",
+    "orc_rle_v2_file_roundtrip",
     "embedding_neardup",
     "semantic_dedup",
     "pii_scrub",

@@ -57,12 +57,26 @@ MAGIC = b"OFS1"
 VERSION = 3
 _READ_VERSIONS = (1, 3)
 # Encoder behavior version, stamped into every v3 blob header and every
-# job _state row. Bump whenever emitted BYTES may legally change while
-# decode stays lossless (codec-selection thresholds, RLEv2 percentile
-# math, FSST training) — wave-resumed jobs must finish on the version
-# they started with for blob byte-identity (operators/job.py).
-ENCODER_VERSION = "3.3"  # 3.3: ALP float candidate; 3.2: split/dict floats
+# job _state row. Bump the minor whenever emitted BYTES may legally
+# change while decode stays lossless (codec-selection thresholds, FSST
+# training); bump the MAJOR when the wire format itself changes (old
+# blobs stop being decodable by this version) — wave-resumed jobs must
+# finish on the version they started with (operators/job.py), and
+# deserialize_blob refuses cross-major rle_v2 decodes.
+# 4.0: RLEv2 patched-base wire corrected to spec (patch entries at the
+#      closest fixed width, sign-bit-safe base bytes) — validated by
+#      Apache ORC C++ via write_orc(rle="v2").
+# 3.3: ALP float candidate; 3.2: split/dict floats.
+ENCODER_VERSION = "4.0"
 _LEGACY_ENGINE = "<pre-3.0>"
+
+
+def _engine_major(engine: str) -> int:
+    """Major component of an engine tag; legacy sentinel -> 0."""
+    try:
+        return int(engine.split(".", 1)[0])
+    except ValueError:
+        return 0
 # v2: chunked container — the row-group sub-index (reference parity F3:
 # per-column positions every row_index_stride=10,000 rows,
 # src/writer/data/common.rs:24-48, writer.rs:32). A v2 blob is a chunk
@@ -452,8 +466,10 @@ def deserialize_blob(blob: bytes) -> list[ColumnEntry]:
         raise ValueError(f"unsupported blob version {version}")
     n_entries = int.from_bytes(blob[5:7], "little")
     pos = 7
-    if version >= 3:  # engine tag (informational; see blob_engine_version)
+    engine = _LEGACY_ENGINE
+    if version >= 3:  # engine tag (see blob_engine_version)
         elen, pos = decode_varint_one(blob, pos)
+        engine = blob[pos : pos + elen].decode()
         pos += elen
     metas = []
     for _ in range(n_entries):
@@ -489,6 +505,19 @@ def deserialize_blob(blob: bytes) -> list[ColumnEntry]:
         entries.append(ColumnEntry(fields[0], fields[1], fields[2], fields[3], has_null, n_rows, n_present, streams))
     if pos != len(blob):
         raise ValueError("trailing bytes after blob payload")
+    # Engine 4.0 corrected the RLEv2 patched-base wire format (patch-list
+    # entries at the closest FIXED width >= pgw+pw; base byte count
+    # reserves the sign bit) to match spec-compliant external readers.
+    # Pre-4.0 rle_v2 streams with patched runs would now decode WRONG,
+    # so refuse them loudly instead of returning silent wrong data.
+    if _engine_major(engine) < 4 and any(
+        e.codec == "rle_v2" for e in entries
+    ):
+        raise ValueError(
+            f"blob written by engine {engine!r} uses the pre-4.0 rle_v2 "
+            "patched-base wire format; decode it with the writing "
+            "version or re-encode"
+        )
     return entries
 
 

@@ -20,8 +20,9 @@ Header layouts (byte0 top 2 bits select the sub-encoding; ORC v1 spec
                 B=base bytes-1, P=patch width code, G=patch gap bits-1,
                 N=patch count (0..31); base sign-magnitude big-endian;
                 residuals (v-min) packed at WIDTH_TABLE[C]; patch list
-                entries ((gap<<PW)|patch_high_bits) packed at G+1+PW bits;
-                gaps >255 bridged with (255, 0) filler entries
+                entries ((gap<<PW)|patch_high_bits) packed at the closest
+                fixed width >= (G+1)+PW bits (Apache readers demand the
+                rounded width); gaps >255 bridged with (255, 0) fillers
   delta         11DDDDDL LLLLLLLL                D=0: fixed delta, else
                 D is the spec width code of |deltas[1:]| (so the packed
                 width is WIDTH_TABLE[D], never less than 2 — code 0 is
@@ -187,10 +188,18 @@ def _try_patched(seg_u: np.ndarray, signed: bool) -> bytes | None:
     pgw = max(1, max(e[0] for e in entries).bit_length())
     if pgw > 8 or pgw + pw > 64:
         return None
-    bw = max(1, ((abs(base)).bit_length() + 7) // 8)
+    # +1: the MSB of the first base byte is the SIGN bit (sign-magnitude
+    # big-endian) — the magnitude must not reach into it, or a
+    # spec-compliant reader (Apache ORC C++) reads a negative base.
+    # Caught by the write_orc(rle="v2") external-reader loop; our own
+    # symmetric decoder masked it.
+    bw = max(1, ((abs(base)).bit_length() + 1 + 7) // 8)
     if bw > 8 or abs(base) >= 1 << 63:
         return None
-    ew = pgw + pw
+    # patch-list entries are packed at the CLOSEST FIXED WIDTH >= pgw+pw
+    # (ORC spec / Apache readers: getClosestFixedBits(patchBitSize+pgw)) —
+    # packing at the raw sum desyncs the Apache C++ reader's stream walk
+    ew = round_width(pgw + pw)
     packed_main = bitpack(residual & np.uint64((1 << w) - 1), w)
     patch_vals = np.array(
         [(g << pw) | p for g, p in entries], dtype=np.uint64
@@ -369,7 +378,9 @@ def decode_int_rle_v2(buf, signed: bool = True) -> np.ndarray:
             nbytes = (n * w + 7) // 8
             residual = bitunpack(b[pos : pos + nbytes], w, n)
             pos += nbytes
-            ew = pgw + pw
+            # entries are packed at the closest fixed width >= pgw+pw
+            # (matches Apache readers; see _try_patched)
+            ew = round_width(pgw + pw)
             pbytes = (pll * ew + 7) // 8
             entries = bitunpack(b[pos : pos + pbytes], ew, pll)
             pos += pbytes

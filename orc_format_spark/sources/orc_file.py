@@ -14,10 +14,14 @@ protobuf dependency.
 Scope: boolean, int8..int64, float, double, string, binary, date32,
 timestamp (naive, writerTimezone=UTC, the probed Apache negative-
 seconds convention), decimal (v1 unbounded zigzag varint + scale
-SECONDARY), list<...>, map<...> , struct<...> — RLEv1-family encodings:
-DIRECT everywhere, plus per-stripe DICTIONARY for string columns when
-distinct/total <= 0.8 (Apache's default threshold; sorted dictionary,
-DICTIONARY_DATA + LENGTH streams). No row index (rowIndexStride=0),
+SECONDARY), list<...>, map<...> , struct<...> — two RLE families:
+``rle="v1"`` (DIRECT/DICTIONARY, RLEv1 streams) and ``rle="v2"``
+(DIRECT_V2/DICTIONARY_V2 — every integer stream emitted by the repo's
+ORC RLEv2 short-repeat/direct/patched-base/delta encoder, so the
+Apache reader independently validates that codec's wire bytes).
+Per-stripe DICTIONARY for string columns when distinct/total <= 0.8
+(Apache's default threshold; sorted dictionary, DICTIONARY_DATA +
+LENGTH streams). No row index (rowIndexStride=0),
 optional ORC block compression (none / zlib / snappy / zstd with the
 reference's 256 KiB blocks). tz-aware timestamps and union raise
 loudly.
@@ -52,7 +56,8 @@ _KIND = {
 _COMPRESSION = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}
 # Stream.Kind (orc_proto.proto)
 _PRESENT, _DATA, _LENGTH, _DICT_DATA, _SECONDARY = 0, 1, 2, 3, 5
-_DIRECT, _DICTIONARY = 0, 1  # ColumnEncoding.Kind (RLEv1 family)
+# ColumnEncoding.Kind: v1 = RLEv1 streams, v2 = RLEv2 streams
+_DIRECT, _DICTIONARY, _DIRECT_V2, _DICTIONARY_V2 = 0, 1, 2, 3
 # Apache ORC's default dictionary threshold: encode via dictionary when
 # distinct/total <= 0.8 (hive.exec.orc.dictionary.key.size.threshold)
 DICT_THRESHOLD = 0.8
@@ -212,13 +217,14 @@ def _validity(arr: pa.Array) -> np.ndarray:
 
 def _dict_streams(
     dense: pa.Array, col_id: int, streams: list, encodings: dict,
-    threshold: float,
+    threshold: float, enc_int, v2: bool,
 ) -> bool:
-    """Try ORC DICTIONARY encoding (RLEv1 family, ColumnEncoding kind 1)
-    for a string column: DATA = unsigned-RLEv1 indices into the SORTED
-    dictionary, DICTIONARY_DATA = concatenated utf8 entries, LENGTH =
-    per-entry byte lengths. Used when distinct/total <= ``threshold``
-    (Apache ORC's 0.8 default); returns False to fall back to DIRECT."""
+    """Try ORC DICTIONARY encoding (ColumnEncoding kind 1, or
+    DICTIONARY_V2 = 3 when the file is RLEv2-mode) for a string column:
+    DATA = unsigned-RLE indices into the SORTED dictionary,
+    DICTIONARY_DATA = concatenated utf8 entries, LENGTH = per-entry byte
+    lengths. Used when distinct/total <= ``threshold`` (Apache ORC's
+    0.8 default); returns False to fall back to DIRECT."""
     import pyarrow.compute as pc
 
     n = len(dense)
@@ -240,10 +246,10 @@ def _dict_streams(
     lengths = np.diff(offs).astype(np.int64)
     datab = sdict.buffers()[2]
     raw = b"" if datab is None else datab.to_pybytes()[offs[0] : offs[-1]]
-    streams.append((_DATA, col_id, encode_int_rle_v1(rank[idx], signed=False)))
+    streams.append((_DATA, col_id, enc_int(rank[idx], signed=False)))
     streams.append((_DICT_DATA, col_id, raw))
-    streams.append((_LENGTH, col_id, encode_int_rle_v1(lengths, signed=False)))
-    encodings[col_id] = (_DICTIONARY, len(dct))
+    streams.append((_LENGTH, col_id, enc_int(lengths, signed=False)))
+    encodings[col_id] = (_DICTIONARY_V2 if v2 else _DICTIONARY, len(dct))
     return True
 
 
@@ -254,11 +260,23 @@ def _column_streams(
     encodings: dict,
     dict_strings: bool = True,
     dict_threshold: float = DICT_THRESHOLD,
+    rle: str = "v1",
 ) -> int:
     """Append (kind, column, raw_bytes) streams for this column and its
     children, pre-order; record non-DIRECT ColumnEncodings in
     ``encodings`` (col_id -> (kind, dictionarySize)). Returns the next
-    free column id."""
+    free column id.
+
+    ``rle="v2"`` emits every integer-RLE stream (DATA for ints / dates /
+    timestamp seconds+nanos / decimal scales, LENGTH for strings, lists,
+    maps and dictionaries, dictionary indices) with the repo's ORC RLEv2
+    encoder (short-repeat / direct / patched-base / delta) and marks the
+    column DIRECT_V2 / DICTIONARY_V2 — so the Apache ORC C++ reader
+    independently validates the RLEv2 codec's wire bytes. Boolean / byte
+    / float / double / struct streams are identical in both modes and
+    stay DIRECT, as Apache's writer does."""
+    from ..codecs.rle_v2 import encode_int_rle_v2
+
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     valid = _validity(arr)
@@ -268,10 +286,18 @@ def _column_streams(
     else:
         dense = arr
     t = arr.type
+    v2 = rle == "v2"
+    enc_int = encode_int_rle_v2 if v2 else encode_int_rle_v1
+
+    def mark_v2() -> None:
+        # this column carried at least one integer-RLE stream
+        if v2:
+            encodings[col_id] = (_DIRECT_V2, -1)
 
     def recurse(child: pa.Array, cid: int) -> int:
         return _column_streams(
-            child, cid, streams, encodings, dict_strings, dict_threshold
+            child, cid, streams, encodings, dict_strings, dict_threshold,
+            rle,
         )
 
     if pa.types.is_struct(t):
@@ -284,8 +310,9 @@ def _column_streams(
         if len(offs) == 0:
             offs = np.zeros(1, np.int64)
         streams.append(
-            (_LENGTH, col_id, encode_int_rle_v1(np.diff(offs), signed=False))
+            (_LENGTH, col_id, enc_int(np.diff(offs), signed=False))
         )
+        mark_v2()
         # .keys/.items are the PHYSICAL child arrays; the offsets window
         # [offs[0], offs[-1]) selects this array's slice of them
         lo, hi = int(offs[0]), int(offs[-1])
@@ -295,8 +322,9 @@ def _column_streams(
         offs = np.asarray(dense.offsets)
         lengths = np.diff(offs).astype(np.int64)
         streams.append(
-            (_LENGTH, col_id, encode_int_rle_v1(lengths, signed=False))
+            (_LENGTH, col_id, enc_int(lengths, signed=False))
         )
+        mark_v2()
         return recurse(dense.flatten(), col_id + 1)
     if pa.types.is_boolean(t):
         vals = np.asarray(dense.to_numpy(zero_copy_only=False), bool)
@@ -306,7 +334,8 @@ def _column_streams(
         streams.append((_DATA, col_id, encode_byte_rle(v.view(np.uint8))))
     elif pa.types.is_integer(t):
         v = dense.to_numpy(zero_copy_only=False).astype(np.int64)
-        streams.append((_DATA, col_id, encode_int_rle_v1(v, signed=True)))
+        streams.append((_DATA, col_id, enc_int(v, signed=True)))
+        mark_v2()
     elif pa.types.is_float32(t) or pa.types.is_float64(t):
         v = dense.to_numpy(zero_copy_only=False)
         streams.append((_DATA, col_id, v.astype("<f4" if pa.types.is_float32(t) else "<f8").tobytes()))
@@ -315,7 +344,10 @@ def _column_streams(
         if (
             dict_strings
             and (pa.types.is_string(t) or pa.types.is_large_string(t))
-            and _dict_streams(dense, col_id, streams, encodings, dict_threshold)
+            and _dict_streams(
+                dense, col_id, streams, encodings, dict_threshold,
+                enc_int, v2,
+            )
         ):
             return col_id + 1
         if pa.types.is_string(t) or pa.types.is_binary(t):
@@ -334,11 +366,13 @@ def _column_streams(
         raw = b"" if data is None else data.to_pybytes()[offs[0] : offs[-1]]
         streams.append((_DATA, col_id, raw))
         streams.append(
-            (_LENGTH, col_id, encode_int_rle_v1(lengths, signed=False))
+            (_LENGTH, col_id, enc_int(lengths, signed=False))
         )
+        mark_v2()
     elif pa.types.is_date32(t):
         v = dense.cast(pa.int32()).to_numpy(zero_copy_only=False).astype(np.int64)
-        streams.append((_DATA, col_id, encode_int_rle_v1(v, signed=True)))
+        streams.append((_DATA, col_id, enc_int(v, signed=True)))
+        mark_v2()
     elif pa.types.is_timestamp(t):
         from ..codecs.timestamp import EPOCH_SECONDS, compact_nanos
 
@@ -364,12 +398,13 @@ def _column_streams(
             )
         streams.append(
             (_DATA, col_id,
-             encode_int_rle_v1(sec + adj + EPOCH_SECONDS, signed=True))
+             enc_int(sec + adj + EPOCH_SECONDS, signed=True))
         )
         streams.append(
             (_SECONDARY, col_id,
-             encode_int_rle_v1(compact_nanos(nanos), signed=False))
+             enc_int(compact_nanos(nanos), signed=False))
         )
+        mark_v2()
     elif pa.types.is_decimal(t):
         # ORC DECIMAL v1: DATA = unbounded zigzag base-128 varint of the
         # unscaled value, SECONDARY = per-value scale (signed RLEv1).
@@ -393,8 +428,9 @@ def _column_streams(
         streams.append((_DATA, col_id, bytes(data)))
         streams.append(
             (_SECONDARY, col_id,
-             encode_int_rle_v1(np.full(count, scale, np.int64), signed=True))
+             enc_int(np.full(count, scale, np.int64), signed=True))
         )
+        mark_v2()
     else:
         raise NotImplementedError(f"orc_file: type {t} not supported")
     return col_id + 1
@@ -412,6 +448,7 @@ def write_orc(
     level: int = DEFAULT_ZSTD_LEVEL,
     dict_strings: bool = True,
     dict_threshold: float = DICT_THRESHOLD,
+    rle: str = "v1",
 ) -> int:
     """Write ``table`` as a genuine ORC file; returns bytes written.
 
@@ -421,14 +458,20 @@ def write_orc(
     pyarrow.orc / Apache ORC C++.
 
     String columns are DICTIONARY-encoded per stripe when distinct/total
-    <= ``dict_threshold`` (Apache ORC's 0.8 default; RLEv1-family
-    ColumnEncoding kind 1 with sorted dictionary), else DIRECT; set
-    ``dict_strings=False`` to force DIRECT everywhere."""
+    <= ``dict_threshold`` (Apache ORC's 0.8 default; sorted dictionary),
+    else DIRECT; set ``dict_strings=False`` to force DIRECT everywhere.
+
+    ``rle="v2"`` writes every integer-RLE stream with the repo's ORC
+    RLEv2 encoder (short-repeat/direct/patched-base/delta) and marks
+    columns DIRECT_V2/DICTIONARY_V2 — the external-reader validation
+    loop for the RLEv2 codec itself."""
     if compression not in _COMPRESSION:
         raise ValueError(
             f"orc_file: compression {compression!r} not in "
             f"{sorted(_COMPRESSION)}"
         )
+    if rle not in ("v1", "v2"):
+        raise ValueError(f"orc_file: rle {rle!r} not in ('v1', 'v2')")
     nodes, extras = _plan_types(table.schema)
     close = False
     if isinstance(out, str):
@@ -455,7 +498,8 @@ def write_orc(
             streams: list[tuple[int, int, bytes]] = []
             encodings: dict[int, tuple[int, int]] = {}
             _column_streams(
-                root, 0, streams, encodings, dict_strings, dict_threshold
+                root, 0, streams, encodings, dict_strings, dict_threshold,
+                rle,
             )
             sf = b""
             data_len = 0
@@ -526,6 +570,7 @@ def write_orc_groups(
     size_col: str | None = None,
     compression: str = "zstd",
     stripe_rows: int = 65_536,
+    rle: str = "v1",
 ):
     """Distributed real-ORC sink: salt rows into groups (the same
     :func:`operators.partitioning.with_group_id` salting as
@@ -562,7 +607,8 @@ def write_orc_groups(
         dest = os.path.join(out_dir, f"group-{gid:08d}.orc")
         tmp = f"{dest}.tmp.{os.getpid()}"
         n_bytes = write_orc(
-            data, tmp, compression=compression, stripe_rows=stripe_rows
+            data, tmp, compression=compression, stripe_rows=stripe_rows,
+            rle=rle,
         )
         os.replace(tmp, dest)
         return pa.table(

@@ -546,6 +546,37 @@ def test_blob_engine_version_tag():
     assert blob_engine_version(legacy) == "<pre-3.0>"
 
 
+def test_pre_4_rle_v2_blob_refused_loudly():
+    """Engine 4.0 corrected the RLEv2 patched-base wire format; a
+    pre-4.0 blob whose columns used rle_v2 must refuse decode instead of
+    returning silently-wrong values. Same-bytes blobs with other codecs
+    stay decodable across the tag swap."""
+    from orc_format_spark.codecs.container import (
+        ENCODER_VERSION,
+        decode_table,
+        deserialize_blob,
+        encode_table,
+    )
+
+    assert ENCODER_VERSION == "4.0"
+    old_tag = b"3.3"
+    new_tag = ENCODER_VERSION.encode()
+    assert len(old_tag) == len(new_tag)  # in-place tag swap stays valid
+
+    tbl = pa.table({"a": pa.array(range(4_096), pa.int64())})
+    v2_blob, _ = encode_table(tbl, codec="rle_v2")
+    assert decode_table(v2_blob).equals(tbl)
+    stale = v2_blob.replace(new_tag, old_tag, 1)
+    with pytest.raises(ValueError, match="pre-4.0 rle_v2"):
+        deserialize_blob(stale)
+    with pytest.raises(ValueError, match="pre-4.0 rle_v2"):
+        decode_table(stale)
+
+    v1_blob, _ = encode_table(tbl, codec="rle_v1")
+    stale_v1 = v1_blob.replace(new_tag, old_tag, 1)
+    assert decode_table(stale_v1).equals(tbl)  # non-rle_v2: still fine
+
+
 # ------------------------------------------------------- float codecs
 
 

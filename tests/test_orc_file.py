@@ -56,8 +56,9 @@ def test_all_types_all_compressions():
         }
     )
     for comp in ["none", "zlib", "snappy", "zstd"]:
-        rd = _roundtrip(t, compression=comp)
-        assert rd.cast(t.schema).equals(t), comp
+        for rle in ["v1", "v2"]:
+            rd = _roundtrip(t, compression=comp, rle=rle)
+            assert rd.cast(t.schema).equals(t), (comp, rle)
 
 
 def test_multi_stripe_and_stripe_count():
@@ -144,6 +145,67 @@ def test_map_roundtrip():
         assert f.read().cast(big.schema).equals(big)
     finally:
         os.unlink(p)
+
+
+def test_rle_v2_mode_through_apache_reader():
+    """rle='v2' marks DIRECT_V2/DICTIONARY_V2 and emits every integer
+    stream with the repo's RLEv2 encoder — Apache ORC C++ decoding them
+    is the external validation loop for that codec. Data is shaped to
+    force all four sub-encodings: constant runs (short-repeat),
+    monotonic ramps (delta), noise (direct), and noise+outliers
+    (patched-base)."""
+    rng = np.random.default_rng(11)
+    n = 40_000
+    noise = rng.integers(0, 2**20, n)
+    outliers = noise.copy()
+    outliers[rng.integers(0, n, 300)] = 2**45
+    t = pa.table(
+        {
+            "runs": pa.array(np.repeat(rng.integers(-50, 50, n // 100), 100)),
+            "ramp": pa.array(np.arange(n, dtype=np.int64) * 3 - 1000),
+            "noise": pa.array(noise),
+            "patched": pa.array(outliers),
+            "neg": pa.array(rng.integers(-(2**33), 2**33, n)),
+            "s_dict": pa.array([f"cat-{i % 41}" for i in range(n)]),
+            "s_direct": pa.array([f"uniq-{i}" for i in range(n)]),
+            "ts": pa.array(
+                [
+                    datetime.datetime(2020, 1, 1)
+                    + datetime.timedelta(seconds=int(x), microseconds=int(x % 997))
+                    for x in rng.integers(0, 10**8, 200)
+                ].__mul__(n // 200),
+                pa.timestamp("us"),
+            ),
+            "lst": pa.array(
+                [[int(x) for x in rng.integers(0, 9, i % 5)] for i in range(n)],
+                pa.list_(pa.int64()),
+            ),
+        }
+    )
+    for comp in ["none", "zstd"]:
+        rd = _roundtrip(t, compression=comp, rle="v2", stripe_rows=9_000)
+        assert rd.cast(t.schema).equals(t), comp
+    with pytest.raises(ValueError, match="rle"):
+        write_orc(pa.table({"a": [1]}), tempfile.mktemp(), rle="v3")
+
+
+def test_rle_v2_patched_base_sign_bit_boundary():
+    """Regression: patched-base bases whose magnitude fills a whole byte
+    (199, 255, 32768, ...) must NOT collide with the sign-magnitude MSB
+    — Apache read 0xC7 as base=-71 before the width fix; the symmetric
+    in-repo decoder masked the wire bug. Negative bases included."""
+    rng = np.random.default_rng(3)
+    cols = {}
+    for name, base in [
+        ("b199", 199), ("b255", 255), ("b128", 128), ("b32768", 32768),
+        ("bneg200", -200), ("bneg70000", -70_000),
+    ]:
+        v = rng.integers(0, 2**16, 2_048) + base
+        v[rng.integers(0, 2_048, 20)] += 2**40  # outliers -> patched
+        v[int(rng.integers(0, 2_048))] = base   # pin the exact min
+        cols[name] = pa.array(v.astype(np.int64))
+    t = pa.table(cols)
+    assert _roundtrip(t, rle="v2").cast(t.schema).equals(t)
 
 
 def test_dictionary_encoding_chosen_and_equal():
