@@ -208,6 +208,39 @@ def test_rle_v2_patched_base_sign_bit_boundary():
     assert _roundtrip(t, rle="v2").cast(t.schema).equals(t)
 
 
+def test_rle_v2_fuzz_through_apache_reader():
+    """Seeded fuzz of the RLEv2 wire through Apache ORC C++: extreme
+    62-bit values, sparse huge outliers (patched), monotonic runs
+    (delta), long equal runs (short-repeat), constants — every
+    distribution family the four sub-encodings split on."""
+    rng = np.random.default_rng(0)
+    for trial in range(24):
+        n = int(rng.integers(1, 3000))
+        kind = trial % 6
+        if kind == 0:
+            v = rng.integers(-(2**62), 2**62, n)
+        elif kind == 1:
+            v = rng.integers(0, 2, n) * rng.integers(1, 2**50)
+        elif kind == 2:
+            v = np.sort(rng.integers(-(2**40), 2**40, n))
+        elif kind == 3:
+            v = np.repeat(
+                rng.integers(-(2**55), 2**55, max(1, n // 7)), 7
+            )[:n]
+        elif kind == 4:
+            v = rng.integers(0, 2**10, n)
+            v[rng.integers(0, n, max(1, n // 100))] = rng.integers(
+                2**50, 2**62
+            )
+        else:
+            v = np.full(n, int(rng.integers(-(2**62), 2**62)))
+        t = pa.table({"v": pa.array(v.astype(np.int64))})
+        rd = _roundtrip(
+            t, rle="v2", stripe_rows=int(rng.integers(100, 2000))
+        )
+        assert rd.cast(t.schema).equals(t), (trial, kind, n)
+
+
 def test_dictionary_encoding_chosen_and_equal():
     """Low-cardinality strings take the DICTIONARY path (kind 1, sorted
     dictionary): the file must shrink vs forced-DIRECT and read back
