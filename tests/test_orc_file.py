@@ -122,7 +122,9 @@ def test_map_roundtrip():
     ]
     t = pa.table({"m": pa.array(rows, mt), "i": pa.array(range(6))})
     for comp in ["none", "zstd"]:
-        assert _roundtrip(t, compression=comp).cast(t.schema).equals(t), comp
+        for rle in ["v1", "v2"]:
+            got = _roundtrip(t, compression=comp, rle=rle)
+            assert got.cast(t.schema).equals(t), (comp, rle)
     # sliced input: physical child arrays are larger than the window
     ts = pa.table(
         {"m": pa.array(rows, mt).slice(1, 4), "i": pa.array(range(4))}
@@ -348,7 +350,9 @@ def test_timestamp_decimal_roundtrip():
         }
     )
     for comp in ["none", "zstd"]:
-        assert _roundtrip(t, compression=comp).cast(t.schema).equals(t), comp
+        for rle in ["v1", "v2"]:
+            got = _roundtrip(t, compression=comp, rle=rle)
+            assert got.cast(t.schema).equals(t), (comp, rle)
 
 
 def test_timestamp_unrepresentable_window_raises():
