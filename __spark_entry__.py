@@ -2168,9 +2168,12 @@ def oracle_sql() -> dict[str, str]:
             # scale-relative threshold (80% of max key): at a fixed 55000
             # the sf0.01 gate row was 0 rows == 0 rows, a trivially-green
             # check; this keeps ~20% of rows at every SF
+            # FLOOR, not bare CAST: DuckDB's CAST-to-integer ROUNDS
+            # (11999.5 -> 12000) while the Spark side uses Python int()
+            # truncation — FLOOR pins both to the same threshold
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
-            "WHERE l_orderkey >= (SELECT CAST(0.8 * MAX(l_orderkey) AS "
-            "BIGINT) FROM lineitem)"
+            "WHERE l_orderkey >= (SELECT CAST(FLOOR(0.8 * MAX(l_orderkey)) "
+            "AS BIGINT) FROM lineitem)"
         ),
         "bloom_filter_decode": (
             "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem "
