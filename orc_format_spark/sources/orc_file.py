@@ -21,10 +21,20 @@ ORC RLEv2 short-repeat/direct/patched-base/delta encoder, so the
 Apache reader independently validates that codec's wire bytes).
 Per-stripe DICTIONARY for string columns when distinct/total <= 0.8
 (Apache's default threshold; sorted dictionary, DICTIONARY_DATA +
-LENGTH streams). No row index (rowIndexStride=0),
-optional ORC block compression (none / zlib / snappy / zstd with the
-reference's 256 KiB blocks). tz-aware timestamps and union raise
-loudly.
+LENGTH streams). Optional ORC block compression (none / zlib / snappy /
+zstd with the reference's 256 KiB blocks). tz-aware timestamps and
+union raise loudly.
+
+Statistics (reference statistics/*.rs re-expressed on the real-ORC
+wire): ColumnStatistics per column in the Footer (field 7), per stripe
+in the Metadata section (StripeStatistics — the input to Apache's
+stripe elimination), and per row group in ROW_INDEX streams (one row
+group per stripe: footer rowIndexStride == stripe_rows, so positions
+never need intra-stripe seek state). Spark's built-in ORC source
+(Apache ORC Java) demonstrably SKIPS stripes from these stats under
+predicate pushdown while returning exact results — value-level
+external validation, with an adversarial test proving wrong stats
+change pushdown results (tests/test_orc_file.py).
 
 Scale shape: one ORC file is written per task/group inside a
 ``mapInArrow`` kernel (same sink pattern as ``encode_splits``) — the
@@ -56,6 +66,7 @@ _KIND = {
 _COMPRESSION = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}
 # Stream.Kind (orc_proto.proto)
 _PRESENT, _DATA, _LENGTH, _DICT_DATA, _SECONDARY = 0, 1, 2, 3, 5
+_ROW_INDEX = 6
 # ColumnEncoding.Kind: v1 = RLEv1 streams, v2 = RLEv2 streams
 _DIRECT, _DICTIONARY, _DIRECT_V2, _DICTIONARY_V2 = 0, 1, 2, 3
 # Apache ORC's default dictionary threshold: encode via dictionary when
@@ -206,6 +217,177 @@ def _types_proto(nodes, extras) -> bytes:
     return b"".join(out)
 
 
+# ----------------------------------------------------- column statistics
+#
+# ColumnStatistics (orc_proto.proto:75-87) per column node, per stripe
+# (Metadata.stripeStats, the input to Apache ORC's stripe elimination)
+# and merged file-level (Footer.statistics field 7). Written bounds MUST
+# cover the true values or readers silently drop matching stripes under
+# predicate pushdown — tests prove Spark's ORC-Java reader consumes them
+# (wrong stats => wrong rows), so every bound below is exact-or-wider,
+# never narrower, and anything uncertain is omitted (absent stats mean
+# "cannot skip", which is always safe).
+
+
+def _psv(field: int, v: int) -> bytes:
+    """zigzag sint varint field (proto2 sint32/sint64)"""
+    z = (v << 1) if v >= 0 else ((-v) << 1) - 1
+    return _uvarint(field << 3) + _uvarint(z)
+
+
+def _pdbl(field: int, x: float) -> bytes:
+    """fixed64 double field"""
+    import struct
+
+    return _uvarint((field << 3) | 1) + struct.pack("<d", x)
+
+
+_I64_MAX = 2**63 - 1
+
+
+def _stat_of(arr: pa.Array) -> dict:
+    """One column's one-stripe summary: {'kind', 'n', 'has_null'} plus
+    kind-specific bounds. Compound/unsupported kinds carry counts only."""
+    import pyarrow.compute as pc
+
+    n = len(arr) - arr.null_count
+    st = {"kind": "none", "n": n, "has_null": arr.null_count > 0}
+    t = arr.type
+    if n == 0:
+        return st
+    if pa.types.is_boolean(t):
+        st["kind"] = "bool"
+        st["true"] = int(pc.sum(arr).as_py() or 0)
+    elif pa.types.is_integer(t):
+        mm = pc.min_max(arr)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        st.update(kind="int", min=lo, max=hi)
+        # sum only when overflow is impossible (Apache omits on overflow)
+        if max(abs(lo), abs(hi)) <= _I64_MAX // n:
+            st["sum"] = int(pc.sum(arr).as_py())
+    elif pa.types.is_float32(t) or pa.types.is_float64(t):
+        if pc.sum(pc.is_nan(arr)).as_py():
+            return st  # NaN poisons double stats: omit, never mislead
+        st["kind"] = "double"
+        mm = pc.min_max(arr)
+        st.update(min=float(mm["min"].as_py()), max=float(mm["max"].as_py()))
+        st["sum"] = float(pc.sum(arr).as_py())
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        st["kind"] = "string"
+        st["sum"] = int(pc.sum(pc.utf8_length(arr)).as_py() or 0)
+        buffers = arr.combine_chunks().buffers() if isinstance(
+            arr, pa.ChunkedArray) else arr.buffers()
+        data = buffers[2]
+        # UTF-8 byte order == Java's UTF-16 comparison unless some code
+        # point >= U+E000 exists (exactly: some UTF-8 byte >= 0xEE);
+        # wrong order could skip a matching stripe, so omit min/max then
+        if data is None or len(data) == 0 or np.frombuffer(
+            data, np.uint8
+        ).max() < 0xEE:
+            mm = pc.min_max(arr)
+            st.update(min=mm["min"].as_py(), max=mm["max"].as_py())
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        st["kind"] = "binary"
+        st["sum"] = int(pc.sum(pc.binary_length(arr)).as_py() or 0)
+    elif pa.types.is_date32(t):
+        mm = pc.min_max(arr.cast(pa.int32()))
+        st.update(kind="date", min=mm["min"].as_py(), max=mm["max"].as_py())
+    elif pa.types.is_timestamp(t):
+        ns = arr.cast(pa.timestamp("ns")).cast(pa.int64())
+        mm = pc.min_max(ns)
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        # ms bounds: floor the min, ceil the max — wider is always safe
+        st.update(
+            kind="timestamp",
+            min=lo // 1_000_000,
+            max=-((-hi) // 1_000_000),
+        )
+    elif pa.types.is_decimal(t):
+        mm = pc.min_max(arr)
+        st.update(
+            kind="decimal",
+            min=mm["min"].as_py(),
+            max=mm["max"].as_py(),
+            sum=sum(arr.drop_null().to_pylist()),
+        )
+    return st
+
+
+def _merge_stat(a: dict | None, b: dict) -> dict:
+    """File-level accumulate: counts add, bounds widen; a bound absent on
+    either typed side stays absent (omission is the safe direction)."""
+    if a is None:
+        return dict(b)
+    out = {
+        "kind": a["kind"] if a["kind"] != "none" else b["kind"],
+        "n": a["n"] + b["n"],
+        "has_null": a["has_null"] or b["has_null"],
+    }
+    # a zero-value side constrains nothing
+    for empty, other in ((a, b), (b, a)):
+        if empty["n"] == 0:
+            for k, v in other.items():
+                if k not in out:
+                    out[k] = v
+            return out
+    if a["kind"] != b["kind"]:  # NaN-poisoned double stripe: kind 'none'
+        return out
+    if "min" in a and "min" in b:
+        out["min"] = min(a["min"], b["min"])
+        out["max"] = max(a["max"], b["max"])
+    if "sum" in a and "sum" in b:
+        s = a["sum"] + b["sum"]
+        if not (isinstance(s, int) and abs(s) > _I64_MAX):
+            out["sum"] = s
+    if "true" in a and "true" in b:
+        out["true"] = a["true"] + b["true"]
+    return out
+
+
+def _stats_msg(st: dict) -> bytes:
+    """Render one ColumnStatistics proto message."""
+    msg = _pv(1, st["n"])  # numberOfValues
+    kind = st["kind"]
+    if kind == "int" and "min" in st:
+        sub = _psv(1, st["min"]) + _psv(2, st["max"])
+        if "sum" in st:
+            sub += _psv(3, st["sum"])
+        msg += _pb(2, sub)
+    elif kind == "double" and "min" in st:
+        sub = _pdbl(1, st["min"]) + _pdbl(2, st["max"])
+        if "sum" in st:
+            sub += _pdbl(3, st["sum"])
+        msg += _pb(3, sub)
+    elif kind == "string":
+        sub = b""
+        if "min" in st:
+            sub += _pb(1, st["min"].encode()) + _pb(2, st["max"].encode())
+        sub += _psv(3, st.get("sum", 0))
+        msg += _pb(4, sub)
+    elif kind == "bool":
+        msg += _pb(5, _pb(1, _uvarint(st["true"])))  # packed count[0]
+    elif kind == "decimal" and "min" in st:
+        sub = _pb(1, format(st["min"], "f").encode())
+        sub += _pb(2, format(st["max"], "f").encode())
+        if "sum" in st:
+            sub += _pb(3, format(st["sum"], "f").encode())
+        msg += _pb(6, sub)
+    elif kind == "date" and "min" in st:
+        msg += _pb(7, _psv(1, st["min"]) + _psv(2, st["max"]))
+    elif kind == "binary":
+        msg += _pb(8, _psv(1, st.get("sum", 0)))
+    elif kind == "timestamp" and "min" in st:
+        # legacy writer-tz ms (1,2) plus the UTC pair (3,4) modern
+        # readers prefer — identical here, writerTimezone is UTC
+        msg += _pb(
+            9,
+            _psv(1, st["min"]) + _psv(2, st["max"])
+            + _psv(3, st["min"]) + _psv(4, st["max"]),
+        )
+    msg += _pv(10, 1 if st["has_null"] else 0)  # hasNull
+    return msg
+
+
 # ------------------------------------------------------- column streams
 
 
@@ -261,11 +443,14 @@ def _column_streams(
     dict_strings: bool = True,
     dict_threshold: float = DICT_THRESHOLD,
     rle: str = "v1",
+    stats: dict | None = None,
 ) -> int:
     """Append (kind, column, raw_bytes) streams for this column and its
     children, pre-order; record non-DIRECT ColumnEncodings in
     ``encodings`` (col_id -> (kind, dictionarySize)). Returns the next
-    free column id.
+    free column id. When ``stats`` is given, records this stripe's
+    ColumnStatistics summary per column id inside the SAME walk, so
+    stats column ids can never drift from stream column ids.
 
     ``rle="v2"`` emits every integer-RLE stream (DATA for ints / dates /
     timestamp seconds+nanos / decimal scales, LENGTH for strings, lists,
@@ -279,6 +464,8 @@ def _column_streams(
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if stats is not None:
+        stats[col_id] = _stat_of(arr)
     valid = _validity(arr)
     if arr.null_count:
         streams.append((_PRESENT, col_id, encode_boolean_rle(valid)))
@@ -297,7 +484,7 @@ def _column_streams(
     def recurse(child: pa.Array, cid: int) -> int:
         return _column_streams(
             child, cid, streams, encodings, dict_strings, dict_threshold,
-            rle,
+            rle, stats,
         )
 
     if pa.types.is_struct(t):
@@ -449,6 +636,7 @@ def write_orc(
     dict_strings: bool = True,
     dict_threshold: float = DICT_THRESHOLD,
     rle: str = "v1",
+    row_index: bool = True,
 ) -> int:
     """Write ``table`` as a genuine ORC file; returns bytes written.
 
@@ -464,7 +652,14 @@ def write_orc(
     ``rle="v2"`` writes every integer-RLE stream with the repo's ORC
     RLEv2 encoder (short-repeat/direct/patched-base/delta) and marks
     columns DIRECT_V2/DICTIONARY_V2 — the external-reader validation
-    loop for the RLEv2 codec itself."""
+    loop for the RLEv2 codec itself.
+
+    ``row_index=True`` (default) writes file/stripe/row-group
+    ColumnStatistics with exact-or-wider bounds (string min/max omitted
+    when UTF-8 byte order could diverge from Java's UTF-16 comparison,
+    double stats omitted under NaN, int sums omitted on potential
+    overflow) plus one-row-group-per-stripe ROW_INDEX streams, enabling
+    Apache ORC Java stripe elimination under predicate pushdown."""
     if compression not in _COMPRESSION:
         raise ValueError(
             f"orc_file: compression {compression!r} not in "
@@ -483,6 +678,8 @@ def write_orc(
         f.write(b"ORC")
         pos = 3
         stripe_infos = []
+        stripe_stats: list[dict[int, dict]] = []
+        file_stats: list[dict | None] = [None] * len(nodes)
         n_rows = table.num_rows
         for start in range(0, max(n_rows, 1), stripe_rows):
             batch_tbl = table.slice(start, stripe_rows)
@@ -497,13 +694,40 @@ def write_orc(
             )
             streams: list[tuple[int, int, bytes]] = []
             encodings: dict[int, tuple[int, int]] = {}
+            sstats: dict[int, dict] = {}
             _column_streams(
                 root, 0, streams, encodings, dict_strings, dict_threshold,
-                rle,
+                rle, sstats,
             )
+            assert len(sstats) == len(nodes)  # walks agree on column ids
+            stripe_stats.append(sstats)
+            for i in range(len(nodes)):
+                file_stats[i] = _merge_stat(file_stats[i], sstats[i])
             sf = b""
             data_len = 0
+            index_len = 0
             payloads = []
+            if row_index:
+                # ROW_INDEX stream per column, ONE RowIndexEntry whose
+                # statistics are the stripe's (footer rowIndexStride ==
+                # stripe_rows => exactly one row group per stripe, so
+                # positions are never consulted for intra-stripe seeks
+                # — but Apache ORC Java only constructs its
+                # SearchArgument applier at all when rowIndexStride > 0,
+                # and THAT is what turns on stripe elimination from the
+                # Metadata stripe stats). Index streams precede data
+                # streams; StripeInformation.indexLength counts them.
+                for cid in range(len(nodes)):
+                    entry = _pb(2, _stats_msg(sstats[cid]))
+                    comp = _orc_compress(
+                        _pb(1, entry), compression, block_size, level
+                    )
+                    payloads.append(comp)
+                    sf += _pb(
+                        1, _pv(1, _ROW_INDEX) + _pv(2, cid)
+                        + _pv(3, len(comp))
+                    )
+                    index_len += len(comp)
             for kind, col, raw in streams:
                 comp = _orc_compress(raw, compression, block_size, level)
                 payloads.append(comp)
@@ -523,22 +747,47 @@ def write_orc(
             f.write(sf_bytes)
             si = (
                 _pv(1, pos)
-                + _pv(2, 0)  # indexLength: no row index
+                + _pv(2, index_len)
                 + _pv(3, data_len)
                 + _pv(4, len(sf_bytes))
                 + _pv(5, batch_tbl.num_rows)
             )
             stripe_infos.append(si)
-            pos += data_len + len(sf_bytes)
+            pos += index_len + data_len + len(sf_bytes)
             if n_rows == 0:
                 break
-        content_len = pos
+        content_len = pos - 3  # stripes only: the 3-byte magic is
+        # accounted by headerLength (probed: Apache C++ contentLength
+        # excludes it — header + content + metadata + footer + ps + 1
+        # == file length exactly)
+        # Metadata section (stripe-level ColumnStatistics — the input
+        # to Apache ORC's stripe elimination under predicate pushdown)
+        metadata = b""
+        for sstats in stripe_stats:
+            ss_msg = b"".join(
+                _pb(1, _stats_msg(sstats[i])) for i in range(len(nodes))
+            )
+            metadata += _pb(1, ss_msg)
+        metadata_bytes = _orc_compress(
+            metadata, compression, block_size, level
+        )
+        f.write(metadata_bytes)
         footer = _pv(1, 3) + _pv(2, content_len)
         for si in stripe_infos:
             footer += _pb(3, si)
         footer += _types_proto(nodes, extras)
         footer += _pv(6, n_rows)
-        footer += _pv(8, 0)  # rowIndexStride: none
+        for i in range(len(nodes)):  # file-level stats (field 7)
+            footer += _pb(
+                7,
+                _stats_msg(
+                    file_stats[i]
+                    or {"kind": "none", "n": 0, "has_null": False}
+                ),
+            )
+        # one row group per stripe: stride == stripe_rows (a stride is an
+        # UPPER bound on rows per group, so every stripe has exactly one)
+        footer += _pv(8, stripe_rows if row_index else 0)
         footer_bytes = _orc_compress(footer, compression, block_size, level)
         f.write(footer_bytes)
         ps = _pv(1, len(footer_bytes))
@@ -546,14 +795,16 @@ def write_orc(
         if compression != "none":
             ps += _pv(3, block_size)
         ps += _pv(4, 0) + _pv(4, 12)  # file version 0.12
-        ps += _pv(5, 0)  # metadataLength: no metadata section
+        ps += _pv(5, len(metadata_bytes))  # metadataLength
         ps += _pv(6, 1)  # writerVersion
         ps += _pb(8000, b"ORC")
         if len(ps) > 255:
             raise AssertionError("postscript > 255 bytes")
         f.write(ps)
         f.write(bytes([len(ps)]))
-        return content_len + len(footer_bytes) + len(ps) + 1
+        return (
+            pos + len(metadata_bytes) + len(footer_bytes) + len(ps) + 1
+        )
     finally:
         if close:
             f.close()
