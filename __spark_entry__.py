@@ -1466,6 +1466,46 @@ def q_orc_rle_v2_file_roundtrip(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_orc_stats_prune_scan(spark, sf_dir):
+    """ORC column statistics as a query accelerator, validated at the
+    VALUE level by the second independent Apache implementation: write
+    lineitem as genuine ORC files (ColumnStatistics at footer / stripe
+    Metadata / row-group index — reference statistics/*.rs on the real
+    wire), then read them back with Spark's BUILT-IN ORC source, whose
+    ORC-Java reader eliminates stripes from our stripe statistics under
+    predicate pushdown (small stripes + key-sorted groups, so most
+    stripes are skipped). Statistics narrower than the data would drop
+    matching rows right here — tests/test_orc_file.py proves
+    adversarially that the reader consumes what we write."""
+    import shutil
+    import tempfile
+
+    from orc_format_spark.sources.orc_file import write_orc_groups
+
+    work = tempfile.mkdtemp(prefix="ofs_orcstats_")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_quantity"
+        )
+        files = write_orc_groups(
+            li, f"{work}/orc", num_groups=4, key_col="l_orderkey",
+            compression="zstd", stripe_rows=2048,
+        )
+        files.count()  # materialize the sink before reading
+        hi = li.agg(F.max("l_orderkey")).first()[0]
+        lo = int(0.9 * hi)  # scale-relative: keeps ~10% of rows
+        out = (
+            spark.read.orc(f"{work}/orc")
+            .filter(F.col("l_orderkey") >= F.lit(lo))
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+            .cache()
+        )
+        out.count()  # materialize before the scratch dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_manifest_scan(spark, sf_dir):
     """Iceberg source driven for real (no jar): commit the lineitem
     parquet as a data file of a freshly written Iceberg v2 table (pure-
@@ -1928,6 +1968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_file_roundtrip": q_orc_file_roundtrip,
         "orc_dict_map_roundtrip": q_orc_dict_map_roundtrip,
         "orc_rle_v2_file_roundtrip": q_orc_rle_v2_file_roundtrip,
+        "orc_stats_prune_scan": q_orc_stats_prune_scan,
         # -- r04-green whose code changed this round, plus flagship --
         "tokens_roundtrip": q_tokens_roundtrip,
         "clustered_encode": q_clustered_encode,
@@ -2057,6 +2098,13 @@ def oracle_sql() -> dict[str, str]:
         "orc_rle_v2_file_roundtrip": (
             "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, "
             "l_quantity, l_returnflag, l_linestatus FROM lineitem"
+        ),
+        "orc_stats_prune_scan": (
+            # FLOOR pins DuckDB to the Spark side's int() truncation
+            "SELECT l_orderkey, l_linenumber, l_partkey, l_quantity "
+            "FROM lineitem WHERE l_orderkey >= "
+            "(SELECT CAST(FLOOR(0.9 * MAX(l_orderkey)) AS BIGINT) "
+            "FROM lineitem)"
         ),
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "clustered_encode": (

@@ -88,6 +88,7 @@ HEADLINE = [
     "orc_file_roundtrip",
     "orc_dict_map_roundtrip",
     "orc_rle_v2_file_roundtrip",
+    "orc_stats_prune_scan",
     "embedding_neardup",
     "semantic_dedup",
     "pii_scrub",
