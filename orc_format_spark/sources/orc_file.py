@@ -14,7 +14,9 @@ protobuf dependency.
 Scope: boolean, int8..int64, float, double, string, binary, date32,
 timestamp (naive, writerTimezone=UTC, the probed Apache negative-
 seconds convention), decimal (v1 unbounded zigzag varint + scale
-SECONDARY), list<...>, map<...> , struct<...> — two RLE families:
+SECONDARY), list<...>, map<...>, struct<...>, union<...> (Type kind
+13: byte-RLE position tags + children carrying only their tagged
+rows, sparse AND dense Arrow unions) — two RLE families:
 ``rle="v1"`` (DIRECT/DICTIONARY, RLEv1 streams) and ``rle="v2"``
 (DIRECT_V2/DICTIONARY_V2 — every integer stream emitted by the repo's
 ORC RLEv2 short-repeat/direct/patched-base/delta encoder, so the
@@ -22,8 +24,8 @@ Apache reader independently validates that codec's wire bytes).
 Per-stripe DICTIONARY for string columns when distinct/total <= 0.8
 (Apache's default threshold; sorted dictionary, DICTIONARY_DATA +
 LENGTH streams). Optional ORC block compression (none / zlib / snappy /
-zstd with the reference's 256 KiB blocks). tz-aware timestamps and
-union raise loudly.
+zstd with the reference's 256 KiB blocks). tz-aware timestamps raise
+loudly.
 
 Statistics (reference statistics/*.rs re-expressed on the real-ORC
 wire): ColumnStatistics per column in the Footer (field 7), per stripe
@@ -60,8 +62,8 @@ from ..codecs.rle_v1 import (
 _KIND = {
     "bool": 0, "int8": 1, "int16": 2, "int32": 3, "int64": 4,
     "float": 5, "double": 6, "string": 7, "binary": 8,
-    "timestamp": 9, "list": 10, "map": 11, "struct": 12, "decimal": 14,
-    "date32[day]": 15,
+    "timestamp": 9, "list": 10, "map": 11, "struct": 12, "union": 13,
+    "decimal": 14, "date32[day]": 15,
 }
 _COMPRESSION = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}
 # Stream.Kind (orc_proto.proto)
@@ -165,6 +167,9 @@ def _plan_types(schema: pa.Schema):
             k = walk(typ.key_type)
             v = walk(typ.item_type)
             nodes[my_id] = (_KIND["map"], [k, v], [])
+        elif pa.types.is_union(typ):
+            subs = [walk(typ.field(i).type) for i in range(typ.num_fields)]
+            nodes[my_id] = (_KIND["union"], subs, [])
         elif pa.types.is_list(typ) or pa.types.is_large_list(typ):
             child = walk(typ.value_type)
             nodes[my_id] = (_KIND["list"], [child], [])
@@ -513,6 +518,31 @@ def _column_streams(
         )
         mark_v2()
         return recurse(dense.flatten(), col_id + 1)
+    if pa.types.is_union(t):
+        # ORC UNION (Type kind 13): DATA = byte-RLE tags where the tag
+        # is the variant's POSITION in subtypes (not Arrow's type
+        # code), and each child carries only its tagged rows in row
+        # order — probed against Apache C++'s own union output.
+        # Arrow unions carry no top-level validity, so no PRESENT here.
+        codes = np.asarray(dense.type_codes, np.int8)
+        pos_of = np.zeros(128, np.uint8)
+        for i in range(t.num_fields):
+            pos_of[t.type_codes[i]] = i
+        tags = pos_of[codes]
+        streams.append((_DATA, col_id, encode_byte_rle(tags)))
+        nid = col_id + 1
+        dense_mode = t.mode == "dense"
+        if dense_mode:
+            voffs = np.asarray(dense.offsets, np.int64)
+        for i in range(t.num_fields):
+            mask = codes == t.type_codes[i]
+            child = dense.field(i)
+            if dense_mode:
+                sel = pa.array(voffs[mask], pa.int64())
+            else:
+                sel = pa.array(np.flatnonzero(mask), pa.int64())
+            nid = recurse(child.take(sel), nid)
+        return nid
     if pa.types.is_boolean(t):
         vals = np.asarray(dense.to_numpy(zero_copy_only=False), bool)
         streams.append((_DATA, col_id, encode_boolean_rle(vals)))

@@ -90,13 +90,13 @@ def test_nulls_nested_and_empty():
 
 
 def test_unsupported_types_raise_loudly():
-    with pytest.raises(NotImplementedError, match="not supported"):
+    with pytest.raises(NotImplementedError, match="tz-aware|not supported"):
         write_orc(
             pa.table(
                 {
-                    "u": pa.UnionArray.from_sparse(
-                        pa.array([0, 1], pa.int8()),
-                        [pa.array([1, 2]), pa.array(["a", "b"])],
+                    "ts": pa.array(
+                        [datetime.datetime(2024, 1, 1)],
+                        pa.timestamp("us", tz="UTC"),
                     )
                 }
             ),
@@ -527,3 +527,50 @@ def test_statistics_have_teeth(spark):
         assert honest == 100
     finally:
         os.unlink(p)
+
+
+def test_union_roundtrip_through_apache_reader():
+    """ORC UNION (Type kind 13, the last writer W12 off the real wire):
+    byte-RLE position tags + children carrying only their tagged rows,
+    probed against Apache C++'s own union output. Sparse AND dense
+    Arrow unions, both RLE families, arbitrary (non-contiguous) Arrow
+    type codes."""
+    rng = np.random.default_rng(11)
+    n = 12_000
+    codes = pa.array(rng.integers(0, 3, n).astype(np.int8))
+    ints = pa.array(rng.integers(-(10**6), 10**6, n), pa.int64())
+    strs = pa.array([f"s{i % 97}" for i in range(n)])
+    dbls = pa.array(rng.normal(size=n))
+    sparse = pa.UnionArray.from_sparse(codes, [ints, strs, dbls])
+    cn = np.asarray(codes)
+    offs = np.zeros(n, np.int32)
+    for c in range(3):
+        m = cn == c
+        offs[m] = np.arange(m.sum(), dtype=np.int32)
+    dense = pa.UnionArray.from_dense(
+        codes,
+        pa.array(offs),
+        [
+            ints.filter(pa.array(cn == 0)),
+            strs.filter(pa.array(cn == 1)),
+            dbls.filter(pa.array(cn == 2)),
+        ],
+    )
+    want = sparse.to_pylist()
+    assert dense.to_pylist() == want
+    for arr in (sparse, dense):
+        for rle in ["v1", "v2"]:
+            t = pa.table({"k": pa.array(range(n), pa.int64()), "u": arr})
+            got = _roundtrip(t, stripe_rows=5_000, rle=rle,
+                             compression="zstd")
+            assert got.column("k").to_pylist() == list(range(n))
+            assert got.column("u").to_pylist() == want
+    # ORC tags are the variant's POSITION in subtypes, not Arrow's code
+    weird = pa.UnionArray.from_sparse(
+        pa.array([5, 7, 5, 7], pa.int8()),
+        [pa.array([1, 2, 3, 4], pa.int32()), pa.array(list("abcd"))],
+        ["i", "s"],
+        [5, 7],
+    )
+    got = _roundtrip(pa.table({"u": weird}))
+    assert got.column("u").to_pylist() == [1, "b", 3, "d"]
