@@ -1506,6 +1506,84 @@ def q_orc_stats_prune_scan(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_orc_union_roundtrip(spark, sf_dir):
+    """W12 on the REAL ORC wire: the same dense union construction as
+    union_roundtrip (tag = event_id%2, variant 0 double, variant 1
+    string), but the column travels through a genuine .orc file —
+    Type kind 13, byte-RLE position tags, children carrying only their
+    tagged rows, rle=v2 integer streams — and comes back through
+    pyarrow.orc (Apache ORC C++) as a sparse union, which the kernel
+    flattens to the scalars the SQL oracle reproduces."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import os
+        import tempfile
+
+        import pyarrow.orc as po
+
+        from orc_format_spark.sources.orc_file import write_orc
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            if tbl.num_rows == 0:
+                continue
+            eid = tbl.column("event_id").combine_chunks()
+            tags = (np.asarray(eid) % 2).astype(np.int8)
+            pos0 = np.flatnonzero(tags == 0)
+            pos1 = np.flatnonzero(tags == 1)
+            child0 = tbl.column("value").combine_chunks().take(pa.array(pos0))
+            child1 = tbl.column("event_type").combine_chunks().take(
+                pa.array(pos1)
+            )
+            offsets = np.zeros(len(tags), np.int32)
+            offsets[pos0] = np.arange(len(pos0), dtype=np.int32)
+            offsets[pos1] = np.arange(len(pos1), dtype=np.int32)
+            union = pa.UnionArray.from_dense(
+                pa.array(tags, pa.int8()),
+                pa.array(offsets, pa.int32()),
+                [child0, child1],
+                field_names=["dval", "sval"],
+                type_codes=[0, 1],
+            )
+            path = tempfile.mktemp(suffix=".orc")
+            try:
+                write_orc(
+                    pa.table({"event_id": eid, "u": union}), path,
+                    compression="zstd", rle="v2",
+                )
+                dec = po.ORCFile(path).read()
+            finally:
+                if os.path.exists(path):
+                    os.unlink(path)
+            du = dec.column("u").combine_chunks()
+            dtags = np.asarray(du.type_codes)
+            idx = np.arange(len(dtags), dtype=np.int64)
+            # sparse children are full length: masked identity take
+            # nulls out the rows the tag doesn't own
+            ind0 = pa.array(idx, pa.int64(), mask=dtags != 0)
+            ind1 = pa.array(idx, pa.int64(), mask=dtags != 1)
+            yield pa.record_batch(
+                [
+                    dec.column("event_id").combine_chunks(),
+                    pa.array(dtags.astype(np.int32), pa.int32()),
+                    du.field(0).take(ind0),
+                    du.field(1).take(ind1).cast(pa.string()),
+                ],
+                names=["event_id", "tag", "dval", "sval"],
+            )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    return ev.mapInArrow(
+        fn, "event_id long, tag int, dval double, sval string"
+    )
+
+
 def q_iceberg_manifest_scan(spark, sf_dir):
     """Iceberg source driven for real (no jar): commit the lineitem
     parquet as a data file of a freshly written Iceberg v2 table (pure-
@@ -1969,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_dict_map_roundtrip": q_orc_dict_map_roundtrip,
         "orc_rle_v2_file_roundtrip": q_orc_rle_v2_file_roundtrip,
         "orc_stats_prune_scan": q_orc_stats_prune_scan,
+        "orc_union_roundtrip": q_orc_union_roundtrip,
         # -- r04-green whose code changed this round, plus flagship --
         "tokens_roundtrip": q_tokens_roundtrip,
         "clustered_encode": q_clustered_encode,
@@ -2105,6 +2184,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_orderkey >= "
             "(SELECT CAST(FLOOR(0.9 * MAX(l_orderkey)) AS BIGINT) "
             "FROM lineitem)"
+        ),
+        "orc_union_roundtrip": (
+            "SELECT event_id, CAST(event_id % 2 AS INT) AS tag, "
+            "CASE WHEN event_id % 2 = 0 THEN value END AS dval, "
+            "CASE WHEN event_id % 2 = 1 THEN event_type END AS sval "
+            "FROM events"
         ),
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "clustered_encode": (
