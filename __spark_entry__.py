@@ -1584,6 +1584,41 @@ def q_orc_union_roundtrip(spark, sf_dir):
     )
 
 
+def q_orc_native_read(spark, sf_dir):
+    """The reverse leg of the ORC external-oracle loop: files written
+    by the FOREIGN writer (Apache ORC C++ via pyarrow.orc, zlib, its
+    own encoding choices — RLEv2 delta runs, dictionary strings) are
+    decoded by THE REPO'S OWN reader (sources/orc_read.py: hand-rolled
+    proto tail parse + this repo's RLEv1/RLEv2/boolean/byte decoders,
+    zero pyarrow.orc on the read side) inside each task, then
+    detokenized back to the original documents. Together with
+    orc_file_roundtrip (our writer -> Apache reader) this closes the
+    bidirectional loop the reference's dead reader stub never did."""
+    import shutil
+    import tempfile
+
+    from orc_format_spark import TOKENS_SCHEMA, detokenize, tokenize_documents
+    from orc_format_spark.sources.orc_file import write_orc_groups
+    from orc_format_spark.sources.orc_read import read_orc_files_native
+
+    work = tempfile.mkdtemp(prefix="ofs_orcr_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = tokenize_documents(docs)
+        files = write_orc_groups(
+            toks, f"{work}/orc", num_groups=4, key_col="doc_id",
+            size_col="n_tok", compression="zlib", writer="apache",
+        )
+        out = detokenize(read_orc_files_native(files, TOKENS_SCHEMA)).select(
+            "doc_id", "text"
+        )
+        out = out.cache()
+        out.count()  # materialize before the scratch dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_manifest_scan(spark, sf_dir):
     """Iceberg source driven for real (no jar): commit the lineitem
     parquet as a data file of a freshly written Iceberg v2 table (pure-
@@ -2048,6 +2083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_rle_v2_file_roundtrip": q_orc_rle_v2_file_roundtrip,
         "orc_stats_prune_scan": q_orc_stats_prune_scan,
         "orc_union_roundtrip": q_orc_union_roundtrip,
+        "orc_native_read": q_orc_native_read,
         # -- r04-green whose code changed this round, plus flagship --
         "tokens_roundtrip": q_tokens_roundtrip,
         "clustered_encode": q_clustered_encode,
@@ -2190,6 +2226,9 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN event_id % 2 = 0 THEN value END AS dval, "
             "CASE WHEN event_id % 2 = 1 THEN event_type END AS sval "
             "FROM events"
+        ),
+        "orc_native_read": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
         ),
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "clustered_encode": (

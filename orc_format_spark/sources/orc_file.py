@@ -852,6 +852,7 @@ def write_orc_groups(
     compression: str = "zstd",
     stripe_rows: int = 65_536,
     rle: str = "v1",
+    writer: str = "native",
 ):
     """Distributed real-ORC sink: salt rows into groups (the same
     :func:`operators.partitioning.with_group_id` salting as
@@ -863,7 +864,13 @@ def write_orc_groups(
     This is the "hand our columns to the rest of the world" exit ramp:
     the files are genuine ORC, openable by Hive/Trino/Spark's native
     reader/pyarrow — and therefore also our third-party correctness
-    oracle (an independent reader must agree with what we wrote)."""
+    oracle (an independent reader must agree with what we wrote).
+
+    ``writer="apache"`` emits each group file with pyarrow.orc (Apache
+    ORC C++) instead of this repo's writer — the foreign-writer leg of
+    the bidirectional oracle loop for the in-repo reader
+    (sources/orc_read.py), and a useful sink in its own right when the
+    Apache lib is present."""
     import os
 
     from pyspark.sql import functions as F  # noqa: N812
@@ -887,10 +894,20 @@ def write_orc_groups(
         )
         dest = os.path.join(out_dir, f"group-{gid:08d}.orc")
         tmp = f"{dest}.tmp.{os.getpid()}"
-        n_bytes = write_orc(
-            data, tmp, compression=compression, stripe_rows=stripe_rows,
-            rle=rle,
-        )
+        if writer == "apache":
+            import pyarrow.orc as po
+
+            po.write_table(
+                data, tmp,
+                compression="uncompressed" if compression == "none"
+                else compression,
+            )
+            n_bytes = os.path.getsize(tmp)
+        else:
+            n_bytes = write_orc(
+                data, tmp, compression=compression,
+                stripe_rows=stripe_rows, rle=rle,
+            )
         os.replace(tmp, dest)
         return pa.table(
             {

@@ -1,0 +1,917 @@
+"""In-repo ORC reader — decode genuine ORC files with THIS repo's
+codecs, no pyarrow.orc involved.
+
+This is the write path's mirror image and the final leg of the
+external-oracle loop: ``orc_file.write_orc`` proves "our writer →
+Apache reader agrees"; this module proves "Apache writer → our reader
+agrees" by decoding files written by Apache ORC C++ (pyarrow.orc) with
+the repo's own RLEv1 / RLEv2 / byte-RLE / boolean-RLE / varint
+decoders and comparing against pyarrow's read of the same bytes
+(tests/test_orc_read.py). The reference never shipped a working
+reader at all (its reader module is a dead stub, see SURVEY.md §2.5) —
+this closes that gap in the Spark-first rebuild: a user can read ORC
+data produced by Hive/Spark/Trino without any Apache reader present.
+
+Wire knowledge used here is the public ORC v1 specification plus the
+reference's proto schema (/root/reference/protos/orc_proto.proto);
+stream semantics mirror the writer (orc_file.py) which was probed
+against Apache C++ byte-for-byte.
+
+Scope (matches + exceeds the writer):
+- types: boolean, tinyint..bigint, float, double, string, varchar,
+  char, binary, date, timestamp (writerTimezone must be GMT/UTC),
+  timestamp_instant, decimal (v1 varint + scale SECONDARY), list,
+  map, struct, union (dense; null union rows are unrepresentable in
+  Arrow and raise);
+- encodings: DIRECT / DICTIONARY (RLEv1 streams) and DIRECT_V2 /
+  DICTIONARY_V2 (RLEv2 short-repeat/direct/patched-base/delta);
+- compression: none, zlib (raw DEFLATE), snappy (leading-varint size
+  sniff), zstd (frame-header content-size sniff — one-shot frames as
+  written by Apache C++/Java and pyarrow always carry it), lz4 (pure-
+  Python block decode: no lz4 module in-sandbox and raw LZ4 carries no
+  size, so this is the documented slow path), lzo unsupported;
+- column projection: ``columns=[...]`` decodes + decompresses only the
+  requested top-level subtrees (streams of unselected columns are
+  never touched);
+- stripe pruning: min/max predicate over footer/metadata
+  ColumnStatistics via ``predicate=(col, op, literal)`` — the read
+  side of the writer's stripe-elimination statistics.
+
+Scale shape: one task reads its own files inside ``mapInArrow``
+(``read_orc_files_native``) — whole-file bytes stay in the worker,
+the driver sees only rows after any aggregation Spark plans.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import BinaryIO
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs.rle_v1 import (
+    decode_boolean_rle,
+    decode_byte_rle,
+    decode_int_rle_v1,
+)
+from ..codecs.rle_v2 import decode_int_rle_v2
+from .orc_file import (
+    _DATA,
+    _DICT_DATA,
+    _DICTIONARY,
+    _DICTIONARY_V2,
+    _LENGTH,
+    _PRESENT,
+    _SECONDARY,
+)
+
+# Type.Kind beyond what the writer emits (orc_proto.proto)
+_K_BOOL, _K_BYTE, _K_SHORT, _K_INT, _K_LONG = 0, 1, 2, 3, 4
+_K_FLOAT, _K_DOUBLE, _K_STRING, _K_BINARY, _K_TIMESTAMP = 5, 6, 7, 8, 9
+_K_LIST, _K_MAP, _K_STRUCT, _K_UNION, _K_DECIMAL, _K_DATE = 10, 11, 12, 13, 14, 15
+_K_VARCHAR, _K_CHAR, _K_TIMESTAMP_INSTANT = 16, 17, 18
+
+_COMPRESSION_NAME = {0: "none", 1: "zlib", 2: "snappy", 3: "lzo",
+                     4: "lz4", 5: "zstd"}
+_EPOCH_2015 = 1420070400  # seconds 1970->2015, codecs/timestamp.py
+
+_UTC_NAMES = frozenset(("", "UTC", "GMT", "Etc/UTC", "Etc/GMT", "Z"))
+
+
+# ------------------------------------------------------ proto2 wire parse
+
+
+def _proto_fields(buf):
+    """Iterate (field_no, wire_type, value) over a proto2 message.
+
+    wire type 0 -> int, 2 -> memoryview, 5/1 -> raw little-endian bytes.
+    """
+    mv = memoryview(buf)
+    pos = 0
+    n = len(mv)
+    while pos < n:
+        key = 0
+        shift = 0
+        while True:
+            b = mv[pos]
+            key |= (b & 0x7F) << shift
+            pos += 1
+            if b < 0x80:
+                break
+            shift += 7
+        fno, wt = key >> 3, key & 7
+        if wt == 0:
+            v = 0
+            shift = 0
+            while True:
+                b = mv[pos]
+                v |= (b & 0x7F) << shift
+                pos += 1
+                if b < 0x80:
+                    break
+                shift += 7
+            yield fno, wt, v
+        elif wt == 2:
+            ln = 0
+            shift = 0
+            while True:
+                b = mv[pos]
+                ln |= (b & 0x7F) << shift
+                pos += 1
+                if b < 0x80:
+                    break
+                shift += 7
+            yield fno, wt, mv[pos : pos + ln]
+            pos += ln
+        elif wt == 5:
+            yield fno, wt, mv[pos : pos + 4]
+            pos += 4
+        elif wt == 1:
+            yield fno, wt, mv[pos : pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"orc_read: unsupported wire type {wt}")
+
+
+def _packed_uints(val) -> list[int]:
+    """A repeated uint field arrives packed (wt2) or unpacked (wt0)."""
+    if isinstance(val, int):
+        return [val]
+    out = []
+    pos = 0
+    n = len(val)
+    while pos < n:
+        v = 0
+        shift = 0
+        while True:
+            b = val[pos]
+            v |= (b & 0x7F) << shift
+            pos += 1
+            if b < 0x80:
+                break
+            shift += 7
+        out.append(v)
+    return out
+
+
+# --------------------------------------------------------- decompression
+
+
+def _snappy_size(b) -> int:
+    size = 0
+    shift = 0
+    i = 0
+    while True:
+        x = b[i]
+        size |= (x & 0x7F) << shift
+        i += 1
+        if x < 0x80:
+            return size
+        shift += 7
+
+
+def _zstd_size(b) -> int:
+    """Frame-header content size; one-shot zstd frames always carry it."""
+    if bytes(b[:4]) != b"\x28\xb5\x2f\xfd":
+        raise ValueError("orc_read: not a zstd frame")
+    fhd = b[4]
+    pos = 5
+    single = (fhd >> 5) & 1
+    if not single:
+        pos += 1  # window descriptor
+    pos += (0, 1, 2, 4)[fhd & 3]  # dictionary id
+    f = fhd >> 6
+    if f == 0:
+        if single:
+            return b[pos]
+        raise NotImplementedError(
+            "orc_read: zstd frame without content size (streaming-"
+            "compressed); one-shot writers (Apache ORC, this repo) "
+            "always record it"
+        )
+    if f == 1:
+        return int.from_bytes(bytes(b[pos : pos + 2]), "little") + 256
+    if f == 2:
+        return int.from_bytes(bytes(b[pos : pos + 4]), "little")
+    return int.from_bytes(bytes(b[pos : pos + 8]), "little")
+
+
+def _lz4_block(src, usize: int) -> bytes:
+    """Pure-Python raw-LZ4 block decode (no size header in the format,
+    no lz4 module in-sandbox). Sequential; documented slow path."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        tok = src[i]
+        i += 1
+        ll = tok >> 4
+        if ll == 15:
+            while True:
+                x = src[i]
+                i += 1
+                ll += x
+                if x != 255:
+                    break
+        out += src[i : i + ll]
+        i += ll
+        if i >= n:
+            break
+        off = src[i] | (src[i + 1] << 8)
+        i += 2
+        ml = (tok & 15) + 4
+        if ml == 19:
+            while True:
+                x = src[i]
+                i += 1
+                ml += x
+                if x != 255:
+                    break
+        start = len(out) - off
+        if off >= ml:
+            out += out[start : start + ml]
+        else:  # overlapping match: replicate window until ml consumed
+            while ml > 0:
+                chunk = out[start : start + min(off, ml)]
+                out += chunk
+                ml -= len(chunk)
+    if len(out) != usize:
+        raise ValueError(
+            f"orc_read: lz4 block decoded {len(out)} bytes, chunk header"
+            f" promised {usize}"
+        )
+    return bytes(out)
+
+
+def _decompress(buf, kind: str, block_size: int) -> bytes:
+    """ORC chunk framing: 3-byte LE ``len*2 + is_original`` headers.
+
+    Mirror of orc_file._orc_compress; unlike blocks.decompress_stream
+    there is NO leading total-length varint (real ORC has no room for
+    one), so sizes are sniffed per codec where the wire requires it.
+    """
+    if kind == "none":
+        return bytes(buf)
+    if kind == "lzo":
+        raise NotImplementedError("orc_read: LZO is proto-only (no codec)")
+    mv = memoryview(buf)
+    out = []
+    pos = 0
+    n = len(mv)
+    while pos < n:
+        header = int.from_bytes(bytes(mv[pos : pos + 3]), "little")
+        pos += 3
+        length = header >> 1
+        payload = mv[pos : pos + length]
+        pos += length
+        if header & 1:  # stored original
+            out.append(bytes(payload))
+        elif kind == "zlib":  # raw DEFLATE
+            out.append(zlib.decompressobj(-15).decompress(bytes(payload)))
+        elif kind == "snappy":
+            out.append(
+                pa.Codec("snappy").decompress(
+                    payload, decompressed_size=_snappy_size(payload),
+                    asbytes=True,
+                )
+            )
+        elif kind == "zstd":
+            out.append(
+                pa.Codec("zstd").decompress(
+                    payload, decompressed_size=_zstd_size(payload),
+                    asbytes=True,
+                )
+            )
+        elif kind == "lz4":
+            # raw LZ4 carries no size; every chunk but the stream's last
+            # decodes to exactly block_size, the last to whatever is
+            # left — _lz4_block discovers the true size while decoding
+            # and we validate <= block_size
+            blk = _lz4_block(payload, _lz4_probe_size(payload, block_size))
+            out.append(blk)
+        else:
+            raise NotImplementedError(f"orc_read: compression {kind!r}")
+    return b"".join(out)
+
+
+def _lz4_probe_size(payload, block_size: int) -> int:
+    """Walk the LZ4 sequence structure once to learn the decoded size
+    (raw blocks carry none); bounded by block_size per ORC chunking."""
+    i, n = 0, len(payload)
+    size = 0
+    while i < n:
+        tok = payload[i]
+        i += 1
+        ll = tok >> 4
+        if ll == 15:
+            while True:
+                x = payload[i]
+                i += 1
+                ll += x
+                if x != 255:
+                    break
+        size += ll
+        i += ll
+        if i >= n:
+            break
+        i += 2
+        ml = (tok & 15) + 4
+        if ml == 19:
+            while True:
+                x = payload[i]
+                i += 1
+                ml += x
+                if x != 255:
+                    break
+        size += ml
+    if size > block_size:
+        raise ValueError(
+            f"orc_read: lz4 chunk decodes to {size} > block size"
+            f" {block_size}"
+        )
+    return size
+
+
+# ------------------------------------------------------- message parsing
+
+
+def _parse_postscript(buf) -> dict:
+    ps = {"compression": 0, "block_size": 256 * 1024, "metadata_len": 0}
+    for fno, _wt, v in _proto_fields(buf):
+        if fno == 1:
+            ps["footer_len"] = v
+        elif fno == 2:
+            ps["compression"] = v
+        elif fno == 3:
+            ps["block_size"] = v
+        elif fno == 5:
+            ps["metadata_len"] = v
+    return ps
+
+
+class _OrcType:
+    __slots__ = ("kind", "subtypes", "names", "max_len", "precision",
+                 "scale")
+
+    def __init__(self):
+        self.kind = 0
+        self.subtypes: list[int] = []
+        self.names: list[str] = []
+        self.max_len = 0
+        self.precision = 0
+        self.scale = 0
+
+
+def _parse_type(buf) -> _OrcType:
+    t = _OrcType()
+    for fno, _wt, v in _proto_fields(buf):
+        if fno == 1:
+            t.kind = v
+        elif fno == 2:
+            t.subtypes.extend(_packed_uints(v))
+        elif fno == 3:
+            t.names.append(bytes(v).decode("utf-8"))
+        elif fno == 4:
+            t.max_len = v
+        elif fno == 5:
+            t.precision = v
+        elif fno == 6:
+            t.scale = v
+    return t
+
+
+def _parse_footer(buf) -> dict:
+    stripes = []
+    types: list[_OrcType] = []
+    n_rows = 0
+    stats_blobs: list = []
+    for fno, _wt, v in _proto_fields(buf):
+        if fno == 3:  # StripeInformation
+            si = {"offset": 0, "index_len": 0, "data_len": 0,
+                  "footer_len": 0, "n_rows": 0}
+            for f2, _w2, v2 in _proto_fields(v):
+                if f2 == 1:
+                    si["offset"] = v2
+                elif f2 == 2:
+                    si["index_len"] = v2
+                elif f2 == 3:
+                    si["data_len"] = v2
+                elif f2 == 4:
+                    si["footer_len"] = v2
+                elif f2 == 5:
+                    si["n_rows"] = v2
+            stripes.append(si)
+        elif fno == 4:
+            types.append(_parse_type(v))
+        elif fno == 6:
+            n_rows = v
+        elif fno == 7:  # file-level ColumnStatistics, in column order
+            stats_blobs.append(v)
+    return {"stripes": stripes, "types": types, "n_rows": n_rows,
+            "stats": stats_blobs}
+
+
+def _parse_stripe_footer(buf) -> dict:
+    streams = []  # (kind, column, length) in physical order
+    encodings = []  # (encoding_kind, dictionary_size)
+    tz = ""
+    for fno, _wt, v in _proto_fields(buf):
+        if fno == 1:
+            kind = col = ln = 0
+            for f2, _w2, v2 in _proto_fields(v):
+                if f2 == 1:
+                    kind = v2
+                elif f2 == 2:
+                    col = v2
+                elif f2 == 3:
+                    ln = v2
+            streams.append((kind, col, ln))
+        elif fno == 2:
+            ek = ds = 0
+            for f2, _w2, v2 in _proto_fields(v):
+                if f2 == 1:
+                    ek = v2
+                elif f2 == 2:
+                    ds = v2
+            encodings.append((ek, ds))
+        elif fno == 3:
+            tz = bytes(v).decode("utf-8")
+    return {"streams": streams, "encodings": encodings, "tz": tz}
+
+
+def _parse_stats(buf) -> dict:
+    """ColumnStatistics -> {n, has_null, min, max} (ints/doubles/strings);
+    enough for min/max stripe pruning — mirrors the writer's _stats_msg."""
+    out = {"n": None, "has_null": False, "min": None, "max": None}
+    for fno, _wt, v in _proto_fields(buf):
+        if fno == 1:
+            out["n"] = v
+        elif fno == 10:
+            out["has_null"] = bool(v)
+        elif fno in (2, 3, 4):  # int / double / string stats
+            for f2, w2, v2 in _proto_fields(v):
+                if f2 == 1:
+                    out["min"] = _stat_scalar(fno, w2, v2)
+                elif f2 == 2:
+                    out["max"] = _stat_scalar(fno, w2, v2)
+    return out
+
+
+def _stat_scalar(msg_fno: int, wt: int, v):
+    if msg_fno == 2:  # IntegerStatistics: sint64 (zigzag)
+        return (v >> 1) ^ -(v & 1)
+    if msg_fno == 3:  # DoubleStatistics: fixed64 double
+        return np.frombuffer(bytes(v), "<f8")[0] if wt == 1 else float(v)
+    return bytes(v).decode("utf-8")  # StringStatistics
+
+
+# ---------------------------------------------------------- stripe decode
+
+
+class _Stripe:
+    """Lazy per-stripe stream access: offsets indexed up front, bytes
+    decompressed only when a decoded column asks for them."""
+
+    def __init__(self, raw: bytes, footer: dict, compression: str,
+                 block_size: int, n_rows: int):
+        self.raw = raw
+        self.compression = compression
+        self.block_size = block_size
+        self.n_rows = n_rows
+        self.encodings = footer["encodings"]
+        self.tz = footer["tz"]
+        self._ranges: dict[tuple[int, int], tuple[int, int]] = {}
+        off = 0
+        for kind, col, ln in footer["streams"]:
+            self._ranges[(col, kind)] = (off, ln)
+            off += ln
+
+    def stream(self, col: int, kind: int) -> bytes | None:
+        rng = self._ranges.get((col, kind))
+        if rng is None:
+            return None
+        off, ln = rng
+        return _decompress(
+            memoryview(self.raw)[off : off + ln], self.compression,
+            self.block_size,
+        )
+
+    def ints(self, col: int, kind: int, signed: bool) -> np.ndarray:
+        buf = self.stream(col, kind)
+        if buf is None:
+            return np.empty(0, np.int64 if signed else np.uint64)
+        if self.encodings[col][0] >= _DIRECT_V2_KIND:
+            return decode_int_rle_v2(buf, signed=signed)
+        return decode_int_rle_v1(buf, signed=signed)
+
+
+_DIRECT_V2_KIND = 2  # ColumnEncoding.DIRECT_V2 / DICTIONARY_V2 boundary
+
+
+def _validity_buffer(mask: np.ndarray):
+    return pa.py_buffer(np.packbits(mask, bitorder="little").tobytes())
+
+
+def _expand(dense: pa.Array, mask: np.ndarray) -> pa.Array:
+    """Scatter non-null values back to full row positions (generic via
+    take-with-null-indices; zero-copy fast path when nothing is null)."""
+    if mask.all():
+        return dense
+    idx = np.zeros(len(mask), np.int64)
+    idx[mask] = np.arange(int(mask.sum()), dtype=np.int64)
+    return dense.take(pa.array(idx, pa.int64(), mask=~mask))
+
+
+def _varlen_from_parts(
+    lengths: np.ndarray, data: bytes, mask: np.ndarray, arrow_type
+) -> pa.Array:
+    """Build large_utf8/large_binary from (per-non-null lengths, blob)."""
+    n = len(mask)
+    full = np.zeros(n + 1, np.int64)
+    full[1:][mask] = lengths.astype(np.int64)
+    offsets = np.cumsum(full)
+    validity = None if mask.all() else _validity_buffer(mask)
+    return pa.Array.from_buffers(
+        arrow_type, n,
+        [validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)],
+    )
+
+
+def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
+                 n: int) -> pa.Array:
+    t = types[cid]
+    pres = st.stream(cid, _PRESENT)
+    if pres is None:
+        mask = np.ones(n, bool)
+        nv = n
+    else:
+        mask = decode_boolean_rle(pres, n)
+        nv = int(mask.sum())
+    k = t.kind
+
+    if k == _K_STRUCT:
+        children = [
+            _read_column(st, types, sub, nv) for sub in t.subtypes
+        ]
+        if not children:
+            children = [pa.nulls(nv)]
+            dense = pa.StructArray.from_arrays(children, ["__empty"])
+        else:
+            dense = pa.StructArray.from_arrays(children, t.names)
+        return _expand(dense, mask)
+
+    if k in (_K_LIST, _K_MAP):
+        lengths = st.ints(cid, _LENGTH, signed=False)[:nv].astype(np.int64)
+        n_child = int(lengths.sum())
+        full = np.zeros(n + 1, np.int64)
+        full[1:][mask] = lengths
+        offsets = np.cumsum(full)
+        validity = None if mask.all() else _validity_buffer(mask)
+        if k == _K_LIST:
+            child = _read_column(st, types, t.subtypes[0], n_child)
+            typ = pa.large_list(child.type)
+            return pa.Array.from_buffers(
+                typ, n,
+                [validity, pa.py_buffer(offsets.tobytes())],
+                children=[child],
+            )
+        keys = _read_column(st, types, t.subtypes[0], n_child)
+        items = _read_column(st, types, t.subtypes[1], n_child)
+        entries = pa.StructArray.from_arrays([keys, items],
+                                             ["key", "value"])
+        typ = pa.map_(keys.type, items.type)
+        return pa.Array.from_buffers(
+            typ, n,
+            [validity, pa.py_buffer(offsets.astype(np.int32).tobytes())],
+            children=[entries],
+        )
+
+    if k == _K_UNION:
+        if nv != n:
+            raise NotImplementedError(
+                "orc_read: null UNION rows have no Arrow representation"
+            )
+        tags_b = st.stream(cid, _DATA)
+        tags = decode_byte_rle(tags_b)[:nv].astype(np.int8)
+        children = []
+        offsets = np.zeros(nv, np.int32)
+        for i, sub in enumerate(t.subtypes):
+            sel = tags == i
+            offsets[sel] = np.arange(int(sel.sum()), dtype=np.int32)
+            child = _read_column(st, types, sub, int(sel.sum()))
+            # unions cannot be cast at table level, so children get
+            # their final types here (large_utf8 -> utf8 etc.)
+            children.append(child.cast(_arrow_type(types, sub)))
+        names = t.names or [f"f{i}" for i in range(len(t.subtypes))]
+        return pa.UnionArray.from_dense(
+            pa.array(tags, pa.int8()), pa.array(offsets, pa.int32()),
+            children, names,
+        )
+
+    if k == _K_BOOL:
+        buf = st.stream(cid, _DATA) or b""
+        vals = decode_boolean_rle(buf, nv)
+        dense = pa.array(vals, pa.bool_())
+        return _expand(dense, mask)
+
+    if k == _K_BYTE:
+        buf = st.stream(cid, _DATA) or b""
+        vals = decode_byte_rle(buf)[:nv].view(np.int8)
+        return _expand(pa.array(vals, pa.int8()), mask)
+
+    if k in (_K_SHORT, _K_INT, _K_LONG, _K_DATE):
+        vals = st.ints(cid, _DATA, signed=True)[:nv]
+        typ = {_K_SHORT: pa.int16(), _K_INT: pa.int32(),
+               _K_LONG: pa.int64(), _K_DATE: pa.date32()}[k]
+        if k == _K_DATE:
+            dense = pa.array(vals.astype(np.int32), pa.int32()).cast(typ)
+        elif k == _K_LONG:
+            dense = pa.array(vals, typ)
+        else:
+            dense = pa.array(vals, pa.int64()).cast(typ)
+        return _expand(dense, mask)
+
+    if k in (_K_FLOAT, _K_DOUBLE):
+        buf = st.stream(cid, _DATA) or b""
+        dt = "<f4" if k == _K_FLOAT else "<f8"
+        vals = np.frombuffer(buf, dt, count=nv)
+        dense = pa.array(vals, pa.float32() if k == _K_FLOAT
+                         else pa.float64())
+        return _expand(dense, mask)
+
+    if k in (_K_STRING, _K_VARCHAR, _K_CHAR, _K_BINARY):
+        arrow_t = pa.large_binary() if k == _K_BINARY else pa.large_utf8()
+        enc = st.encodings[cid][0]
+        if enc in (_DICTIONARY, _DICTIONARY_V2):
+            d = st.encodings[cid][1]
+            dict_blob = st.stream(cid, _DICT_DATA) or b""
+            dlens = st.ints(cid, _LENGTH, signed=False)[:d].astype(np.int64)
+            doffs = np.zeros(d + 1, np.int64)
+            np.cumsum(dlens, out=doffs[1:])
+            dict_arr = pa.Array.from_buffers(
+                arrow_t, d,
+                [None, pa.py_buffer(doffs.tobytes()),
+                 pa.py_buffer(dict_blob)],
+            )
+            idx = st.ints(cid, _DATA, signed=False)[:nv]
+            dense = dict_arr.take(pa.array(idx.astype(np.int64)))
+            return _expand(dense, mask)
+        lengths = st.ints(cid, _LENGTH, signed=False)[:nv]
+        data = st.stream(cid, _DATA) or b""
+        return _varlen_from_parts(lengths, data, mask, arrow_t)
+
+    if k in (_K_TIMESTAMP, _K_TIMESTAMP_INSTANT):
+        if k == _K_TIMESTAMP and st.tz not in _UTC_NAMES:
+            raise NotImplementedError(
+                f"orc_read: writerTimezone {st.tz!r} requires timezone "
+                "conversion; only UTC/GMT files are supported"
+            )
+        stored = st.ints(cid, _DATA, signed=True)[:nv]
+        nanos_enc = st.ints(cid, _SECONDARY, signed=False)[:nv]
+        from ..codecs.timestamp import expand_nanos
+
+        nanos = expand_nanos(nanos_enc).astype(np.int64)
+        sec = stored + _EPOCH_2015
+        # Apache's negative-seconds convention (probed by the writer,
+        # orc_file.py): stored pre-epoch values with nanos > 999999
+        # carry +1s, undone here
+        sec = sec - ((sec < 0) & (nanos > 999_999)).astype(np.int64)
+        ns = sec * 1_000_000_000 + nanos
+        typ = (pa.timestamp("ns", tz="UTC")
+               if k == _K_TIMESTAMP_INSTANT else pa.timestamp("ns"))
+        return _expand(pa.array(ns, pa.int64()).cast(typ), mask)
+
+    if k == _K_DECIMAL:
+        buf = st.stream(cid, _DATA) or b""
+        scales = st.ints(cid, _SECONDARY, signed=True)[:nv]
+        decl_scale = t.scale
+        precision = t.precision or 38
+        unscaled = []
+        pos = 0
+        for i in range(nv):
+            z = 0
+            shift = 0
+            while True:  # unbounded zigzag varint (i128-capable)
+                b = buf[pos]
+                z |= (b & 0x7F) << shift
+                pos += 1
+                if b < 0x80:
+                    break
+                shift += 7
+            u = (z >> 1) if not (z & 1) else -((z + 1) >> 1)
+            adj = decl_scale - int(scales[i])
+            if adj >= 0:
+                u *= 10**adj
+            else:
+                q, r = divmod(u, 10 ** (-adj))
+                if r:
+                    raise ValueError(
+                        "orc_read: decimal scale narrowing loses digits"
+                    )
+                u = q
+            unscaled.append(u)
+        import decimal as _dec
+
+        dense = pa.array(
+            [_dec.Decimal(u).scaleb(-decl_scale) for u in unscaled],
+            pa.decimal128(precision, decl_scale),
+        )
+        return _expand(dense, mask)
+
+    raise NotImplementedError(f"orc_read: ORC type kind {k}")
+
+
+# ------------------------------------------------------------- file read
+
+
+def _load(source) -> bytes:
+    if isinstance(source, (bytes, bytearray, memoryview)):
+        return bytes(source)
+    if isinstance(source, str):
+        with open(source, "rb") as f:
+            return f.read()
+    return source.read()  # file-like
+
+
+def _file_tail(data: bytes):
+    if len(data) < 4 or data[:3] != b"ORC":
+        raise ValueError("orc_read: not an ORC file (bad magic)")
+    ps_len = data[-1]
+    ps = _parse_postscript(data[len(data) - 1 - ps_len : len(data) - 1])
+    comp = _COMPRESSION_NAME.get(ps["compression"], "?")
+    bs = ps["block_size"]
+    f_end = len(data) - 1 - ps_len
+    f_start = f_end - ps["footer_len"]
+    footer = _parse_footer(_decompress(data[f_start:f_end], comp, bs))
+    m_start = f_start - ps["metadata_len"]
+    meta_raw = (_decompress(data[m_start:f_start], comp, bs)
+                if ps["metadata_len"] else b"")
+    return ps, comp, bs, footer, meta_raw
+
+
+def read_orc(source, columns: list[str] | None = None,
+             predicate: tuple[str, str, object] | None = None) -> pa.Table:
+    """Read an ORC file into an Arrow table with the repo's decoders.
+
+    ``source``: path, bytes, or binary file-like. ``columns`` projects
+    top-level fields (unselected column streams are never decompressed).
+    ``predicate=(col, op, literal)`` with op in <,<=,==,>=,> skips whole
+    stripes whose Metadata ColumnStatistics prove no row can match —
+    the read side of the writer's stripe-elimination stats; rows are
+    NOT row-filtered (same contract as ORC readers' SearchArguments).
+    """
+    data = _load(source)
+    ps, comp, bs, footer, meta_raw = _file_tail(data)
+    types = footer["types"]
+    if not types:
+        raise ValueError("orc_read: footer carries no types")
+    root = types[0]
+    if root.kind != _K_STRUCT:
+        raise NotImplementedError("orc_read: root type must be STRUCT")
+    if columns is None:
+        sel = list(range(len(root.subtypes)))
+    else:
+        missing = [c for c in columns if c not in root.names]
+        if missing:
+            raise KeyError(f"orc_read: no such columns {missing}")
+        sel = [root.names.index(c) for c in columns]
+    names = [root.names[i] for i in sel]
+
+    keep = None
+    if predicate is not None:
+        keep = _prune_stripes(footer, meta_raw, root, predicate,
+                              len(footer["stripes"]))
+
+    tables = []
+    for si, info in enumerate(footer["stripes"]):
+        if keep is not None and not keep[si]:
+            continue
+        start = info["offset"]
+        end = start + info["index_len"] + info["data_len"]
+        sf = _parse_stripe_footer(
+            _decompress(data[end : end + info["footer_len"]], comp, bs)
+        )
+        st = _Stripe(data[start:end], sf, comp, bs, info["n_rows"])
+        arrays = [
+            _read_column(st, types, root.subtypes[i], info["n_rows"])
+            for i in sel
+        ]
+        tables.append(pa.table(dict(zip(names, arrays))))
+    if not tables:
+        empty = [
+            pa.nulls(0, _arrow_type(types, root.subtypes[i]))
+            for i in sel
+        ]
+        tables = [pa.table(dict(zip(names, empty)))]
+    out = pa.concat_tables(tables)
+    target = pa.schema(
+        [(nm, _arrow_type(types, root.subtypes[i]))
+         for nm, i in zip(names, sel)]
+    )
+    try:
+        return out.cast(target)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        return out  # unions and friends: keep the built physical type
+
+
+def _arrow_type(types: list[_OrcType], cid: int) -> pa.DataType:
+    t = types[cid]
+    k = t.kind
+    simple = {
+        _K_BOOL: pa.bool_(), _K_BYTE: pa.int8(), _K_SHORT: pa.int16(),
+        _K_INT: pa.int32(), _K_LONG: pa.int64(), _K_FLOAT: pa.float32(),
+        _K_DOUBLE: pa.float64(), _K_STRING: pa.string(),
+        _K_VARCHAR: pa.string(), _K_CHAR: pa.string(),
+        _K_BINARY: pa.binary(), _K_DATE: pa.date32(),
+        _K_TIMESTAMP: pa.timestamp("ns"),
+        _K_TIMESTAMP_INSTANT: pa.timestamp("ns", tz="UTC"),
+    }
+    if k in simple:
+        return simple[k]
+    if k == _K_DECIMAL:
+        return pa.decimal128(t.precision or 38, t.scale)
+    if k == _K_LIST:
+        return pa.list_(_arrow_type(types, t.subtypes[0]))
+    if k == _K_MAP:
+        return pa.map_(_arrow_type(types, t.subtypes[0]),
+                       _arrow_type(types, t.subtypes[1]))
+    if k == _K_STRUCT:
+        return pa.struct(
+            [(nm, _arrow_type(types, sub))
+             for nm, sub in zip(t.names, t.subtypes)]
+        )
+    if k == _K_UNION:
+        names = t.names or [f"f{i}" for i in range(len(t.subtypes))]
+        return pa.dense_union(
+            [pa.field(nm, _arrow_type(types, sub))
+             for nm, sub in zip(names, t.subtypes)]
+        )
+    raise NotImplementedError(f"orc_read: ORC type kind {k}")
+
+
+# ---------------------------------------------------------- stripe prune
+
+
+def _prune_stripes(footer, meta_raw, root: _OrcType, predicate,
+                   n_stripes: int) -> list[bool]:
+    """True = must read. Uses StripeStatistics from the Metadata
+    section (same exact-or-wider contract the writer emits); a stripe
+    without usable min/max stays selected."""
+    col_name, op, lit = predicate
+    if op not in ("<", "<=", "==", ">=", ">"):
+        raise ValueError(f"orc_read: predicate op {op!r}")
+    if col_name not in root.names:
+        raise KeyError(f"orc_read: predicate column {col_name!r}")
+    cid = root.subtypes[root.names.index(col_name)]
+    per_stripe: list[dict | None] = [None] * n_stripes
+    si = 0
+    for fno, _wt, v in _proto_fields(meta_raw):
+        if fno != 1:  # StripeStatistics
+            continue
+        col_stats = [v2 for f2, _w2, v2 in _proto_fields(v) if f2 == 1]
+        if si < n_stripes and cid < len(col_stats):
+            per_stripe[si] = _parse_stats(col_stats[cid])
+        si += 1
+    keep = []
+    for stt in per_stripe:
+        if stt is None or stt["min"] is None or stt["max"] is None:
+            keep.append(True)
+            continue
+        lo, hi = stt["min"], stt["max"]
+        if op == "==":
+            keep.append(lo <= lit <= hi)
+        elif op == "<":
+            keep.append(lo < lit)
+        elif op == "<=":
+            keep.append(lo <= lit)
+        elif op == ">":
+            keep.append(hi > lit)
+        else:
+            keep.append(hi >= lit)
+    return keep
+
+
+# ------------------------------------------------------ distributed read
+
+
+def read_orc_files_native(files, schema: str,
+                          columns: list[str] | None = None):
+    """Decode ORC rows (``orc_path`` column) with THE REPO'S OWN reader
+    inside each task — the native-decoder counterpart of
+    orc_file.read_orc_files (which routes through pyarrow.orc): same
+    mapInArrow shape, payload never crosses the Python->JVM socket
+    until after decode."""
+    from collections.abc import Iterator
+
+    from ..worker_env import limit_worker_threads
+
+    def fn(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        limit_worker_threads()
+        for batch in batches:
+            col = batch.column(batch.schema.get_field_index("orc_path"))
+            for v in col:
+                yield from read_orc(
+                    v.as_py(), columns=columns
+                ).to_batches()
+
+    return files.mapInArrow(fn, schema)

@@ -1,0 +1,245 @@
+"""In-repo ORC reader (sources/orc_read.py) — both legs of the
+external-oracle loop:
+
+1. FOREIGN leg: files written by Apache ORC C++ (pyarrow.orc) are
+   decoded by OUR reader and must equal pyarrow's own read — our
+   RLEv1/RLEv2/byte/boolean decoders against wire bytes we did not
+   produce (Apache picks its own encodings: delta runs, dictionary,
+   patched base).
+2. SELF leg: files written by OUR writer (orc_file.write_orc, both RLE
+   families, every compression incl. the pure-Python lz4 path) decoded
+   by OUR reader must equal the Apache reader's view of the same bytes.
+
+The reference never shipped a reader (its reader module is a dead
+stub); this is the Spark-first rebuild's completion of that surface.
+"""
+
+import io
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.orc as po
+import pytest
+
+from orc_format_spark.sources.orc_file import write_orc
+from orc_format_spark.sources.orc_read import read_orc
+
+
+def _col_eq(g: pa.ChunkedArray, r: pa.ChunkedArray) -> bool:
+    g, r = g.combine_chunks(), r.combine_chunks()
+    if pa.types.is_union(g.type) or pa.types.is_union(r.type):
+        # pyarrow.orc reads ORC unions as sparse_union/_union_i names;
+        # we build dense unions — compare values, not layout
+        return g.to_pylist() == r.to_pylist()
+    if g.type != r.type:
+        g = g.cast(r.type)
+    return g.equals(r)
+
+
+def _assert_tables_eq(got: pa.Table, ref: pa.Table):
+    assert got.num_rows == ref.num_rows
+    assert got.column_names == ref.column_names
+    for c in ref.column_names:
+        assert _col_eq(got[c], ref[c]), f"column {c} diverges"
+
+
+def _rich_table(n: int = 8_000, seed: int = 7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    null = rng.integers(0, 5, n) == 0
+
+    def nn(vals, typ=None):
+        return pa.array(
+            [None if null[i] else v for i, v in enumerate(vals)], typ
+        )
+
+    return pa.table(
+        {
+            "i8": pa.array(rng.integers(-128, 128, n), pa.int8()),
+            "i16": nn(rng.integers(-30000, 30000, n).tolist(), pa.int16()),
+            "i32": pa.array(rng.integers(-(2**31), 2**31, n), pa.int32()),
+            "i64": pa.array(rng.integers(-(2**62), 2**62, n), pa.int64()),
+            "f32": nn(rng.normal(size=n).tolist(), pa.float32()),
+            "f64": pa.array(rng.normal(size=n)),
+            "s": nn([f"s{i % 37}" for i in range(n)], pa.string()),
+            "bin": pa.array(
+                [bytes([i % 251, (i * 7) % 256]) for i in range(n)],
+                pa.binary(),
+            ),
+            "bl": nn(
+                (rng.integers(0, 2, n) == 1).tolist(), pa.bool_()
+            ),
+            "dt": pa.array(
+                rng.integers(-20000, 20000, n).astype(np.int32)
+            ).cast(pa.date32()),
+            "ts": pa.array(
+                rng.integers(0, 2_000_000_000, n) * 1_000_000
+                + rng.integers(0, 1_000_000, n),
+                pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "dec": nn(
+                [round((i - n / 2) * 1.37, 2) for i in range(n)]
+            ).cast(pa.decimal128(18, 2)),
+            "lowcard": pa.array([f"k{i % 3}" for i in range(n)]),
+            "lst": pa.array(
+                [[int(x) for x in rng.integers(0, 50, i % 4)]
+                 for i in range(n)],
+                pa.list_(pa.int64()),
+            ),
+            "mp": pa.array(
+                [{f"m{j}": j * i for j in range(i % 3)} for i in range(n)],
+                pa.map_(pa.string(), pa.int64()),
+            ),
+            "st": pa.array(
+                [{"a": int(i), "b": f"x{i % 5}"} for i in range(n)],
+                pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize(
+    "comp", ["uncompressed", "zlib", "snappy", "zstd", "lz4"]
+)
+def test_foreign_apache_written(comp):
+    """Apache C++ writes (its own encoding choices: RLEv2 delta runs,
+    dictionary strings, multi-stripe), our reader must match Apache's
+    read bit-for-bit at the value level."""
+    t = _rich_table()
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression=comp, stripe_size=64 * 1024)
+    data = buf.getvalue()
+    if comp == "uncompressed":
+        # Apache sizes stripes on compressed bytes, so only the raw
+        # variant reliably exercises the multi-stripe loop here (the
+        # predicate test below forces it with incompressible payload)
+        assert po.ORCFile(io.BytesIO(data)).nstripes > 1
+    _assert_tables_eq(read_orc(data), po.ORCFile(io.BytesIO(data)).read())
+
+
+@pytest.mark.parametrize("rle", ["v1", "v2"])
+@pytest.mark.parametrize("comp", ["none", "zlib", "snappy", "zstd", "lz4"])
+def test_self_written(rle, comp):
+    """Our writer -> our reader, adjudicated by the Apache reader's view
+    of the same bytes (three-way agreement)."""
+    t = _rich_table(n=6_000, seed=11)
+    buf = io.BytesIO()
+    write_orc(t, buf, compression=comp, rle=rle, stripe_rows=2_500)
+    data = buf.getvalue()
+    _assert_tables_eq(read_orc(data), po.ORCFile(io.BytesIO(data)).read())
+
+
+def test_union_roundtrip_native():
+    n = 4_001
+    t = pa.table(
+        {"id": pa.array(np.arange(n), pa.int64()), "u": _make_union(n)}
+    )
+    buf = io.BytesIO()
+    write_orc(t, buf, compression="zstd", rle="v2", stripe_rows=1_500)
+    data = buf.getvalue()
+    got = read_orc(data)
+    ref = po.ORCFile(io.BytesIO(data)).read()
+    _assert_tables_eq(got, ref)
+
+
+def _make_union(n: int) -> pa.UnionArray:
+    tags = (np.arange(n) % 3 == 0).astype(np.int8)
+    offsets = np.zeros(n, np.int32)
+    for tag in (0, 1):
+        sel = tags == tag
+        offsets[sel] = np.arange(int(sel.sum()), dtype=np.int32)
+    return pa.UnionArray.from_dense(
+        pa.array(tags, pa.int8()),
+        pa.array(offsets, pa.int32()),
+        [
+            pa.array(np.arange(int((tags == 0).sum())), pa.int64()),
+            pa.array(
+                [f"u{i}" for i in range(int((tags == 1).sum()))],
+                pa.string(),
+            ),
+        ],
+        ["num", "txt"],
+    )
+
+
+def test_projection_skips_columns():
+    t = _rich_table(n=3_000)
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression="zlib")
+    data = buf.getvalue()
+    got = read_orc(data, columns=["dec", "s", "i64"])
+    ref = po.ORCFile(io.BytesIO(data)).read().select(["dec", "s", "i64"])
+    _assert_tables_eq(got, ref)
+    with pytest.raises(KeyError):
+        read_orc(data, columns=["nope"])
+
+
+@pytest.mark.parametrize("writer", ["native", "apache"])
+def test_predicate_stripe_pruning(writer):
+    """min/max stripe elimination from the Metadata StripeStatistics:
+    a sorted key + a range predicate must return every matching row
+    while demonstrably skipping non-matching stripes."""
+    n = 40_000
+    rng = np.random.default_rng(4)
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table(
+        {
+            "id": pa.array(ids),
+            "v": pa.array(ids * 3),
+            # incompressible bulk so the Apache writer (which sizes
+            # stripes on COMPRESSED bytes) actually splits stripes
+            "pad": pa.array(
+                [bytes(x) for x in rng.integers(0, 256, (n, 64),
+                                                dtype=np.uint8)],
+                pa.binary(),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    if writer == "native":
+        write_orc(t, buf, compression="zlib", rle="v2", stripe_rows=5_000)
+    else:
+        po.write_table(t, buf, compression="zlib", stripe_size=256 * 1024)
+    data = buf.getvalue()
+    full = read_orc(data)
+    assert po.ORCFile(io.BytesIO(data)).nstripes > 1
+    cut = int(ids[-1] * 0.8)
+    pruned = read_orc(data, predicate=("id", ">", cut))
+    # every matching row survives...
+    got_ids = set(pruned["id"].to_pylist())
+    assert {int(x) for x in ids if x > cut} <= got_ids
+    # ...and whole stripes were actually eliminated
+    assert pruned.num_rows < full.num_rows
+
+
+def test_empty_and_errors():
+    e = pa.table({"x": pa.array([], pa.int64())})
+    buf = io.BytesIO()
+    po.write_table(e, buf)
+    got = read_orc(buf.getvalue())
+    assert got.num_rows == 0 and got.column_names == ["x"]
+    with pytest.raises(ValueError):
+        read_orc(b"PAR1notorc")
+
+
+def test_foreign_fuzz_seeded():
+    """Seeded distribution sweep through the Apache writer — monotonic
+    ramps (delta), heavy repeats (short-repeat), outlier-spiked
+    (patched base), all-null, tiny."""
+    rng = np.random.default_rng(99)
+    n = 10_000
+    spiked = rng.integers(0, 100, n)
+    spiked[rng.integers(0, n, 20)] = 2**50
+    cases = {
+        "ramp": np.arange(n, dtype=np.int64) * 7 - n,
+        "rep": np.repeat(rng.integers(0, 5, n // 100), 100),
+        "spiked": spiked,
+        "rand": rng.integers(-(2**60), 2**60, n),
+    }
+    t = pa.table(
+        {k: pa.array(v.astype(np.int64)) for k, v in cases.items()}
+        | {"allnull": pa.nulls(n, pa.string())}
+    )
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression="zstd", stripe_size=32 * 1024)
+    data = buf.getvalue()
+    _assert_tables_eq(read_orc(data), po.ORCFile(io.BytesIO(data)).read())
