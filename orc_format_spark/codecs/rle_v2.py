@@ -88,6 +88,11 @@ def _emit_short_repeat(out: list[bytes], value_u: int, count: int, signed: bool)
     out.append(v.to_bytes(nbytes, "big"))
 
 
+def _direct_header(w: int, n: int) -> bytes:
+    c = width_code(w)
+    return bytes(((1 << 6) | (c << 1) | ((n - 1) >> 8), (n - 1) & 0xFF))
+
+
 def _emit_direct(
     out: list[bytes], seg_u: np.ndarray, signed: bool, zz: np.ndarray | None = None
 ):
@@ -221,10 +226,26 @@ def _try_patched(seg_u: np.ndarray, signed: bool) -> bytes | None:
     return header + bytes(base_bytes) + packed_main + packed_patch
 
 
+def _direct_size(n: int, w: int) -> int:
+    return 2 + (n * w + 7) // 8
+
+
 def _encode_literal_chunk(
-    out: list[bytes], seg_u: np.ndarray, signed: bool, zz: np.ndarray | None = None
+    out: list,
+    seg_u: np.ndarray,
+    signed: bool,
+    zz: np.ndarray | None = None,
+    bl: np.ndarray | None = None,
 ):
-    """Pick the cheapest of delta/patched/direct for a <=512 chunk."""
+    """Pick the cheapest of delta/patched/direct for a <=512 chunk.
+
+    DIRECT payloads are not packed here: a ("direct", zz, w, n) marker
+    is appended instead, and encode_int_rle_v2 batches all same-width
+    markers into one bitpack at the end (full 512-value chunks are
+    byte-aligned at any width, so concatenated packing emits the
+    identical bytes). `bl` is the precomputed per-value bit length of
+    `zz` — one global pass in the caller replaces a searchsorted per
+    chunk."""
     n = seg_u.size
     if n == 1:
         _emit_direct(out, seg_u, signed, zz)
@@ -232,6 +253,12 @@ def _encode_literal_chunk(
     if 3 <= n <= 10 and bool((seg_u == seg_u[0]).all()):
         _emit_short_repeat(out, int(seg_u[0]), n, signed)
         return
+    if zz is None:
+        zz = zigzag_encode(seg_u.view(np.int64)) if signed else seg_u
+    if bl is None:
+        bl = _bit_lengths(zz)
+    w_direct = round_width(max(1, int(bl.max())))
+    dsize = _direct_size(n, w_direct)
     # monotonic? (compare in the value domain)
     if signed:
         s = seg_u.view(np.int64)
@@ -263,19 +290,16 @@ def _encode_literal_chunk(
             buf: list[bytes] = []
             _emit_delta(buf, seg_u, d0, dabs[1:], signed)
             delta_bytes = b"".join(buf)
-            direct_buf: list[bytes] = []
-            _emit_direct(direct_buf, seg_u, signed, zz)
-            direct_bytes = b"".join(direct_buf)
-            out.append(delta_bytes if len(delta_bytes) <= len(direct_bytes) else direct_bytes)
+            if len(delta_bytes) <= dsize:
+                out.append(delta_bytes)
+            else:
+                out.append(("direct", zz, w_direct, n))
             return
     patched = _try_patched(seg_u, signed)
-    direct_buf = []
-    _emit_direct(direct_buf, seg_u, signed, zz)
-    direct_bytes = b"".join(direct_buf)
-    if patched is not None and len(patched) < len(direct_bytes):
+    if patched is not None and len(patched) < dsize:
         out.append(patched)
     else:
-        out.append(direct_bytes)
+        out.append(("direct", zz, w_direct, n))
 
 
 def encode_int_rle_v2(values: np.ndarray, signed: bool = True) -> bytes:
@@ -288,7 +312,7 @@ def encode_int_rle_v2(values: np.ndarray, signed: bool = True) -> bytes:
     if n == 0:
         return b""
     zz_full = zigzag_encode(u.view(np.int64)) if signed else u
-    out: list[bytes] = []
+    out: list = []
     # segment into equal-value runs (>=4) and literal stretches
     change = np.empty(n, bool)
     change[0] = True
@@ -325,10 +349,38 @@ def encode_int_rle_v2(values: np.ndarray, signed: bool = True) -> bytes:
             while sj < nseg and not run_mask[sj]:
                 sj += 1
             e = int(starts[sj]) if sj < nseg else n
+            # one bit-length pass per literal stretch (run regions
+            # never pay for it), sliced per chunk
+            bl_stretch = _bit_lengths(zz_full[s:e])
             for cs in range(s, e, _MAX_CHUNK):
                 ce = min(cs + _MAX_CHUNK, e)
-                _encode_literal_chunk(out, u[cs:ce], signed, zz_full[cs:ce])
+                _encode_literal_chunk(
+                    out,
+                    u[cs:ce],
+                    signed,
+                    zz_full[cs:ce],
+                    bl_stretch[cs - s : ce - s],
+                )
             si = sj
+    # ---- resolve deferred direct chunks: one bitpack per width over
+    # every byte-aligned chunk (512*w bits always is), split afterwards
+    dpos = [k for k, p in enumerate(out) if type(p) is tuple]
+    if dpos:
+        by_w: dict[int, list[int]] = {}
+        for k in dpos:
+            _, zz, w, cn = out[k]
+            if (cn * w) % 8 == 0:
+                by_w.setdefault(w, []).append(k)
+            else:
+                out[k] = _direct_header(w, cn) + bitpack(zz, w)
+        for w, ks in by_w.items():
+            packed = bitpack(np.concatenate([out[k][1] for k in ks]), w)
+            off = 0
+            for k in ks:
+                cn = out[k][3]
+                nb = cn * w // 8
+                out[k] = _direct_header(w, cn) + packed[off : off + nb]
+                off += nb
     return b"".join(out)
 
 
