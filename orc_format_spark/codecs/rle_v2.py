@@ -152,8 +152,23 @@ def _emit_delta(
         out.append(bitpack(rest_abs, w))
 
 
-def _try_patched(seg_u: np.ndarray, signed: bool) -> bytes | None:
-    """Return the patched-base encoding if applicable and beneficial."""
+def _bitpack_py(vals, width: int) -> bytes:
+    """MSB-first bitpack via one Python big-int — beats the numpy
+    kernel's per-call overhead for the <=31-entry patch lists."""
+    acc = 0
+    for v in vals:
+        acc = (acc << width) | int(v)
+    nbits = len(vals) * width
+    if not nbits:
+        return b""
+    pad = (-nbits) % 8
+    return (acc << pad).to_bytes((nbits + pad) // 8, "big")
+
+
+def _try_patched(seg_u: np.ndarray, signed: bool):
+    """Patched-base encoding if applicable and beneficial: returns
+    (total_size, prefix_bytes, masked_residual, w, suffix_bytes) with
+    the residual pack DEFERRED (batched by the caller), else None."""
     n = seg_u.size
     if n < 16:
         return None
@@ -206,11 +221,7 @@ def _try_patched(seg_u: np.ndarray, signed: bool) -> bytes | None:
     # (ORC spec / Apache readers: getClosestFixedBits(patchBitSize+pgw)) —
     # packing at the raw sum desyncs the Apache C++ reader's stream walk
     ew = round_width(pgw + pw)
-    packed_main = bitpack(residual & np.uint64((1 << w) - 1), w)
-    patch_vals = np.array(
-        [(g << pw) | p for g, p in entries], dtype=np.uint64
-    )
-    packed_patch = bitpack(patch_vals, ew)
+    packed_patch = _bitpack_py([(g << pw) | p for g, p in entries], ew)
     header = bytes(
         (
             (2 << 6) | (width_code(w) << 1) | ((n - 1) >> 8),
@@ -223,7 +234,9 @@ def _try_patched(seg_u: np.ndarray, signed: bool) -> bytes | None:
     base_bytes = bytearray(base_mag.to_bytes(bw, "big"))
     if base < 0:
         base_bytes[0] |= 0x80
-    return header + bytes(base_bytes) + packed_main + packed_patch
+    prefix = header + bytes(base_bytes)
+    size = len(prefix) + (n * w + 7) // 8 + len(packed_patch)
+    return size, prefix, residual & np.uint64((1 << w) - 1), w, packed_patch
 
 
 def _direct_size(n: int, w: int) -> int:
@@ -293,13 +306,13 @@ def _encode_literal_chunk(
             if len(delta_bytes) <= dsize:
                 out.append(delta_bytes)
             else:
-                out.append(("direct", zz, w_direct, n))
+                out.append((_direct_header(w_direct, n), zz, w_direct, b""))
             return
     patched = _try_patched(seg_u, signed)
-    if patched is not None and len(patched) < dsize:
-        out.append(patched)
+    if patched is not None and patched[0] < dsize:
+        out.append(patched[1:])
     else:
-        out.append(("direct", zz, w_direct, n))
+        out.append((_direct_header(w_direct, n), zz, w_direct, b""))
 
 
 def encode_int_rle_v2(values: np.ndarray, signed: bool = True) -> bytes:
@@ -362,24 +375,25 @@ def encode_int_rle_v2(values: np.ndarray, signed: bool = True) -> bytes:
                     bl_stretch[cs - s : ce - s],
                 )
             si = sj
-    # ---- resolve deferred direct chunks: one bitpack per width over
-    # every byte-aligned chunk (512*w bits always is), split afterwards
+    # ---- resolve deferred packs (direct values / patched residuals):
+    # one bitpack per width over every byte-aligned chunk (512*w bits
+    # always is), split afterwards
     dpos = [k for k, p in enumerate(out) if type(p) is tuple]
     if dpos:
         by_w: dict[int, list[int]] = {}
         for k in dpos:
-            _, zz, w, cn = out[k]
-            if (cn * w) % 8 == 0:
+            prefix, arr, w, suffix = out[k]
+            if (arr.size * w) % 8 == 0:
                 by_w.setdefault(w, []).append(k)
             else:
-                out[k] = _direct_header(w, cn) + bitpack(zz, w)
+                out[k] = prefix + bitpack(arr, w) + suffix
         for w, ks in by_w.items():
             packed = bitpack(np.concatenate([out[k][1] for k in ks]), w)
             off = 0
             for k in ks:
-                cn = out[k][3]
-                nb = cn * w // 8
-                out[k] = _direct_header(w, cn) + packed[off : off + nb]
+                prefix, arr, _, suffix = out[k]
+                nb = arr.size * w // 8
+                out[k] = prefix + packed[off : off + nb] + suffix
                 off += nb
     return b"".join(out)
 
