@@ -445,7 +445,11 @@ def main_bench():
         "l_linenumber int, l_shipdate timestamp_ntz"
     )
     pred = ("l_orderkey", ">=", 135000)  # top ~10% of the key range
-    prune_times = {}
+    # Phase-match the two timings: encode BOTH sinks first, then
+    # interleave the decode reps (stats, nostats, stats, ...) so a slow
+    # page-fault window on this box hits both variants equally instead
+    # of whichever ran first (r4/r5 draws inverted in both directions).
+    prune_dfs = {}
     elim_frac = 0.0
     for tag, stats in (("stats", True), ("nostats", False)):
         psink = os.path.join(os.path.dirname(blob_sink_path()), f"prune_{tag}")
@@ -455,12 +459,14 @@ def main_bench():
         n_blobs = sdf.cache().count()
         if stats:
             elim_frac = 1.0 - prune_blobs(sdf, pred).count() / n_blobs
-        best = float("inf")
-        for _ in range(2):
+        prune_dfs[tag] = (sdf, psink)
+    prune_times = {"stats": float("inf"), "nostats": float("inf")}
+    for _ in range(3):
+        for tag in ("stats", "nostats"):
             t0 = time.monotonic()
-            decode_blob_files(sdf, dsch, predicate=pred).count()
-            best = min(best, time.monotonic() - t0)
-        prune_times[tag] = best
+            decode_blob_files(prune_dfs[tag][0], dsch, predicate=pred).count()
+            prune_times[tag] = min(prune_times[tag], time.monotonic() - t0)
+    for sdf, psink in prune_dfs.values():
         sdf.unpersist()
         shutil.rmtree(psink, ignore_errors=True)
     detail = {
