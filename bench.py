@@ -89,6 +89,8 @@ HEADLINE = [
     "orc_dict_map_roundtrip",
     "orc_rle_v2_file_roundtrip",
     "orc_stats_prune_scan",
+    "orc_union_roundtrip",
+    "orc_native_read",
     "embedding_neardup",
     "semantic_dedup",
     "pii_scrub",
