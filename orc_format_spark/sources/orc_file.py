@@ -279,7 +279,12 @@ def _stat_of(arr: pa.Array) -> dict:
         st["sum"] = float(pc.sum(arr).as_py())
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         st["kind"] = "string"
-        st["sum"] = int(pc.sum(pc.utf8_length(arr)).as_py() or 0)
+        # StringStatistics.sum is total UTF-8 BYTES (Apache writers),
+        # not codepoints — binary_length over the same buffers
+        st["sum"] = int(
+            pc.sum(pc.binary_length(arr.cast(pa.large_binary()))).as_py()
+            or 0
+        )
         buffers = arr.combine_chunks().buffers() if isinstance(
             arr, pa.ChunkedArray) else arr.buffers()
         data = buffers[2]
@@ -308,12 +313,18 @@ def _stat_of(arr: pa.Array) -> dict:
             max=-((-hi) // 1_000_000),
         )
     elif pa.types.is_decimal(t):
+        import decimal as _dec
+
         mm = pc.min_max(arr)
+        # default 28-digit context would round 38-digit sums
+        with _dec.localcontext() as _ctx:
+            _ctx.prec = 76
+            dsum = sum(arr.drop_null().to_pylist())
         st.update(
             kind="decimal",
             min=mm["min"].as_py(),
             max=mm["max"].as_py(),
-            sum=sum(arr.drop_null().to_pylist()),
+            sum=dsum,
         )
     return st
 
@@ -341,7 +352,12 @@ def _merge_stat(a: dict | None, b: dict) -> dict:
         out["min"] = min(a["min"], b["min"])
         out["max"] = max(a["max"], b["max"])
     if "sum" in a and "sum" in b:
-        s = a["sum"] + b["sum"]
+        import decimal as _dec
+
+        # Decimal sums must merge exactly too (28-digit default rounds)
+        with _dec.localcontext() as _ctx:
+            _ctx.prec = 76
+            s = a["sum"] + b["sum"]
         if not (isinstance(s, int) and abs(s) > _I64_MAX):
             out["sum"] = s
     if "true" in a and "true" in b:
@@ -627,11 +643,18 @@ def _column_streams(
         # unscaled value, SECONDARY = per-value scale (signed RLEv1).
         # Per-value Python ints here — decimal columns are driver/test
         # scale in this repo; the blob container owns the fast path.
+        import decimal as _dec
+
         scale = t.scale
         data = bytearray()
         count = 0
-        for v in dense:
-            u = int(v.as_py().scaleb(scale))
+        # scaleb under the default 28-digit context ROUNDS unscaled
+        # values with >28 significant digits (decimal128 allows 38);
+        # a 76-digit local context keeps the shift exact
+        with _dec.localcontext() as _ctx:
+            _ctx.prec = 76
+            unscaled = [int(v.as_py().scaleb(scale)) for v in dense]
+        for u in unscaled:
             z = u << 1 if u >= 0 else ((-u) << 1) - 1  # zigzag, unbounded
             while True:
                 b = z & 0x7F

@@ -197,9 +197,12 @@ def _zstd_size(b) -> int:
     return int.from_bytes(bytes(b[pos : pos + 8]), "little")
 
 
-def _lz4_block(src, usize: int) -> bytes:
+def _lz4_block(src, max_size: int) -> bytes:
     """Pure-Python raw-LZ4 block decode (no size header in the format,
-    no lz4 module in-sandbox). Sequential; documented slow path."""
+    no lz4 module in-sandbox). Sequential; documented slow path. The
+    decoded size is discovered while decoding and bounded by the ORC
+    chunk framing's ``max_size``; corrupt offsets raise instead of
+    hanging (offset 0 would loop forever) or reading garbage."""
     out = bytearray()
     i, n = 0, len(src)
     while i < n:
@@ -219,6 +222,11 @@ def _lz4_block(src, usize: int) -> bytes:
             break
         off = src[i] | (src[i + 1] << 8)
         i += 2
+        if off == 0 or off > len(out):
+            raise ValueError(
+                f"orc_read: corrupt lz4 match offset {off} at output"
+                f" position {len(out)}"
+            )
         ml = (tok & 15) + 4
         if ml == 19:
             while True:
@@ -235,10 +243,14 @@ def _lz4_block(src, usize: int) -> bytes:
                 chunk = out[start : start + min(off, ml)]
                 out += chunk
                 ml -= len(chunk)
-    if len(out) != usize:
+        if len(out) > max_size:
+            raise ValueError(
+                f"orc_read: lz4 chunk decodes past block size {max_size}"
+            )
+    if len(out) > max_size:
         raise ValueError(
-            f"orc_read: lz4 block decoded {len(out)} bytes, chunk header"
-            f" promised {usize}"
+            f"orc_read: lz4 chunk decodes to {len(out)} > block size"
+            f" {max_size}"
         )
     return bytes(out)
 
@@ -283,53 +295,12 @@ def _decompress(buf, kind: str, block_size: int) -> bytes:
                 )
             )
         elif kind == "lz4":
-            # raw LZ4 carries no size; every chunk but the stream's last
-            # decodes to exactly block_size, the last to whatever is
-            # left — _lz4_block discovers the true size while decoding
-            # and we validate <= block_size
-            blk = _lz4_block(payload, _lz4_probe_size(payload, block_size))
-            out.append(blk)
+            # raw LZ4 carries no size header; _lz4_block discovers the
+            # true size while decoding and enforces <= block_size
+            out.append(_lz4_block(payload, block_size))
         else:
             raise NotImplementedError(f"orc_read: compression {kind!r}")
     return b"".join(out)
-
-
-def _lz4_probe_size(payload, block_size: int) -> int:
-    """Walk the LZ4 sequence structure once to learn the decoded size
-    (raw blocks carry none); bounded by block_size per ORC chunking."""
-    i, n = 0, len(payload)
-    size = 0
-    while i < n:
-        tok = payload[i]
-        i += 1
-        ll = tok >> 4
-        if ll == 15:
-            while True:
-                x = payload[i]
-                i += 1
-                ll += x
-                if x != 255:
-                    break
-        size += ll
-        i += ll
-        if i >= n:
-            break
-        i += 2
-        ml = (tok & 15) + 4
-        if ml == 19:
-            while True:
-                x = payload[i]
-                i += 1
-                ml += x
-                if x != 255:
-                    break
-        size += ml
-    if size > block_size:
-        raise ValueError(
-            f"orc_read: lz4 chunk decodes to {size} > block size"
-            f" {block_size}"
-        )
-    return size
 
 
 # ------------------------------------------------------- message parsing
@@ -712,10 +683,12 @@ def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
             unscaled.append(u)
         import decimal as _dec
 
-        dense = pa.array(
-            [_dec.Decimal(u).scaleb(-decl_scale) for u in unscaled],
-            pa.decimal128(precision, decl_scale),
-        )
+        # default 28-digit context would round >28-significant-digit
+        # unscaled values (decimal128 allows 38) — shift exactly
+        with _dec.localcontext() as _ctx:
+            _ctx.prec = 76
+            vals = [_dec.Decimal(u).scaleb(-decl_scale) for u in unscaled]
+        dense = pa.array(vals, pa.decimal128(precision, decl_scale))
         return _expand(dense, mask)
 
     raise NotImplementedError(f"orc_read: ORC type kind {k}")
@@ -779,7 +752,7 @@ def read_orc(source, columns: list[str] | None = None,
 
     keep = None
     if predicate is not None:
-        keep = _prune_stripes(footer, meta_raw, root, predicate,
+        keep = _prune_stripes(meta_raw, root, predicate,
                               len(footer["stripes"]))
 
     tables = []
@@ -852,7 +825,7 @@ def _arrow_type(types: list[_OrcType], cid: int) -> pa.DataType:
 # ---------------------------------------------------------- stripe prune
 
 
-def _prune_stripes(footer, meta_raw, root: _OrcType, predicate,
+def _prune_stripes(meta_raw, root: _OrcType, predicate,
                    n_stripes: int) -> list[bool]:
     """True = must read. Uses StripeStatistics from the Metadata
     section (same exact-or-wider contract the writer emits); a stripe
@@ -914,4 +887,5 @@ def read_orc_files_native(files, schema: str,
                     v.as_py(), columns=columns
                 ).to_batches()
 
-    return files.mapInArrow(fn, schema)
+    # project first: only the path crosses the JVM->Python socket
+    return files.select("orc_path").mapInArrow(fn, schema)

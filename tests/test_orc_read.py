@@ -243,3 +243,79 @@ def test_foreign_fuzz_seeded():
     po.write_table(t, buf, compression="zstd", stripe_size=32 * 1024)
     data = buf.getvalue()
     _assert_tables_eq(read_orc(data), po.ORCFile(io.BytesIO(data)).read())
+
+
+def test_decimal_38_digit_precision_exact():
+    """Unscaled values with >28 significant digits must survive both
+    directions exactly — the default decimal context's 28-digit
+    precision must never round the scaleb shifts (write OR read)."""
+    import decimal
+
+    big = decimal.Decimal("-99999999999999999999999999.9999")  # 30 sig
+    vals = [
+        big,
+        decimal.Decimal("9999999999999999999999999999999999.9999"),  # 38
+        decimal.Decimal("0.0001"),
+        None,
+        decimal.Decimal("-1234567890123456789012345678901234.5678"),
+    ]
+    t = pa.table({"d": pa.array(vals, pa.decimal128(38, 4))})
+    # our writer -> Apache reader AND our reader
+    buf = io.BytesIO()
+    write_orc(t, buf)
+    data = buf.getvalue()
+    assert po.ORCFile(io.BytesIO(data)).read().cast(t.schema).equals(t)
+    assert read_orc(data).cast(t.schema).equals(t)
+    # Apache writer -> our reader
+    buf2 = io.BytesIO()
+    po.write_table(t, buf2)
+    got = read_orc(buf2.getvalue())
+    assert got.cast(t.schema).equals(t)
+    # decimal128(38,0) max-ish integer through the foreign leg
+    t0 = pa.table({"d": pa.array([decimal.Decimal(10**37 - 1)],
+                                 pa.decimal128(38, 0))})
+    buf3 = io.BytesIO()
+    po.write_table(t0, buf3)
+    assert read_orc(buf3.getvalue()).cast(t0.schema).equals(t0)
+
+
+def test_lz4_corrupt_offset_raises():
+    """A corrupt raw-LZ4 sequence with match offset 0 (or past the
+    output) must raise, not hang the reader worker."""
+    from orc_format_spark.sources.orc_read import _lz4_block
+
+    # token 0x00: 0 literals, then match offset bytes 00 00 -> off=0
+    with pytest.raises(ValueError, match="corrupt lz4 match offset"):
+        _lz4_block(b"\x00\x00\x00", 1 << 16)
+    # 1 literal then an offset pointing before the start of output
+    with pytest.raises(ValueError, match="corrupt lz4 match offset"):
+        _lz4_block(b"\x10A\x05\x00", 1 << 16)
+
+
+def test_string_stats_sum_is_utf8_bytes():
+    """StringStatistics.sum counts UTF-8 bytes (Apache convention),
+    not codepoints — parse our footer stats and compare to Apache's
+    for the same non-ASCII table."""
+    from orc_format_spark.sources.orc_read import (
+        _file_tail,
+        _proto_fields,
+    )
+
+    def string_sum(data: bytes) -> int:
+        _ps, _comp, _bs, footer, _meta = _file_tail(data)
+        # reparse raw footer stats: field 7 -> ColumnStatistics of col 1
+        blob = footer["stats"][1]
+        for fno, _wt, v in _proto_fields(blob):
+            if fno == 4:  # StringStatistics
+                for f2, _w2, v2 in _proto_fields(v):
+                    if f2 == 3:  # sint64 sum
+                        return (v2 >> 1) ^ -(v2 & 1)
+        raise AssertionError("no string sum found")
+
+    t = pa.table({"s": pa.array(["éé", "abc", None, "日本"])})
+    want = len("éé".encode()) + len("abc".encode()) + len("日本".encode())
+    ours, apache = io.BytesIO(), io.BytesIO()
+    write_orc(t, ours)
+    po.write_table(t, apache)
+    assert string_sum(ours.getvalue()) == want
+    assert string_sum(apache.getvalue()) == want
