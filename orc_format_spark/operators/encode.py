@@ -577,8 +577,50 @@ def _jvm_keep_condition(preds: list[tuple]):
             )
         else:
             if isinstance(val, int):
-                cast_t, v = "decimal(38,0)", F.lit(val).cast("decimal(38,0)")
-            elif isinstance(val, float):
+                # integral bounds text -> exact decimal(38,0) compare.
+                # Fractional bounds (float-column stats against an int
+                # predicate) must NOT go through decimal(38,0):
+                # try_cast ROUNDS "16.6" to 17 instead of returning
+                # NULL, which would wrongly prune strict boundaries
+                # (stats [16.6, 17.4] vs '< 17'). Those compare in the
+                # double domain — exact for |val| <= 2^53, matching
+                # the Python evaluator's exact int-vs-float compare;
+                # beyond 2^53 widen to the non-strict superset and
+                # never prune on != (same rule as the float branch).
+                lo_s = F.get_json_object(s, f"$.{col}[0]")
+                hi_s = F.get_json_object(s, f"$.{col}[1]")
+                is_arr = F.substring(entry, 1, 1) == F.lit("[")
+                int_like = (
+                    lo_s.rlike("^-?[0-9]+$") & hi_s.rlike("^-?[0-9]+$")
+                )
+                lo_i = lo_s.try_cast("decimal(38,0)")
+                hi_i = hi_s.try_cast("decimal(38,0)")
+                v_i = F.lit(val).cast("decimal(38,0)")
+                lo_d = lo_s.try_cast("double")
+                hi_d = hi_s.try_cast("double")
+                v_d = F.lit(float(val))
+                if abs(val) <= 2**53:
+                    frac_keep = cmp(op, lo_d, hi_d, v_d)
+                elif op == "!=":
+                    frac_keep = F.lit(True)
+                else:
+                    op_w = {"<": "<=", ">": ">="}.get(op, op)
+                    frac_keep = cmp(op_w, lo_d, hi_d, v_d)
+                keep = (
+                    F.when(entry.isNull() | ~is_arr, F.lit(True))
+                    .when(entry == F.lit("[null,null]"), F.lit(False))
+                    .when(
+                        int_like,
+                        F.when(
+                            lo_i.isNull() | hi_i.isNull(), F.lit(True)
+                        ).otherwise(cmp(op, lo_i, hi_i, v_i)),
+                    )
+                    .when(lo_d.isNull() | hi_d.isNull(), F.lit(True))
+                    .otherwise(frac_keep)
+                )
+                conds.append(F.col("stats").isNull() | keep)
+                continue
+            if isinstance(val, float):
                 # double-domain compares can round int64 bounds > 2^53
                 # across a strict boundary; widen to the non-strict
                 # superset (never wrong-prunes) and never prune on !=

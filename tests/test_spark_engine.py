@@ -508,6 +508,10 @@ def test_prune_blobs_jvm_matches_python(spark):
         "l_returnflag",
         "l_shipdate",
         F.lit(None).cast("bigint").alias("nullcol"),
+        # fractional bounds: int predicates against these must compare
+        # in the double domain — decimal(38,0) try_cast ROUNDS "1.6"
+        # to 2 and would wrongly prune strict boundaries like "< 2"
+        (F.col("l_quantity") + F.lit(0.6)).alias("fracq"),
     )
     g = li.withColumn("group_id", F.floor(F.col("l_orderkey") / F.lit(200)))
     blobs = encode_groups(g, key_col="l_orderkey", stats=True).cache()
@@ -526,6 +530,13 @@ def test_prune_blobs_jvm_matches_python(spark):
         ("l_shipdate", "<", datetime.date(1996, 1, 1)),  # cross-domain: keep
         ("no_such_col", ">=", 5),  # unknown column: keep
         ("nullcol", ">=", 5),  # all-null blobs: drop everywhere
+        # int predicate vs fractional float bounds (stats lo ~1.6):
+        # "< 2" must keep (1.6 < 2) even though round("1.6")==2
+        ("fracq", "<", 2),
+        ("fracq", "<=", 1),
+        ("fracq", ">", 50),
+        ("fracq", ">=", 51),
+        ("fracq", "!=", 3),
         [("l_orderkey", ">=", 600), ("l_quantity", "<=", 10.0)],  # AND list
     ]
     for pred in cases:
