@@ -557,6 +557,120 @@ def test_prune_blobs_jvm_matches_python(spark):
     blobs.unpersist()
 
 
+def test_prune_keep_condition_fuzz(spark):
+    """Randomized JVM-vs-Python prune parity over writer-shaped stats
+    JSON: per trial a fixed column typing (the real-blob invariant —
+    every blob of one table shares column types), 200 random stats rows
+    (bounds / [null,null] / missing), and typed range predicates.
+    Invariants: the JVM keep set is a SUPERSET of the Python keep set
+    (the expression path may wrongly keep, never wrongly prune — the
+    residual decode filter is exact), and the two sets are EQUAL when
+    every conjunct value is a string or an int within the double-exact
+    domain (|v| <= 2^53) — the domain the fractional-bounds fix made
+    exact."""
+    import datetime
+    import json
+
+    from orc_format_spark import prune_blobs
+
+    rng = np.random.default_rng(47)
+    I64 = 2**62
+
+    def bound(domain):
+        if domain == "int":
+            return int(
+                rng.choice(
+                    [
+                        int(rng.integers(-25, 26)),
+                        int(rng.integers(-I64, I64)),
+                        2**53 + int(rng.integers(0, 9)),
+                    ]
+                )
+            )
+        if domain == "float":
+            k = int(rng.integers(-25, 26))
+            return float(
+                rng.choice([k + 0.6, k + 0.5, float(k), k * 1e12 + 0.25])
+            )
+        if domain == "str":
+            return f"s{int(rng.integers(0, 10))}"
+        base = datetime.datetime(2020, 1, 1) + datetime.timedelta(
+            hours=int(rng.integers(0, 500))
+        )
+        return base
+
+    def value(domain):
+        if domain in ("int", "float"):
+            # int vs float predicates are BOTH well-typed on a numeric
+            # column; near-boundary ints exercise the rounding trap
+            if rng.random() < 0.6:
+                return int(
+                    rng.choice(
+                        [int(rng.integers(-25, 26)), 2**53 + 4, -(2**60)]
+                    )
+                )
+            return float(int(rng.integers(-25, 26)) + 0.5)
+        if domain == "str":
+            return f"s{int(rng.integers(0, 10))}"
+        v = bound("dt")
+        return v.date() if rng.random() < 0.3 else v
+
+    OPS = ["!=", "<", "<=", ">", ">="]
+    for trial in range(12):
+        domains = {
+            c: str(rng.choice(["int", "float", "str", "dt"]))
+            for c in ("a", "b", "c")
+        }
+        rows = []
+        for i in range(200):
+            d = {}
+            for col, dom in domains.items():
+                r = rng.random()
+                if r < 0.10:
+                    continue  # column missing from this blob's stats
+                if r < 0.20:
+                    d[col] = [None, None]  # all-null column
+                    continue
+                lo, hi = sorted((bound(dom), bound(dom)))
+                if dom == "dt":
+                    d[col] = {"t": "iso", "lo": lo.isoformat(), "hi": hi.isoformat()}
+                else:
+                    d[col] = [lo, hi]
+            rows.append((i, json.dumps(d, sort_keys=True)))
+        rows.append((990, None))  # null stats: always kept
+        df = spark.createDataFrame(rows, "group_id long, stats string")
+        parsed = {i: (json.loads(s) if s is not None else None) for i, s in rows}
+        for _ in range(4):
+            preds = []
+            for _ in range(int(rng.integers(1, 3))):
+                col = str(rng.choice(["a", "b", "c", "zz"]))
+                dom = domains.get(col, "int")
+                preds.append((col, str(rng.choice(OPS)), value(dom)))
+            jvm = {r.group_id for r in prune_blobs(df, preds).collect()}
+            py = {
+                r.group_id
+                for r in prune_blobs(df, preds, force_python=True).collect()
+            }
+            assert jvm >= py, (
+                f"JVM wrongly pruned {py - jvm} for {preds} "
+                f"(trial {trial}, domains {domains})"
+            )
+            exact = all(
+                isinstance(v, str)
+                or (
+                    isinstance(v, int)
+                    and not isinstance(v, bool)
+                    and abs(v) <= 2**53
+                )
+                for _, _, v in preds
+            )
+            if exact:
+                assert jvm == py, (
+                    f"JVM over-kept {jvm - py} in the exact domain for "
+                    f"{preds} (trial {trial}, domains {domains})"
+                )
+
+
 def test_decode_type_mismatch_is_loud(spark):
     """Declaring the wrong TYPE (not just wrong names) raises a clear
     ValueError naming column/stored/declared — cross-kind declarations
