@@ -520,6 +520,14 @@ def decode_int_rle_v2(buf, signed: bool = True) -> np.ndarray:
             d0_raw, pos = decode_varint_one(b, pos)
             d0 = _unzigzag_one(d0_raw)
             if dfield:
+                if n < 2:
+                    # spec: delta runs hold >= 2 values; a foreign
+                    # stream claiming n=1 with a residual width would
+                    # compute a NEGATIVE payload length and silently
+                    # desync the header walk — fail loudly instead
+                    raise ValueError(
+                        "rle_v2: variable-width delta run with n < 2"
+                    )
                 w = code_width(dfield)
                 seg_meta.append((base, d0, pos, w))
                 pos += ((n - 2) * w + 7) // 8

@@ -216,8 +216,16 @@ def _lz4_block(src, max_size: int) -> bytes:
                 ll += x
                 if x != 255:
                     break
+        if i + ll > n:
+            raise ValueError(
+                "orc_read: corrupt lz4 literal run past end of chunk"
+            )
         out += src[i : i + ll]
         i += ll
+        if len(out) > max_size:
+            raise ValueError(
+                f"orc_read: lz4 chunk decodes past block size {max_size}"
+            )
         if i >= n:
             break
         off = src[i] | (src[i + 1] << 8)
@@ -235,6 +243,13 @@ def _lz4_block(src, max_size: int) -> bytes:
                 ml += x
                 if x != 255:
                     break
+        # bound BEFORE materializing: a corrupt extended match length
+        # (offset 1 + 255-run extensions) would otherwise replicate up
+        # to ~255x the chunk size into memory before any check fires
+        if len(out) + ml > max_size:
+            raise ValueError(
+                f"orc_read: lz4 chunk decodes past block size {max_size}"
+            )
         start = len(out) - off
         if off >= ml:
             out += out[start : start + ml]
@@ -243,15 +258,6 @@ def _lz4_block(src, max_size: int) -> bytes:
                 chunk = out[start : start + min(off, ml)]
                 out += chunk
                 ml -= len(chunk)
-        if len(out) > max_size:
-            raise ValueError(
-                f"orc_read: lz4 chunk decodes past block size {max_size}"
-            )
-    if len(out) > max_size:
-        raise ValueError(
-            f"orc_read: lz4 chunk decodes to {len(out)} > block size"
-            f" {max_size}"
-        )
     return bytes(out)
 
 
@@ -443,7 +449,7 @@ class _Stripe:
     """Lazy per-stripe stream access: offsets indexed up front, bytes
     decompressed only when a decoded column asks for them."""
 
-    def __init__(self, raw: bytes, footer: dict, compression: str,
+    def __init__(self, raw: bytes | memoryview, footer: dict, compression: str,
                  block_size: int, n_rows: int):
         self.raw = raw
         self.compression = compression
@@ -545,6 +551,13 @@ def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
                 typ, n,
                 [validity, pa.py_buffer(offsets.tobytes())],
                 children=[child],
+            )
+        if n_child > np.iinfo(np.int32).max:
+            # Arrow MapArray offsets are int32 (no large_map); a
+            # silent astype here would wrap negative and build garbage
+            raise ValueError(
+                f"orc_read: map column with {n_child} entries in one "
+                "stripe exceeds Arrow's int32 map offset range"
             )
         keys = _read_column(st, types, t.subtypes[0], n_child)
         items = _read_column(st, types, t.subtypes[1], n_child)
@@ -764,7 +777,11 @@ def read_orc(source, columns: list[str] | None = None,
         sf = _parse_stripe_footer(
             _decompress(data[end : end + info["footer_len"]], comp, bs)
         )
-        st = _Stripe(data[start:end], sf, comp, bs, info["n_rows"])
+        # zero-copy view: a bytes slice here would duplicate every
+        # stripe's index+data region (~2x file size peak); stream()
+        # only ever re-slices, so a memoryview suffices
+        st = _Stripe(memoryview(data)[start:end], sf, comp, bs,
+                     info["n_rows"])
         arrays = [
             _read_column(st, types, root.subtypes[i], info["n_rows"])
             for i in sel

@@ -292,6 +292,48 @@ def test_lz4_corrupt_offset_raises():
         _lz4_block(b"\x10A\x05\x00", 1 << 16)
 
 
+def test_lz4_corrupt_literal_and_match_bounds():
+    """Truncated literal runs raise (never silently return short
+    data), and a corrupt extended match length is rejected BEFORE
+    materializing the replicated bytes (offset-1 'decompression bomb'
+    stays bounded by the declared block size)."""
+    import tracemalloc
+
+    from orc_format_spark.sources.orc_read import _lz4_block
+
+    # token 0xF0 + ext 5 declares 20 literals; only 3 bytes follow
+    with pytest.raises(ValueError, match="literal run past end"):
+        _lz4_block(bytes([0xF0, 5]) + b"abc", 1 << 20)
+    # 1 literal, offset 1, match len 19 + 255*8000 extensions: would
+    # replicate ~2 MB from an 8 KB chunk; the pre-materialization
+    # bound must raise while allocation stays ~block_size
+    bomb = b"\x1fA\x01\x00" + b"\xff" * 8000 + b"\x00"
+    tracemalloc.start()
+    with pytest.raises(ValueError, match="past block size"):
+        _lz4_block(bomb, 4096)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 1 << 20, f"bomb materialized {peak} bytes"
+    # a VALID overlapping match still decodes: 1 literal 'A',
+    # offset 1, match 4 -> 'AAAAA'
+    assert _lz4_block(b"\x10A\x01\x00", 64) == b"AAAAA"
+
+
+def test_rle_v2_delta_n1_desync_raises():
+    """A foreign/corrupt RLEv2 stream claiming a variable-width delta
+    run of n=1 would give the header walk a NEGATIVE payload length
+    and silently desync (re-reading prior bytes as headers); it must
+    raise instead."""
+    from orc_format_spark.codecs.rle_v2 import decode_int_rle_v2
+
+    # delta header: kind=3, width code 8 (dfield!=0), n=1
+    # h0 = 0b11_01000_0 (kind 3, dfield code 8, high n bit 0), n-1=0
+    h0 = (3 << 6) | (8 << 1)
+    bad = bytes([h0, 0x00, 0x02, 0x02])  # base=1 zigzag, d0=1 zigzag
+    with pytest.raises(ValueError, match="delta run with n < 2"):
+        decode_int_rle_v2(bad, signed=True)
+
+
 def test_string_stats_sum_is_utf8_bytes():
     """StringStatistics.sum counts UTF-8 bytes (Apache convention),
     not codepoints — parse our footer stats and compare to Apache's
