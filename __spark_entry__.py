@@ -2041,8 +2041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r03) lead, then this round's new queries (never driver-verified),
     then the r04-green queries whose UNDERLYING CODE CHANGED this round
     (dedup sentinel, pq/brute-force top-k, compact planner, evolution
-    decode) plus the flagship — so no query's driver row is ever more
-    than one round stale. The r04-green remainder sits below the window
+    decode, the stats-prune keep-condition's fractional-bounds branch)
+    plus the flagship — so no query's driver row is ever more than one
+    round stale. The r04-green remainder sits below the window
     (still covered every round by pytest + scripts/check_oracles.py)."""
     return {
         # -- last driver row r03 (below round 4's window) --
@@ -2096,14 +2097,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": q_compact_roundtrip,
         "schema_evolution": q_schema_evolution,
         "sink_encode_roundtrip": q_sink_encode_roundtrip,
+        # the two queries driving the stats-prune keep-condition whose
+        # fractional-bounds branch was rewritten this round
+        "token_contains": q_token_contains,
+        "predicate_decode": q_predicate_decode,
+        # ---- driver window boundary (50) — below: r04 driver-green ----
         "datasource_roundtrip": q_datasource_roundtrip,
         "bloom_filter_decode": q_bloom_filter_decode,
         "file_prune_scan": q_file_prune_scan,
-        "token_contains": q_token_contains,
         "zorder_prune_scan": q_zorder_prune_scan,
         "codec_lineage": q_codec_lineage,
         "compression_variants": q_compression_variants,
-        # ---- driver window boundary (50) — below: r04 driver-green ----
         "struct_map_roundtrip": q_struct_map_roundtrip,
         "text_profile": q_text_profile,
         "repetition_profile": q_repetition_profile,
@@ -2135,7 +2139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "composite_roundtrip": q_composite_roundtrip,
         "union_roundtrip": q_union_roundtrip,
         "rowslice_decode": q_rowslice_decode,
-        "predicate_decode": q_predicate_decode,
     }
 
 
