@@ -16,13 +16,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-# NULL-text sentinel fingerprint (DuckDB side) — must mirror the Spark
-# sentinel in dedup_keep_first / exact_duplicate_groups: NULL content
-# is not equal content, each NULL-text doc stays its own group.
-_fp_sentinel_sql = (
-    "COALESCE(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), "
-    "'null:' || CAST(doc_id AS VARCHAR))"
+# NULL-text sentinel fingerprint (DuckDB side) — the single source of
+# truth lives next to the Spark sentinel it must mirror byte-for-byte
+# (dedup_keep_first / exact_duplicate_groups).
+from orc_format_spark.functions.dedup import (  # noqa: E402
+    fingerprint_sentinel_sql as _fingerprint_sentinel_sql,
 )
+
+_fp_sentinel_sql = _fingerprint_sentinel_sql()
 
 
 def _roundtrip(

@@ -43,7 +43,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .similarity import MAX_CENTROIDS, _with_quant, batch_qmatrix
+from .similarity import MAX_CENTROIDS, _with_quant, batch_qmatrix, topk_cut
 
 QUANT_SQL = (
     "list_transform(embedding, x -> "
@@ -255,13 +255,10 @@ def pq_topk(
                 if n == 0:
                     continue
                 kk = min(k_nn, n)
-                thresh = np.partition(dm, kk - 1)[kk - 1]
-                cand = dm <= thresh
-                dc, ic = dm[cand], im[cand]
-                order = np.lexsort((ic, dc))[:kk]
+                dc, ic = topk_cut(dm, im, kk)
                 out_q.append(np.full(kk, q_ids[qi], np.int64))
-                out_i.append(ic[order])
-                out_d.append(dc[order])
+                out_i.append(ic)
+                out_d.append(dc)
             if not out_q:
                 continue
             yield pa.record_batch(
@@ -497,13 +494,10 @@ def ivf_pq_topk(
                     dm += tables[qi, s, cc[:, s]]
                 n = len(ic)
                 kk = min(k_nn, n)
-                thresh = np.partition(dm, kk - 1)[kk - 1]
-                keep = dm <= thresh
-                dk, ik = dm[keep], ic[keep]
-                o = np.lexsort((ik, dk))[:kk]
+                dk, ik = topk_cut(dm, ic, kk)
                 out_q.append(np.full(kk, q_ids[qi], np.int64))
-                out_i.append(ik[o])
-                out_d.append(dk[o])
+                out_i.append(ik)
+                out_d.append(dk)
             if not out_q:
                 continue
             yield pa.record_batch(

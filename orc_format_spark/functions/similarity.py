@@ -155,6 +155,32 @@ def batch_qmatrix(t, dims: int):
     return flat.reshape(len(q), dims)
 
 
+def topk_cut(vals, ids, kk: int, descending: bool = False):
+    """Boundary-tie-preserving partial top-k over one query's candidate
+    scores: keep every row tied with the k-th best (threshold cut),
+    order by the SAME lexicographic rule as the downstream global
+    window ((vals, ids) ascending, or (-vals, ids) when ``descending``),
+    truncate to ``kk``. Exactness-critical and shared by all three ANN
+    kernels (brute-force cosine, PQ-ADC, IVF-ADC): the global merge of
+    per-batch partials must equal ranking the full candidate matrix,
+    which holds because a row can only displace another in the final
+    window if it would also have survived its batch's threshold cut."""
+    import numpy as np
+
+    n = len(ids)
+    if descending:
+        thresh = np.partition(vals, n - kk)[n - kk]
+        cand = vals >= thresh
+        vc, ic = vals[cand], ids[cand]
+        order = np.lexsort((ic, -vc))[:kk]
+    else:
+        thresh = np.partition(vals, kk - 1)[kk - 1]
+        cand = vals <= thresh
+        vc, ic = vals[cand], ids[cand]
+        order = np.lexsort((ic, vc))[:kk]
+    return vc[order], ic[order]
+
+
 def brute_force_topk(
     emb: DataFrame,
     k: int = 5,
@@ -218,14 +244,10 @@ def brute_force_topk(
                 if n == 0:
                     continue
                 kk = min(k, n)
-                # keep all boundary ties: threshold = k-th LARGEST cos
-                thresh = np.partition(cm, n - kk)[n - kk]
-                cand = cm >= thresh
-                cc, ic = cm[cand], im[cand]
-                order = np.lexsort((ic, -cc))[:kk]
+                cc, ic = topk_cut(cm, im, kk, descending=True)
                 out_q.append(np.full(kk, q_ids[qi], np.int64))
-                out_i.append(ic[order])
-                out_c.append(cc[order])
+                out_i.append(ic)
+                out_c.append(cc)
             if not out_q:
                 continue
             yield pa.record_batch(
