@@ -23,6 +23,7 @@ chunk-stats JSON under ``<col>@bloom`` (alongside the [min, max] entry).
 from __future__ import annotations
 
 import base64
+import functools
 
 import numpy as np
 
@@ -91,5 +92,11 @@ def bloom_to_b64(bitset: bytes) -> str:
     return base64.b64encode(bitset).decode("ascii")
 
 
+@functools.lru_cache(maxsize=512)
 def bloom_from_b64(s: str) -> bytes:
+    """Decode a base64 bitset; cached because the chunk-prune loop
+    re-tests the SAME per-chunk bitset for every ``==`` conjunct and
+    every ``in`` member (k probes x m chunks would otherwise re-decode
+    k x m times). Bitsets are immutable bytes, ~bits_per_key*rows/8
+    per 10k-row chunk, so the 512-entry cache stays a few MB."""
     return base64.b64decode(s.encode("ascii"))

@@ -40,11 +40,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import dictionary, raw, rle_v1, rle_v2, timestamp as ts_codec
-from .bitpack import decode_for_bitpack, encode_for_bitpack
+from .bitpack import decode_for_bitpack
 from .blocks import compress_stream, decompress_stream
-from .fsst import fsst_decode, fsst_encode
+from .fsst import fsst_decode
 from .selector import (
     _encode_float,
+    _encode_int,
+    _encode_str,
     select_float_codec,
     select_int_codec,
     select_str_codec,
@@ -121,15 +123,9 @@ class ColumnEntry:
 
 
 def _encode_int_values(codec: str, v: np.ndarray, signed: bool = True) -> bytes:
-    if codec == "rle_v1":
-        return rle_v1.encode_int_rle_v1(v, signed)
-    if codec == "rle_v2":
-        return rle_v2.encode_int_rle_v2(v, signed)
-    if codec == "for_bitpack":
-        return encode_for_bitpack(v, signed)
-    if codec == "dict_int":
-        return dictionary.encode_dict_int(v, signed)
-    raise ValueError(f"int codec {codec}")
+    # canonical encoder lives in selector.py (like _encode_float), so
+    # its size estimates can never desync from the emitted wire bytes
+    return _encode_int(codec, v, signed)
 
 
 def _decode_int_values(codec: str, buf: bytes, signed: bool = True) -> np.ndarray:
@@ -145,20 +141,9 @@ def _decode_int_values(codec: str, buf: bytes, signed: bool = True) -> np.ndarra
 
 
 def _encode_str_values(codec: str, data: np.ndarray, offsets: np.ndarray) -> bytes:
-    if codec == "raw_str":
-        return raw.encode_bytes_raw(data, offsets)
-    if codec == "dict_str":
-        return dictionary.encode_dict_bytes(data, offsets)
-    if codec == "fsst":
-        lens = (offsets[1:] - offsets[:-1]).astype(np.uint64)
-        lstream = rle_v1.encode_int_rle_v1(lens, signed=False)
-        return (
-            encode_varint_one(len(lens))
-            + encode_varint_one(len(lstream))
-            + lstream
-            + fsst_encode(data)
-        )
-    raise ValueError(f"str codec {codec}")
+    # canonical encoder (incl. the fsst length-stream framing) lives in
+    # selector.py; one copy of the wire format
+    return _encode_str(codec, data, offsets)
 
 
 def _decode_str_values(codec: str, buf: bytes) -> tuple[np.ndarray, np.ndarray]:
@@ -467,33 +452,43 @@ def deserialize_blob(blob: bytes) -> list[ColumnEntry]:
     n_entries = int.from_bytes(blob[5:7], "little")
     pos = 7
     engine = _LEGACY_ENGINE
-    if version >= 3:  # engine tag (see blob_engine_version)
-        elen, pos = decode_varint_one(blob, pos)
-        engine = blob[pos : pos + elen].decode()
-        pos += elen
-    metas = []
-    for _ in range(n_entries):
-        fields = []
-        for _ in range(4):
-            if version == 1:  # legacy: single-byte field-string lengths
-                ln, pos = blob[pos], pos + 1
-            else:
-                ln, pos = decode_varint_one(blob, pos)
-            fields.append(blob[pos : pos + ln].decode())
-            pos += ln
-        has_null = bool(blob[pos])
-        pos += 1
-        n_rows, pos = decode_varint_one(blob, pos)
-        n_present, pos = decode_varint_one(blob, pos)
-        n_streams = blob[pos]
-        pos += 1
-        skinds = []
-        for _ in range(n_streams):
-            kind = blob[pos]
+    try:
+        if version >= 3:  # engine tag (see blob_engine_version)
+            elen, pos = decode_varint_one(blob, pos)
+            engine = blob[pos : pos + elen].decode()
+            pos += elen
+        metas = []
+        for _ in range(n_entries):
+            fields = []
+            for _ in range(4):
+                if version == 1:  # legacy single-byte field lengths
+                    ln, pos = blob[pos], pos + 1
+                else:
+                    ln, pos = decode_varint_one(blob, pos)
+                if pos + ln > len(blob):
+                    # a plain slice would decode a silently-short
+                    # field string; truncations must be loud
+                    raise ValueError("truncated blob metadata")
+                fields.append(blob[pos : pos + ln].decode())
+                pos += ln
+            has_null = bool(blob[pos])
             pos += 1
-            slen, pos = decode_varint_one(blob, pos)
-            skinds.append((kind, slen))
-        metas.append((fields, has_null, n_rows, n_present, skinds))
+            n_rows, pos = decode_varint_one(blob, pos)
+            n_present, pos = decode_varint_one(blob, pos)
+            n_streams = blob[pos]
+            pos += 1
+            skinds = []
+            for _ in range(n_streams):
+                kind = blob[pos]
+                pos += 1
+                slen, pos = decode_varint_one(blob, pos)
+                skinds.append((kind, slen))
+            metas.append((fields, has_null, n_rows, n_present, skinds))
+    except IndexError:
+        # blob[pos] / decode_varint_one past the end: classify the same
+        # way as every other truncation so callers catching ValueError
+        # to reject corrupt blobs see a consistent type
+        raise ValueError("truncated blob metadata") from None
     entries = []
     for (fields, has_null, n_rows, n_present, skinds) in metas:
         streams = []
@@ -545,14 +540,18 @@ def blob_engine_version(blob: bytes) -> str:
 
 
 def _split_top_level(s: str) -> list[str]:
-    """Split on commas at angle-bracket depth 0."""
+    """Split on commas at nesting depth 0. Depth counts angle brackets
+    AND parentheses/square brackets: arrow type strings put commas
+    inside "decimal128(10, 2)" and "timestamp[us, tz=UTC]", so
+    tracking only <> would split a struct's children mid-type and make
+    the blob undecodable."""
     parts: list[str] = []
     depth = 0
     cur: list[str] = []
     for ch in s:
-        if ch == "<":
+        if ch in "<([":
             depth += 1
-        elif ch == ">":
+        elif ch in ">)]":
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur))
@@ -579,10 +578,16 @@ def _parse_type(s: str) -> pa.DataType:
     if s in ("binary", "large_binary"):
         return pa.large_binary() if s == "large_binary" else pa.binary()
     if s.startswith("timestamp"):
+        # keep the STORED unit ("timestamp[ns]" etc.): values encode in
+        # exact microseconds (the safe cast at encode rejects sub-us
+        # precision), and decode casts them back to this declared type,
+        # so parsing everything as us would misreport the schema
+        inner = s[s.index("[") + 1 : s.rindex("]")]
         tz = None
-        if "tz=" in s:
-            tz = s.split("tz=")[1].rstrip("]")
-        return pa.timestamp("us", tz)
+        unit = inner
+        if ", tz=" in inner:
+            unit, tz = inner.split(", tz=", 1)
+        return pa.timestamp(unit, tz)
     if s.startswith("decimal128"):
         p, sc = s[s.index("(") + 1 : s.index(")")].split(",")
         return pa.decimal128(int(p), int(sc))
@@ -864,6 +869,14 @@ def _chunk_stats(chunk: pa.Table, bloom_columns: list[str] | None = None) -> dic
         lo, hi = mm["min"].as_py(), mm["max"].as_py()
         if isinstance(lo, float) and (lo != lo or hi != hi):  # NaN bounds
             continue
+        if pa.types.is_float32(col.type):
+            # the exact filter casts the predicate literal to float32
+            # (rounding to nearest), so a float64 literal can match a
+            # row while sitting just OUTSIDE the exact float32 bounds
+            # (0.1 < float32(0.1)); widen by one float32 ulp per side
+            # so the prune test never disagrees with the filter
+            lo = float(np.nextafter(np.float32(lo), np.float32("-inf")))
+            hi = float(np.nextafter(np.float32(hi), np.float32("inf")))
         if temporal:
             # isoformat orders chronologically (see _temporal_statable);
             # the dict form tags the entry so the prune test converts
@@ -1036,6 +1049,13 @@ def _chunk_may_match(stats: dict | None, predicate: tuple) -> bool:
         if "T" in lo:
             if not isinstance(val, datetime.datetime):
                 return True
+            if val.tzinfo is not None:
+                # bounds are tz-naive (tz-aware columns are never
+                # statable); an aware isoformat carries a "+HH:MM"
+                # suffix that breaks the lexicographic order and the
+                # exact filter normalizes the value anyway — unknown,
+                # decode
+                return True
         elif not isinstance(val, datetime.date) or isinstance(
             val, datetime.datetime
         ):
@@ -1150,6 +1170,14 @@ def decode_table(
                 raise ValueError(
                     f"decode_table: predicate column {pcol!r} must be in columns"
                 )
+    if columns is not None:
+        # a typo'd projection must be loud, not a silently narrower
+        # table (header-only check; evolution decode resolves missing
+        # columns itself and never reaches here)
+        have = set(blob_schema(blob).names)
+        missing = [c for c in columns if c not in have]
+        if missing:
+            raise KeyError(f"decode_table: no such columns {missing}")
     if blob[:4] == MAGIC2:
         if blob[4] not in _READ_VERSIONS2:
             raise ValueError(f"unsupported blob version {blob[4]}")
@@ -1314,11 +1342,22 @@ def _canonical_buffers(arr):
         out.extend(_canonical_buffers(mv.items.slice(start, end - start)))
     elif pa.types.is_union(t):
         uv = _combine(va)
-        tc, vo = _union_ids_offsets(uv)
+        if t.mode == "dense":
+            tc, vo = _union_ids_offsets(uv)
+        else:
+            # sparse unions have no offsets buffer (buffers()[2] is
+            # None); row j of variant i lives at field(i)[j] — same
+            # canonicalization as encode_column's sparse branch, so
+            # the checksum matches the dense equivalent it encodes to
+            tc = np.frombuffer(uv.buffers()[1], np.int8)[
+                uv.offset : uv.offset + len(uv)
+            ]
+            vo = None
         out.append(tc.tobytes())
         for i in range(t.num_fields):
             pos = np.flatnonzero(tc == t.type_codes[i])
-            child = uv.field(i).take(pa.array(vo[pos], pa.int64()))
+            idx = pos if vo is None else vo[pos]
+            child = uv.field(i).take(pa.array(idx, pa.int64()))
             out.extend(_canonical_buffers(child))
     elif pa.types.is_decimal(t):
         out.append(str(va.to_pylist()).encode())

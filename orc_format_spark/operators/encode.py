@@ -565,6 +565,15 @@ def _jvm_keep_condition(preds: list[tuple]):
             # _chunk_may_match. A cross-domain entry (datetime bounds
             # for a date value or vice versa, detected by the 'T' in
             # the lo bound) is kept, never guessed.
+            if (
+                isinstance(val, datetime.datetime)
+                and val.tzinfo is not None
+            ):
+                # stored bounds are tz-naive; an aware value's
+                # isoformat ("+HH:MM" suffix) breaks the lexicographic
+                # order — keep, matching _chunk_may_match's guard
+                conds.append(F.lit(True))
+                continue
             is_dt = isinstance(val, datetime.datetime)
             lo = F.get_json_object(s, f"$.{col}.lo")
             hi = F.get_json_object(s, f"$.{col}.hi")

@@ -720,3 +720,113 @@ def test_sparse_union_encodes_as_dense():
         back = decode_table(blob).column("u")
         assert pa.types.is_union(back.type) and back.type.mode == "dense"
         assert back.to_pylist() == arr.to_pylist()
+
+
+def test_nested_parenthesized_types_roundtrip():
+    """Type strings with commas inside () / [] — decimal128(10, 2) and
+    timestamp[us, tz=UTC] as struct/map children — must re-parse: the
+    top-level splitter tracks parens and square brackets, not just
+    angle brackets, or blobs become encodable-but-undecodable."""
+    import datetime as dt
+    from decimal import Decimal
+
+    tbl = pa.table({
+        "x": pa.array(
+            [{"a": Decimal("1.25"), "b": 2}] * 4,
+            pa.struct([("a", pa.decimal128(10, 2)), ("b", pa.int32())]),
+        ),
+        "m": pa.array(
+            [[("k", Decimal("9.5000"))]] * 4,
+            pa.map_(pa.string(), pa.decimal128(20, 4)),
+        ),
+        "ts": pa.array(
+            [{"t": dt.datetime(2020, 1, 2, 3)}] * 4,
+            pa.struct([("t", pa.timestamp("us"))]),
+        ),
+    })
+    blob, _ = encode_table(tbl)
+    from orc_format_spark.codecs.container import blob_schema
+
+    assert blob_schema(blob).equals(tbl.schema)
+    assert decode_table(blob).equals(tbl)
+
+
+def test_timestamp_unit_schema_fidelity():
+    """timestamp[s]/[ms]/[ns] columns decode with their STORED unit
+    (values travel as exact microseconds); parsing everything as us
+    misreported the schema and broke downstream casts/unions."""
+    for unit in ("s", "ms", "us", "ns"):
+        # values travel as exact us, so ns inputs must be whole us
+        # (sub-us precision fails loudly at encode via the safe cast)
+        vals = [10**6, 0, 123 * (1000 if unit == "ns" else 1)]
+        t = pa.table({"t": pa.array(vals, pa.timestamp(unit))})
+        blob, _ = encode_table(t)
+        from orc_format_spark.codecs.container import blob_schema
+
+        assert blob_schema(blob).field(0).type == pa.timestamp(unit)
+        assert decode_table(blob).equals(t)
+
+
+def test_float32_prune_never_disagrees_with_filter():
+    """The exact filter casts the predicate literal to float32; the
+    chunk prune test compares in float64. Without ulp-widened float32
+    bounds, '== 0.1' pruned every chunk whose rows all equal
+    float32(0.1) — silent missing rows."""
+    t = pa.table({
+        "f": pa.array([0.1] * 20, pa.float32()),
+        "k": pa.array(range(20), pa.int64()),
+    })
+    blob, _ = encode_table(t, stride=10)
+    assert decode_table(blob, predicate=("f", "==", 0.1)).num_rows == 20
+    assert decode_table(blob, predicate=("f", "in", (0.1, 7.0))).num_rows == 20
+    assert decode_table(blob, predicate=("f", ">", 0.05)).num_rows == 20
+    assert decode_table(blob, predicate=("f", "<", 0.05)).num_rows == 0
+
+
+def test_tz_aware_predicate_never_prunes_naive_bounds():
+    """Stored temporal bounds are tz-naive isoformats; a tz-aware
+    predicate value's '+HH:MM' suffix breaks the lexicographic order.
+    The prune test must treat the cross-domain compare as unknown (the
+    exact filter normalizes the value and matches)."""
+    import datetime as dt
+
+    t = pa.table({
+        "t": pa.array([dt.datetime(2020, 1, 1, 6)] * 20, pa.timestamp("us")),
+        "k": pa.array(range(20), pa.int64()),
+    })
+    blob, _ = encode_table(t, stride=10)
+    v = dt.datetime(2020, 1, 1, 6, tzinfo=dt.timezone.utc)
+    assert decode_table(blob, predicate=("t", "==", v)).num_rows == 20
+
+
+def test_sparse_union_checksum_matches_dense_decode():
+    """table_checksum on a sparse union must not crash (no offsets
+    buffer) and must equal the checksum of its dense-decoded twin, or
+    the write-verify loop rejects every sparse-union write."""
+    arr = pa.UnionArray.from_sparse(
+        pa.array([0, 1, 0, 1], pa.int8()),
+        [pa.array([1, 2, 3, 4], pa.int64()), pa.array(["a", "b", "c", "d"])],
+    )
+    t = pa.table({"u": arr})
+    blob, _ = encode_table(t)
+    assert table_checksum(t) == table_checksum(decode_table(blob))
+
+
+def test_blob_truncation_always_valueerror():
+    """EVERY truncation of a valid blob raises ValueError (not bare
+    IndexError, never a silently-short metadata string), so corrupt-blob
+    classification by exception type is reliable."""
+    from orc_format_spark.codecs.container import deserialize_blob
+
+    blob, _ = encode_table(pa.table({"a": pa.array(range(100), pa.int64())}))
+    for cut in range(1, len(blob)):
+        with pytest.raises(ValueError):
+            deserialize_blob(blob[:cut])
+
+
+def test_projection_typo_is_loud():
+    """decode_table(columns=[missing]) raises KeyError instead of
+    silently returning a narrower table."""
+    blob, _ = encode_table(pa.table({"a": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(KeyError, match="no such columns"):
+        decode_table(blob, columns=["nope"])
