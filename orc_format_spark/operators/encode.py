@@ -440,7 +440,16 @@ def _ddl_names(schema: str) -> list[str]:
             cur.append(ch)
     if "".join(cur).strip():
         fields.append("".join(cur))
-    return [f.strip().split()[0].strip("`") for f in fields]
+    names = []
+    for f in fields:
+        f = f.strip()
+        if f.startswith("`"):
+            # backtick-quoted names may contain spaces; a plain
+            # .split()[0] would truncate "`my col` int" to "my"
+            names.append(f[1 : f.index("`", 1)])
+        else:
+            names.append(f.split()[0])
+    return names
 
 
 def _check_decoded_names(tbl: pa.Table, expected: list[str]) -> None:
@@ -580,7 +589,13 @@ def _jvm_keep_condition(preds: list[tuple]):
             tag = F.get_json_object(s, f"$.{col}.t")
             domain_ok = (F.instr(lo, "T") > 0) if is_dt else (F.instr(lo, "T") == 0)
             keep = (
-                F.when(entry.isNull() | tag.isNull() | (tag != "iso"), F.lit(True))
+                F.when(entry.isNull(), F.lit(True))
+                # an all-null temporal column stats as the ARRAY form
+                # [null,null] (the all-null check precedes the iso-dict
+                # branch in _chunk_stats) — provably unmatchable, same
+                # as the numeric/string branches
+                .when(entry == F.lit("[null,null]"), F.lit(False))
+                .when(tag.isNull() | (tag != "iso"), F.lit(True))
                 .when(~domain_ok, F.lit(True))
                 .otherwise(cmp(op, lo, hi, F.lit(val.isoformat())))
             )
@@ -654,12 +669,22 @@ def _jvm_keep_condition(preds: list[tuple]):
             lo = lo_s.try_cast(cast_t) if cast_t else lo_s
             hi = hi_s.try_cast(cast_t) if cast_t else hi_s
             is_arr = F.substring(entry, 1, 1) == F.lit("[")
-            keep = (
-                F.when(entry.isNull() | ~is_arr, F.lit(True))
-                .when(entry == F.lit("[null,null]"), F.lit(False))
-                .when(lo.isNull() | hi.isNull(), F.lit(True))  # uncastable
-                .otherwise(cmp(op, lo, hi, v))
+            keep = F.when(entry.isNull() | ~is_arr, F.lit(True)).when(
+                entry == F.lit("[null,null]"), F.lit(False)
             )
+            if cast_t is None:
+                # string predicate: the bounds must BE strings (the
+                # re-serialized entry's first bound starts with '"');
+                # a lexicographic compare against numeric/bool bounds
+                # text could wrongly prune a cross-typed predicate the
+                # Python evaluator keeps (TypeError -> True) and the
+                # residual filter rejects loudly
+                keep = keep.when(
+                    F.substring(entry, 2, 1) != F.lit('"'), F.lit(True)
+                )
+            keep = keep.when(
+                lo.isNull() | hi.isNull(), F.lit(True)  # uncastable
+            ).otherwise(cmp(op, lo, hi, v))
         conds.append(F.col("stats").isNull() | keep)
     out = conds[0]
     for c in conds[1:]:

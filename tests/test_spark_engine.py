@@ -562,12 +562,16 @@ def test_prune_keep_condition_fuzz(spark):
     JSON: per trial a fixed column typing (the real-blob invariant —
     every blob of one table shares column types), 200 random stats rows
     (bounds / [null,null] / missing), and typed range predicates.
+    Predicates are usually typed to the column but sometimes CROSS-typed
+    (a str value against numeric bounds etc.) — the Python evaluator
+    keeps on TypeError and the JVM expression must never lexicographic-
+    compare across domains into a wrong prune.
     Invariants: the JVM keep set is a SUPERSET of the Python keep set
     (the expression path may wrongly keep, never wrongly prune — the
     residual decode filter is exact), and the two sets are EQUAL when
-    every conjunct value is a string or an int within the double-exact
-    domain (|v| <= 2^53) — the domain the fractional-bounds fix made
-    exact."""
+    every conjunct value is a string, a temporal, or an int within the
+    double-exact domain (|v| <= 2^53); only float values and ints past
+    2^53 retain the deliberate widen-only slack."""
     import datetime
     import json
 
@@ -645,6 +649,8 @@ def test_prune_keep_condition_fuzz(spark):
             for _ in range(int(rng.integers(1, 3))):
                 col = str(rng.choice(["a", "b", "c", "zz"]))
                 dom = domains.get(col, "int")
+                if rng.random() < 0.2:  # cross-typed predicate
+                    dom = str(rng.choice(["int", "float", "str", "dt"]))
                 preds.append((col, str(rng.choice(OPS)), value(dom)))
             jvm = {r.group_id for r in prune_blobs(df, preds).collect()}
             py = {
@@ -656,7 +662,7 @@ def test_prune_keep_condition_fuzz(spark):
                 f"(trial {trial}, domains {domains})"
             )
             exact = all(
-                isinstance(v, str)
+                isinstance(v, (str, datetime.date, datetime.datetime))
                 or (
                     isinstance(v, int)
                     and not isinstance(v, bool)
@@ -669,6 +675,18 @@ def test_prune_keep_condition_fuzz(spark):
                     f"JVM over-kept {jvm - py} in the exact domain for "
                     f"{preds} (trial {trial}, domains {domains})"
                 )
+
+
+def test_ddl_names_backticked_with_spaces():
+    """Backtick-quoted field names containing spaces must not truncate
+    at the first space (a plain .split()[0] turned '`my col` int' into
+    'my' and raised a spurious decode schema mismatch)."""
+    from orc_format_spark.operators.encode import _ddl_names
+
+    assert _ddl_names("`my col` int, x long") == ["my col", "x"]
+    assert _ddl_names(
+        "a struct<b: int, c: decimal(10,2)>, `w s` string"
+    ) == ["a", "w s"]
 
 
 def test_decode_type_mismatch_is_loud(spark):
