@@ -31,20 +31,32 @@ from .encode import encode_groups
 from .partitioning import plan_num_groups, with_group_id
 
 
-def _read_state(spark: SparkSession, state_path: str) -> tuple[set[int], set[str]]:
-    """(done waves, engine versions that wrote them). Pre-stamp state
-    files (no `engine` column) report the legacy sentinel."""
+def _read_state(
+    spark: SparkSession, state_path: str
+) -> tuple[set[int], set[str], set[str]]:
+    """(done waves, engine versions that wrote them, job-param
+    fingerprints that wrote them). Pre-stamp state files report the
+    legacy sentinel for engine and nothing for params (no check
+    possible — the row predates the column)."""
     try:
-        sdf = spark.read.parquet(state_path)
+        # mergeSchema: a state dir may mix column eras (wave / +engine /
+        # +params) across resumes; the union schema nulls absent columns
+        sdf = spark.read.option("mergeSchema", "true").parquet(state_path)
     except Exception:
-        return set(), set()
+        return set(), set(), set()
     rows = sdf.collect()
     waves = {r.wave for r in rows}
     if "engine" in sdf.columns:
-        engines = {r.engine for r in rows}
+        engines = {r.engine for r in rows if r.engine is not None}
+        engines |= {_LEGACY_ENGINE} if any(r.engine is None for r in rows) else set()
     else:
         engines = {_LEGACY_ENGINE} if rows else set()
-    return waves, engines
+    params = (
+        {r.params for r in rows if r.params is not None}
+        if "params" in sdf.columns
+        else set()
+    )
+    return waves, engines, params
 
 
 def _strip_file(path: str) -> str:
@@ -137,12 +149,34 @@ def run_encode_job(
 
         num_groups = plan_num_groups(total, tokens_per_group or DEFAULT_TOKENS_PER_GROUP)
     waves = min(waves, num_groups)
+    # the resume-safety fingerprint: every input that shapes group->wave
+    # membership or blob bytes. A resume that changes any of these would
+    # SKIP already-done waves computed under the old membership — wrong
+    # data, not just wrong layout — so it must refuse, like the engine-
+    # version guard below. Effective (resolved) values go in, so an
+    # explicit num_groups= resume matches a data-derived first run.
+    import json as _json
+
+    fingerprint = _json.dumps(
+        {
+            "num_groups": num_groups,
+            "waves": waves,
+            "codec": codec,
+            "compression": compression,
+            "key_col": key_col,
+            "size_col": size_col if size_col in (df.columns or []) else None,
+            "blob_sink": bool(blob_sink),
+            "cluster_by": list(cluster_by) if cluster_by else None,
+            "stats": bool(stats),
+        },
+        sort_keys=True,
+    )
     grouped = with_group_id(
         df, num_groups, key_col=key_col, size_col=size_col
     ).persist()
     blobs_path = f"{out_dir}/blobs"
     state_path = f"{out_dir}/_state"
-    done, engines = _read_state(spark, state_path)
+    done, engines, prior_params = _read_state(spark, state_path)
     stale = engines - {ENCODER_VERSION}
     if stale:
         raise RuntimeError(
@@ -151,6 +185,15 @@ def run_encode_job(
             "byte-identity across versions is not guaranteed. Finish the job "
             "on the original version, or delete the output directory to "
             "re-encode from wave 0."
+        )
+    mismatched = prior_params - {fingerprint}
+    if mismatched:
+        raise RuntimeError(
+            f"run_encode_job: {out_dir} has waves written with different job "
+            f"parameters {sorted(mismatched)} than this run's {fingerprint}; "
+            "resuming would skip waves whose group membership no longer "
+            "matches. Re-run with the original parameters, or delete the "
+            "output directory to re-encode from wave 0."
         )
     try:
         for w in range(waves):
@@ -182,7 +225,8 @@ def run_encode_job(
             # the commit-key dedupe keeps the snapshot log exactly-once.
             _commit_wave_metrics(f"{out_dir}/metrics", blobs_path, w)
             spark.createDataFrame(
-                [(w, ENCODER_VERSION)], "wave long, engine string"
+                [(w, ENCODER_VERSION, fingerprint)],
+                "wave long, engine string, params string",
             ).write.mode("append").parquet(state_path)
     finally:
         grouped.unpersist()

@@ -1419,6 +1419,9 @@ def expire_snapshots(
     snaps = md["snapshots"]
     if not snaps:
         return {"expired": 0, "manifests_deleted": 0, "data_files_deleted": 0}
+    if keep_last is not None and keep_last < 1:
+        # snaps[-0:] is the WHOLE list, so 0 would silently keep everything
+        raise ValueError("iceberg_meta: keep_last must be >= 1")
     current = md.get("current-snapshot-id")
     keep: set[int] = {current}
     if keep_last is not None:

@@ -180,6 +180,22 @@ def test_run_encode_job_cross_version_resume_raises(spark, docs, tmp_path, monke
         run_encode_job(spark, toks, out, num_groups=4, waves=2)
 
 
+def test_run_encode_job_changed_params_resume_raises(spark, docs, tmp_path):
+    """A resume that changes group->wave membership (different waves= or
+    num_groups=) would skip done waves computed under the OLD membership
+    — wrong data, so it must refuse up front. Same-params resume (the
+    test above this guard was added for) stays a clean no-op."""
+    toks = tokenize_documents(docs)
+    out = str(tmp_path / "jobp")
+    run_encode_job(spark, toks, out, num_groups=4, waves=2, tokens_per_group=50_000)
+    with pytest.raises(RuntimeError, match="different job parameters"):
+        run_encode_job(spark, toks, out, num_groups=4, waves=4)
+    with pytest.raises(RuntimeError, match="different job parameters"):
+        run_encode_job(spark, toks, out, num_groups=6, waves=2)
+    with pytest.raises(RuntimeError, match="different job parameters"):
+        run_encode_job(spark, toks, out, num_groups=4, waves=2, codec="rle_v1")
+
+
 def test_heavy_threshold_widens_sample_instead_of_full_scan(spark):
     """Degenerate 1/128 hash sample: the estimator widens geometrically
     (RuntimeWarning per halving) instead of silently jumping to a
