@@ -252,7 +252,10 @@ def q_compression_variants(spark, sf_dir):
     encode->decode: zstd (C4, default), snappy (C3, 262144-byte blocks +
     store-original fallback — reference snappy.rs:14,
     compression.rs:146-163), zlib (proto ZLIB kind, orc_proto.proto:17),
-    lz4 (proto LZ4 kind, orc_proto.proto:20), and none (C2 identity
+    lz4 (proto LZ4 kind, orc_proto.proto:20), lzo (proto LZO kind —
+    proto-only in the reference and in Apache's writers; our own
+    pure-Python LZO1X codec, codecs/lzo.py, externally validated against
+    Apache ORC C++ in tests/test_lzo.py), and none (C2 identity
     framing). Same table, same groups, one ``compression`` tag per
     variant — folds the four per-kind roundtrip queries of rounds 1-3
     (each r03-green) into one registry entry so the driver's correctness
@@ -261,7 +264,7 @@ def q_compression_variants(spark, sf_dir):
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
     out = None
-    for comp in ("zstd", "snappy", "zlib", "lz4", "none"):
+    for comp in ("zstd", "snappy", "zlib", "lz4", "lzo", "none"):
         part = _roundtrip(s, "s_suppkey", compression=comp).withColumn(
             "compression", F.lit(comp)
         )
@@ -2094,7 +2097,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "dedup_ladder": q_dedup_ladder,
         "curation_pipeline": q_curation_pipeline,
-        "curation_pipeline_v2": q_curation_pipeline_v2,
+        # compression_variants gained the lzo kind this round (new
+        # codecs/lzo.py) -> inside the window; curation_pipeline_v2
+        # moved below (its changed dedup-sentinel path is covered by the
+        # in-window curation_pipeline + exact_dedup/dedup_ladder rows)
+        "compression_variants": q_compression_variants,
         "compact_roundtrip": q_compact_roundtrip,
         "schema_evolution": q_schema_evolution,
         "sink_encode_roundtrip": q_sink_encode_roundtrip,
@@ -2108,7 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_prune_scan": q_file_prune_scan,
         "zorder_prune_scan": q_zorder_prune_scan,
         "codec_lineage": q_codec_lineage,
-        "compression_variants": q_compression_variants,
+        "curation_pipeline_v2": q_curation_pipeline_v2,
         "struct_map_roundtrip": q_struct_map_roundtrip,
         "text_profile": q_text_profile,
         "repetition_profile": q_repetition_profile,
@@ -2331,7 +2338,7 @@ def oracle_sql() -> dict[str, str]:
         "compression_variants": (
             "SELECT s_suppkey, s_nationkey, s_acctbal, compression "
             "FROM supplier CROSS JOIN (SELECT unnest("
-            "['zstd', 'snappy', 'zlib', 'lz4', 'none']) AS compression)"
+            "['zstd', 'snappy', 'zlib', 'lz4', 'lzo', 'none']) AS compression)"
         ),
         "cshuffle_encode_roundtrip": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"

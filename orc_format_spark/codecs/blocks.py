@@ -45,6 +45,23 @@ class _ZlibCodec:
         return zlib.decompress(bytes(payload))
 
 
+class _LzoCodec:
+    """Pure-Python LZO1X block codec (the proto's LZO kind,
+    orc_proto.proto:217-224 — proto-only in the reference AND in every
+    Apache writer; implemented from the public bitstream spec in
+    codecs/lzo.py, externally validated through Apache ORC C++)."""
+
+    def compress(self, block, asbytes=True):
+        from .lzo import lzo1x_compress
+
+        return lzo1x_compress(bytes(block))
+
+    def decompress(self, payload, decompressed_size=None, asbytes=True):
+        from .lzo import lzo1x_decompress
+
+        return lzo1x_decompress(bytes(payload), max_out=decompressed_size)
+
+
 def _codec(kind: str, level: int):
     key = (kind, level)
     c = _CODECS.get(key)
@@ -57,6 +74,8 @@ def _codec(kind: str, level: int):
             c = pa.Codec("lz4_raw")
         elif kind == "zlib":
             c = _ZlibCodec()
+        elif kind == "lzo":
+            c = _LzoCodec()
         else:
             raise ValueError(f"unknown compression kind: {kind}")
         _CODECS[key] = c

@@ -65,7 +65,7 @@ _KIND = {
     "timestamp": 9, "list": 10, "map": 11, "struct": 12, "union": 13,
     "decimal": 14, "date32[day]": 15,
 }
-_COMPRESSION = {"none": 0, "zlib": 1, "snappy": 2, "lz4": 4, "zstd": 5}
+_COMPRESSION = {"none": 0, "zlib": 1, "snappy": 2, "lzo": 3, "lz4": 4, "zstd": 5}
 # Stream.Kind (orc_proto.proto)
 _PRESENT, _DATA, _LENGTH, _DICT_DATA, _SECONDARY = 0, 1, 2, 3, 5
 _ROW_INDEX = 6
@@ -128,6 +128,11 @@ def _orc_compress(
 
         def comp(b):
             return codec.compress(b, asbytes=True)
+
+    elif kind == "lzo":
+        # our own pure-Python LZO1X compressor (codecs/lzo.py) — no
+        # writer anywhere else emits LZO ORC; Apache ORC C++ decodes it
+        from ..codecs.lzo import lzo1x_compress as comp
 
     else:
         raise ValueError(f"orc_file: unsupported compression {kind!r}")

@@ -270,8 +270,6 @@ def _decompress(buf, kind: str, block_size: int) -> bytes:
     """
     if kind == "none":
         return bytes(buf)
-    if kind == "lzo":
-        raise NotImplementedError("orc_read: LZO is proto-only (no codec)")
     mv = memoryview(buf)
     out = []
     pos = 0
@@ -304,6 +302,11 @@ def _decompress(buf, kind: str, block_size: int) -> bytes:
             # raw LZ4 carries no size header; _lz4_block discovers the
             # true size while decoding and enforces <= block_size
             out.append(_lz4_block(payload, block_size))
+        elif kind == "lzo":
+            # raw LZO1X (own codec): the EOS marker bounds the chunk
+            from ..codecs.lzo import lzo1x_decompress
+
+            out.append(lzo1x_decompress(bytes(payload), max_out=block_size))
         else:
             raise NotImplementedError(f"orc_read: compression {kind!r}")
     return b"".join(out)
