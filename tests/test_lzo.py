@@ -205,6 +205,24 @@ def test_apache_reads_our_lzo_orc(tmp_path):
         ).combine_chunks(), col
 
 
+def test_spark_native_reads_our_lzo_orc(spark, tmp_path):
+    """Third independent decoder: Spark's Java ORC reader (aircompressor
+    LZO port) — zero code shared with either our writer or Apache C++."""
+    from orc_format_spark.sources.orc_file import write_orc
+
+    n = 10_000
+    tbl = pa.table({
+        "k": pa.array(list(range(n)), pa.int64()),
+        "s": pa.array([f"row_{i % 131}" for i in range(n)], pa.string()),
+    })
+    path = str(tmp_path / "spark_lzo.orc")
+    write_orc(tbl, path, compression="lzo")
+    df = spark.read.orc(path)
+    assert df.count() == n
+    got = {r.k: r.s for r in df.collect()}
+    assert got == {i: f"row_{i % 131}" for i in range(n)}
+
+
 def test_own_reader_reads_lzo_orc(tmp_path):
     from orc_format_spark.sources.orc_file import write_orc
     from orc_format_spark.sources.orc_read import read_orc

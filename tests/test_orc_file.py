@@ -55,7 +55,7 @@ def test_all_types_all_compressions():
             ),
         }
     )
-    for comp in ["none", "zlib", "snappy", "zstd"]:
+    for comp in ["none", "zlib", "snappy", "lzo", "zstd"]:
         for rle in ["v1", "v2"]:
             rd = _roundtrip(t, compression=comp, rle=rle)
             assert rd.cast(t.schema).equals(t), (comp, rle)
@@ -103,7 +103,7 @@ def test_unsupported_types_raise_loudly():
             tempfile.mktemp(),
         )
     with pytest.raises(ValueError, match="compression"):
-        write_orc(pa.table({"a": [1]}), tempfile.mktemp(), compression="lzo")
+        write_orc(pa.table({"a": [1]}), tempfile.mktemp(), compression="brotli")
 
 
 def test_map_roundtrip():
