@@ -69,6 +69,36 @@ _COMPRESSION = {"none": 0, "zlib": 1, "snappy": 2, "lzo": 3, "lz4": 4, "zstd": 5
 # Stream.Kind (orc_proto.proto)
 _PRESENT, _DATA, _LENGTH, _DICT_DATA, _SECONDARY = 0, 1, 2, 3, 5
 _ROW_INDEX = 6
+_BLOOM_FILTER_UTF8 = 8
+
+
+def _bloom_index_msg(col: "pa.ChunkedArray", fpp: float) -> bytes:
+    """One row group's BloomFilterIndex proto message for a column
+    slice: numHashFunctions + the little-endian utf8bitset, hashed
+    exactly as Apache's readers expect (codecs/orc_bloom.py). Sized to
+    the DISTINCT count — bitsets are set-semantics, so sizing to
+    distinct values keeps repeated-value columns' filters small while
+    the reader (which only uses the stored k and bitset length) is
+    unaffected."""
+    import pyarrow.compute as pc
+
+    from ..codecs.orc_bloom import OrcBloomFilter
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    u = pc.unique(arr.drop_null())
+    bf = OrcBloomFilter(max(1, len(u)), fpp)
+    t = arr.type
+    if pa.types.is_integer(t):
+        bf.add_longs(u.to_numpy(zero_copy_only=False).astype("int64"))
+    elif pa.types.is_date32(t):
+        bf.add_longs(u.cast(pa.int32()).to_numpy(zero_copy_only=False))
+    else:  # string / large_string / binary (validated by write_orc)
+        vals = u.to_pylist()
+        bf.add_bytes_values(
+            [v.encode() if isinstance(v, str) else v for v in vals]
+        )
+    entry = _pv(1, bf.num_hashes) + _pb(3, bf.utf8bitset())
+    return _pb(1, entry)
 # ColumnEncoding.Kind: v1 = RLEv1 streams, v2 = RLEv2 streams
 _DIRECT, _DICTIONARY, _DIRECT_V2, _DICTIONARY_V2 = 0, 1, 2, 3
 # Apache ORC's default dictionary threshold: encode via dictionary when
@@ -695,6 +725,8 @@ def write_orc(
     dict_threshold: float = DICT_THRESHOLD,
     rle: str = "v1",
     row_index: bool = True,
+    bloom_columns: list[str] | None = None,
+    bloom_fpp: float = 0.05,
 ) -> int:
     """Write ``table`` as a genuine ORC file; returns bytes written.
 
@@ -717,7 +749,17 @@ def write_orc(
     when UTF-8 byte order could diverge from Java's UTF-16 comparison,
     double stats omitted under NaN, int sums omitted on potential
     overflow) plus one-row-group-per-stripe ROW_INDEX streams, enabling
-    Apache ORC Java stripe elimination under predicate pushdown."""
+    Apache ORC Java stripe elimination under predicate pushdown.
+
+    ``bloom_columns`` adds a BLOOM_FILTER_UTF8 index stream (the
+    proto's bloom filters, orc_proto.proto:98-106 — listed but never
+    written by the reference) for those top-level int/date/string/binary
+    columns: one spec-exact bloom filter per row group (codecs/
+    orc_bloom.py, hash pipeline bit-identical to Java's
+    BloomFilterUtf8 — verified word-for-word via py4j in
+    tests/test_orc_bloom.py), which Apache ORC Java CONSUMES for
+    row-group elimination on pushed ``=``/``IN`` predicates where
+    min/max stats cannot prune."""
     if compression not in _COMPRESSION:
         raise ValueError(
             f"orc_file: compression {compression!r} not in "
@@ -726,6 +768,33 @@ def write_orc(
     if rle not in ("v1", "v2"):
         raise ValueError(f"orc_file: rle {rle!r} not in ('v1', 'v2')")
     nodes, extras = _plan_types(table.schema)
+    bloom_ids: dict[int, str] = {}
+    if bloom_columns:
+        if not row_index:
+            raise ValueError(
+                "orc_file: bloom_columns requires row_index=True (readers "
+                "only consult row-group indexes when rowIndexStride > 0)"
+            )
+        top = dict(zip(nodes[0][2], nodes[0][1]))  # root field name -> cid
+        for name in bloom_columns:
+            if name not in top:
+                raise ValueError(
+                    f"orc_file: bloom column {name!r} is not a top-level "
+                    f"column of {list(top)}"
+                )
+            t = table.schema.field(name).type
+            if not (
+                pa.types.is_integer(t)
+                or pa.types.is_date32(t)
+                or pa.types.is_string(t)
+                or pa.types.is_large_string(t)
+                or pa.types.is_binary(t)
+            ):
+                raise ValueError(
+                    f"orc_file: bloom filters support int/date32/string/"
+                    f"binary columns, not {t} ({name!r})"
+                )
+            bloom_ids[top[name]] = name
     close = False
     if isinstance(out, str):
         f: BinaryIO = open(out, "wb")
@@ -783,6 +852,20 @@ def write_orc(
                     payloads.append(comp)
                     sf += _pb(
                         1, _pv(1, _ROW_INDEX) + _pv(2, cid)
+                        + _pv(3, len(comp))
+                    )
+                    index_len += len(comp)
+                for cid in sorted(bloom_ids):
+                    # BLOOM_FILTER_UTF8 (kind 8): one BloomFilterIndex
+                    # message per column per stripe, one BloomFilter
+                    # entry per row group (== one per stripe here)
+                    raw = _bloom_index_msg(
+                        batch_tbl.column(bloom_ids[cid]), bloom_fpp
+                    )
+                    comp = _orc_compress(raw, compression, block_size, level)
+                    payloads.append(comp)
+                    sf += _pb(
+                        1, _pv(1, _BLOOM_FILTER_UTF8) + _pv(2, cid)
                         + _pv(3, len(comp))
                     )
                     index_len += len(comp)
@@ -881,6 +964,7 @@ def write_orc_groups(
     stripe_rows: int = 65_536,
     rle: str = "v1",
     writer: str = "native",
+    bloom_columns: list[str] | None = None,
 ):
     """Distributed real-ORC sink: salt rows into groups (the same
     :func:`operators.partitioning.with_group_id` salting as
@@ -935,6 +1019,7 @@ def write_orc_groups(
             n_bytes = write_orc(
                 data, tmp, compression=compression,
                 stripe_rows=stripe_rows, rle=rle,
+                bloom_columns=bloom_columns,
             )
         os.replace(tmp, dest)
         return pa.table(

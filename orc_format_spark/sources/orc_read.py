@@ -746,8 +746,11 @@ def read_orc(source, columns: list[str] | None = None,
     top-level fields (unselected column streams are never decompressed).
     ``predicate=(col, op, literal)`` with op in <,<=,==,>=,> skips whole
     stripes whose Metadata ColumnStatistics prove no row can match —
-    the read side of the writer's stripe-elimination stats; rows are
-    NOT row-filtered (same contract as ORC readers' SearchArguments).
+    the read side of the writer's stripe-elimination stats; ``==``
+    additionally probes each surviving stripe's BLOOM_FILTER_UTF8
+    stream when one exists (ours or Apache-written), dropping stripes
+    whose filters prove the literal absent. Rows are NOT row-filtered
+    (same contract as ORC readers' SearchArguments).
     """
     data = _load(source)
     ps, comp, bs, footer, meta_raw = _file_tail(data)
@@ -785,6 +788,12 @@ def read_orc(source, columns: list[str] | None = None,
         # only ever re-slices, so a memoryview suffices
         st = _Stripe(memoryview(data)[start:end], sf, comp, bs,
                      info["n_rows"])
+        if predicate is not None and predicate[1] == "==":
+            pcid = root.subtypes[root.names.index(predicate[0])]
+            if not _bloom_may_match(
+                st, pcid, types[pcid].kind, predicate[2]
+            ):
+                continue
         arrays = [
             _read_column(st, types, root.subtypes[i], info["n_rows"])
             for i in sel
@@ -843,6 +852,67 @@ def _arrow_type(types: list[_OrcType], cid: int) -> pa.DataType:
 
 
 # ---------------------------------------------------------- stripe prune
+
+
+_K_BLOOM_OK = (
+    _K_BYTE, _K_SHORT, _K_INT, _K_LONG, _K_DATE,
+    _K_STRING, _K_VARCHAR, _K_CHAR, _K_BINARY,
+)
+
+
+def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lit) -> bool:
+    """Probe the stripe's BLOOM_FILTER_UTF8 stream for an ``==``
+    literal; True when the stripe may hold it (or carries no usable
+    filter — unknown never prunes). Works against both our own writer's
+    filters and Apache-written ones (pyarrow bloom_filter_columns), and
+    accepts either the utf8bitset or the legacy repeated-fixed64 form.
+    A stripe may span several row groups: any matching entry keeps it.
+    """
+    from ..codecs.orc_bloom import OrcBloomFilter
+
+    if kind not in _K_BLOOM_OK:
+        return True
+    raw = st.stream(cid, 8)  # Stream.Kind BLOOM_FILTER_UTF8
+    if raw is None:
+        return True
+    if kind in (_K_STRING, _K_VARCHAR, _K_CHAR):
+        probe = ("bytes", str(lit).encode())
+    elif kind == _K_BINARY:
+        if not isinstance(lit, (bytes, bytearray)):
+            return True
+        probe = ("bytes", bytes(lit))
+    else:
+        try:
+            probe = ("long", int(lit))
+        except (TypeError, ValueError):
+            return True
+    any_entry = False
+    for fno, _wt, v in _proto_fields(raw):
+        if fno != 1:  # BloomFilterIndex.bloomFilter
+            continue
+        k = None
+        utf8 = b""
+        legacy = b""
+        for f2, w2, v2 in _proto_fields(v):
+            if f2 == 1:
+                k = v2
+            elif f2 == 3 and w2 == 2:  # utf8bitset
+                utf8 = bytes(v2)
+            elif f2 == 2:  # legacy repeated fixed64 bitset (packed or not)
+                legacy += bytes(v2)
+        bitset = utf8 or legacy
+        if not k or not bitset or len(bitset) % 8:
+            return True  # malformed/absent entry: never prune on it
+        any_entry = True
+        bf = OrcBloomFilter.from_utf8bitset(k, bitset)
+        hit = (
+            bf.test_long(probe[1])
+            if probe[0] == "long"
+            else bf.test_bytes(probe[1])
+        )
+        if hit:
+            return True
+    return not any_entry  # all entries reject -> provably absent
 
 
 def _prune_stripes(meta_raw, root: _OrcType, predicate,
