@@ -1623,6 +1623,56 @@ def q_orc_native_read(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_orc_bloom_prune(spark, sf_dir):
+    """BLOOM_FILTER_UTF8 on the real ORC wire, consumed by the SECOND
+    independent implementation: write lineitem as genuine ORC files with
+    bloom filters on l_orderkey (codecs/orc_bloom.py — hash pipeline
+    bit-identical to org.apache.orc.util.BloomFilterUtf8, proven
+    word-for-word via py4j in tests/test_orc_bloom.py), then point-look
+    up a mid-domain key through Spark's BUILT-IN ORC source. The salted
+    group layout gives every stripe near-full min/max spans, so
+    ORC-Java's row-group elimination here rides on OUR bloom bitsets —
+    a wrong hash pipeline would prune the needle's row group and LOSE
+    the matching rows, which the oracle catches at the value level.
+    The proto lists these filters (orc_proto.proto:98-106) but the
+    reference never writes them."""
+    import shutil
+    import tempfile
+
+    from orc_format_spark.sources.orc_file import write_orc_groups
+
+    work = tempfile.mkdtemp(prefix="ofs_orcbloom_")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+        )
+        files = write_orc_groups(
+            li, f"{work}/orc", num_groups=4, key_col="l_orderkey",
+            compression="zstd", stripe_rows=2048,
+            bloom_columns=["l_orderkey"],
+        )
+        files.count()  # materialize the sink before reading
+        hi = li.agg(F.max("l_orderkey")).first()[0]
+        # largest key <= half of max: a mid-domain needle stripe
+        # min/max statistics cannot reliably eliminate
+        needle = (
+            li.filter(F.col("l_orderkey") * 2 <= F.lit(hi))
+            .agg(F.max("l_orderkey"))
+            .first()[0]
+        )
+        spark.conf.set("spark.sql.orc.filterPushdown", "true")
+        out = (
+            spark.read.orc(f"{work}/orc")
+            .filter(F.col("l_orderkey") == F.lit(needle))
+            .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+            .cache()
+        )
+        out.count()  # materialize before the scratch dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_manifest_scan(spark, sf_dir):
     """Iceberg source driven for real (no jar): commit the lineitem
     parquet as a data file of a freshly written Iceberg v2 table (pure-
@@ -2089,6 +2139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_stats_prune_scan": q_orc_stats_prune_scan,
         "orc_union_roundtrip": q_orc_union_roundtrip,
         "orc_native_read": q_orc_native_read,
+        "orc_bloom_prune": q_orc_bloom_prune,
         # -- r04-green whose code changed this round, plus flagship --
         "tokens_roundtrip": q_tokens_roundtrip,
         "clustered_encode": q_clustered_encode,
@@ -2105,11 +2156,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": q_compact_roundtrip,
         "schema_evolution": q_schema_evolution,
         "sink_encode_roundtrip": q_sink_encode_roundtrip,
-        # the two queries driving the stats-prune keep-condition whose
+        # token_contains drives the stats-prune keep-condition whose
         # fractional-bounds branch was rewritten this round
+        # (predicate_decode exercises the same branch; it moved below
+        # the boundary to make room for orc_bloom_prune, and stays
+        # covered by pytest + scripts/check_oracles.py)
         "token_contains": q_token_contains,
-        "predicate_decode": q_predicate_decode,
         # ---- driver window boundary (50) — below: r04 driver-green ----
+        "predicate_decode": q_predicate_decode,
         "datasource_roundtrip": q_datasource_roundtrip,
         "bloom_filter_decode": q_bloom_filter_decode,
         "file_prune_scan": q_file_prune_scan,
@@ -2240,6 +2294,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "orc_native_read": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
+        ),
+        "orc_bloom_prune": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity "
+            "FROM lineitem WHERE l_orderkey = "
+            "(SELECT MAX(l_orderkey) FROM lineitem WHERE l_orderkey * 2 "
+            "<= (SELECT MAX(l_orderkey) FROM lineitem))"
         ),
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "clustered_encode": (

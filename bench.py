@@ -91,6 +91,7 @@ HEADLINE = [
     "orc_stats_prune_scan",
     "orc_union_roundtrip",
     "orc_native_read",
+    "orc_bloom_prune",
     "embedding_neardup",
     "semantic_dedup",
     "pii_scrub",
