@@ -71,6 +71,64 @@ def murmur3_hash64(data: bytes, seed: int = _SEED) -> int:
     return h
 
 
+def _rotl64v(x: np.ndarray, r: int) -> np.ndarray:
+    r = np.uint64(r)
+    return (x << r) | (x >> np.uint64(64 - r))
+
+
+def murmur3_hash64_buffer(
+    buf: np.ndarray, offs: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Vectorized ORC Murmur3-64 over ``len(offs)`` byte strings stored
+    contiguously in ``buf`` (uint8) at ``offs``/``lens`` — bit-identical
+    to :func:`murmur3_hash64` per value (asserted against it on random
+    inputs in tests/test_orc_bloom.py). The Python-level loop runs over
+    BLOCK INDEX (8-byte lanes), so cost scales with the longest value,
+    not the value count: the no-per-row-Python shape the rest of the
+    engine uses."""
+    n = len(offs)
+    if n == 0:
+        return np.zeros(0, np.uint64)
+    buf = np.ascontiguousarray(buf, np.uint8)
+    offs = np.asarray(offs, np.int64)
+    lens = np.asarray(lens, np.int64)
+    c1, c2 = np.uint64(_C1), np.uint64(_C2)
+    h = np.full(n, _SEED, np.uint64)
+    nblocks = lens >> 3
+    with np.errstate(over="ignore"):
+        for j in range(int(nblocks.max()) if n else 0):
+            act = np.flatnonzero(nblocks > j)
+            idx = offs[act] + 8 * j
+            k = buf[idx].astype(np.uint64)
+            for b in range(1, 8):
+                k |= buf[idx + b].astype(np.uint64) << np.uint64(8 * b)
+            k *= c1
+            k = _rotl64v(k, 31)
+            k *= c2
+            ha = h[act] ^ k
+            h[act] = _rotl64v(ha, 27) * np.uint64(5) + np.uint64(0x52DCE729)
+        tl = lens & 7
+        tact = np.flatnonzero(tl > 0)
+        if len(tact):
+            base = offs[tact] + 8 * nblocks[tact]
+            k = np.zeros(len(tact), np.uint64)
+            for b in range(7):
+                m = tl[tact] > b
+                k[m] |= buf[base[m] + b].astype(np.uint64) << np.uint64(8 * b)
+            k *= c1
+            k = _rotl64v(k, 31)
+            k *= c2
+            h[tact] ^= k
+        h ^= lens.view(np.uint64)
+        # fmix64
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return h
+
+
 def _asr(u: np.ndarray, r: int) -> np.ndarray:
     """ARITHMETIC right shift of the uint64 bit pattern — ORC's long
     hash uses Java's signed ``>>`` (verified against
@@ -147,9 +205,19 @@ class OrcBloomFilter:
             self._set(wang_hash64(vals))
 
     def add_bytes_values(self, vals) -> None:
-        hs = [murmur3_hash64(v) for v in vals]
-        if hs:
-            self._set(np.array(hs, np.uint64))
+        if not len(vals):
+            return
+        lens = np.fromiter((len(v) for v in vals), np.int64, len(vals))
+        offs = np.zeros(len(vals), np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        buf = np.frombuffer(b"".join(vals), np.uint8)
+        self._set(murmur3_hash64_buffer(buf, offs, lens))
+
+    def add_bytes_buffer(self, buf, offs, lens) -> None:
+        """Add values straight from an Arrow binary array's data/offset
+        buffers — zero per-value Python objects."""
+        if len(offs):
+            self._set(murmur3_hash64_buffer(buf, offs, lens))
 
     def test_long(self, v: int) -> bool:
         return self._test_one(int(wang_hash64(np.array([v]))[0]))

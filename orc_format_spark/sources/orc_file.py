@@ -93,10 +93,21 @@ def _bloom_index_msg(col: "pa.ChunkedArray", fpp: float) -> bytes:
     elif pa.types.is_date32(t):
         bf.add_longs(u.cast(pa.int32()).to_numpy(zero_copy_only=False))
     else:  # string / large_string / binary (validated by write_orc)
-        vals = u.to_pylist()
-        bf.add_bytes_values(
-            [v.encode() if isinstance(v, str) else v for v in vals]
+        # hash straight off the Arrow offsets/data buffers — no
+        # per-value Python objects (UTF-8 bytes are already what the
+        # BloomFilterUtf8 contract hashes)
+        import numpy as np
+        b = u.cast(pa.large_binary())
+        off_buf, data_buf = b.buffers()[1], b.buffers()[2]
+        offs = np.frombuffer(off_buf, np.int64)[
+            b.offset : b.offset + len(b) + 1
+        ]
+        data = (
+            np.frombuffer(data_buf, np.uint8)
+            if data_buf is not None
+            else np.zeros(0, np.uint8)
         )
+        bf.add_bytes_buffer(data, offs[:-1], np.diff(offs))
     entry = _pv(1, bf.num_hashes) + _pb(3, bf.utf8bitset())
     return _pb(1, entry)
 # ColumnEncoding.Kind: v1 = RLEv1 streams, v2 = RLEv2 streams

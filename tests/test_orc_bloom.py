@@ -103,6 +103,25 @@ def test_bitset_words_match_orc_java(spark):
         assert pf2.test_bytes(s) == jf2.testBytes(bytearray(s), 0, len(s))
 
 
+def test_vectorized_murmur3_matches_scalar():
+    """murmur3_hash64_buffer (the block-index-parallel kernel the writer
+    feeds from Arrow buffers) is bit-identical to the scalar reference
+    implementation on arbitrary lengths incl. empty and >64B values."""
+    from orc_format_spark.codecs.orc_bloom import murmur3_hash64_buffer
+
+    rng = random.Random(9)
+    vals = [b"", b"a", b"12345678", b"123456789", bytes(range(200))]
+    vals += [rng.randbytes(rng.randint(0, 100)) for _ in range(300)]
+    lens = np.fromiter((len(v) for v in vals), np.int64, len(vals))
+    offs = np.zeros(len(vals), np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    buf = np.frombuffer(b"".join(vals), np.uint8)
+    got = murmur3_hash64_buffer(buf, offs, lens)
+    want = np.array([murmur3_hash64(v) for v in vals], np.uint64)
+    assert np.array_equal(got, want)
+    assert len(murmur3_hash64_buffer(buf, offs[:0], lens[:0])) == 0
+
+
 def test_sizing_formulas():
     # Java adds a full word even when already 64-aligned — match exactly
     for n, fpp in [(1, 0.05), (100, 0.05), (10_000, 0.01), (5000, 0.1)]:
