@@ -744,13 +744,14 @@ def read_orc(source, columns: list[str] | None = None,
 
     ``source``: path, bytes, or binary file-like. ``columns`` projects
     top-level fields (unselected column streams are never decompressed).
-    ``predicate=(col, op, literal)`` with op in <,<=,==,>=,> skips whole
-    stripes whose Metadata ColumnStatistics prove no row can match —
-    the read side of the writer's stripe-elimination stats; ``==``
-    additionally probes each surviving stripe's BLOOM_FILTER_UTF8
-    stream when one exists (ours or Apache-written), dropping stripes
-    whose filters prove the literal absent. Rows are NOT row-filtered
-    (same contract as ORC readers' SearchArguments).
+    ``predicate=(col, op, literal)`` with op in <,<=,==,>=,>,in (where
+    ``in`` takes an iterable literal) skips whole stripes whose
+    Metadata ColumnStatistics prove no row can match — the read side of
+    the writer's stripe-elimination stats; ``==``/``in`` additionally
+    probe each surviving stripe's BLOOM_FILTER_UTF8 stream when one
+    exists (ours or Apache-written), dropping stripes whose filters
+    prove every member absent. Rows are NOT row-filtered (same contract
+    as ORC readers' SearchArguments).
     """
     data = _load(source)
     ps, comp, bs, footer, meta_raw = _file_tail(data)
@@ -788,11 +789,14 @@ def read_orc(source, columns: list[str] | None = None,
         # only ever re-slices, so a memoryview suffices
         st = _Stripe(memoryview(data)[start:end], sf, comp, bs,
                      info["n_rows"])
-        if predicate is not None and predicate[1] == "==":
+        if predicate is not None and predicate[1] in ("==", "in"):
             pcid = root.subtypes[root.names.index(predicate[0])]
-            if not _bloom_may_match(
-                st, pcid, types[pcid].kind, predicate[2]
-            ):
+            lits = (
+                [predicate[2]]
+                if predicate[1] == "=="
+                else list(predicate[2])
+            )
+            if not _bloom_may_match(st, pcid, types[pcid].kind, lits):
                 continue
         arrays = [
             _read_column(st, types, root.subtypes[i], info["n_rows"])
@@ -860,13 +864,14 @@ _K_BLOOM_OK = (
 )
 
 
-def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lit) -> bool:
-    """Probe the stripe's BLOOM_FILTER_UTF8 stream for an ``==``
-    literal; True when the stripe may hold it (or carries no usable
-    filter — unknown never prunes). Works against both our own writer's
-    filters and Apache-written ones (pyarrow bloom_filter_columns), and
-    accepts either the utf8bitset or the legacy repeated-fixed64 form.
-    A stripe may span several row groups: any matching entry keeps it.
+def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lits) -> bool:
+    """Probe the stripe's BLOOM_FILTER_UTF8 stream for ``==``/``in``
+    literals; True when the stripe may hold ANY of them (or carries no
+    usable filter — unknown never prunes). Works against both our own
+    writer's filters and Apache-written ones (pyarrow
+    bloom_filter_columns), and accepts either the utf8bitset or the
+    legacy repeated-fixed64 form. A stripe may span several row groups:
+    any (row group, member) hit keeps it.
     """
     from ..codecs.orc_bloom import OrcBloomFilter
 
@@ -875,17 +880,19 @@ def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lit) -> bool:
     raw = st.stream(cid, 8)  # Stream.Kind BLOOM_FILTER_UTF8
     if raw is None:
         return True
-    if kind in (_K_STRING, _K_VARCHAR, _K_CHAR):
-        probe = ("bytes", str(lit).encode())
-    elif kind == _K_BINARY:
-        if not isinstance(lit, (bytes, bytearray)):
-            return True
-        probe = ("bytes", bytes(lit))
-    else:
-        try:
-            probe = ("long", int(lit))
-        except (TypeError, ValueError):
-            return True
+    probes = []
+    for lit in lits:
+        if kind in (_K_STRING, _K_VARCHAR, _K_CHAR):
+            probes.append(("bytes", str(lit).encode()))
+        elif kind == _K_BINARY:
+            if not isinstance(lit, (bytes, bytearray)):
+                return True
+            probes.append(("bytes", bytes(lit)))
+        else:
+            try:
+                probes.append(("long", int(lit)))
+            except (TypeError, ValueError):
+                return True
     any_entry = False
     for fno, _wt, v in _proto_fields(raw):
         if fno != 1:  # BloomFilterIndex.bloomFilter
@@ -905,14 +912,15 @@ def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lit) -> bool:
             return True  # malformed/absent entry: never prune on it
         any_entry = True
         bf = OrcBloomFilter.from_utf8bitset(k, bitset)
-        hit = (
-            bf.test_long(probe[1])
-            if probe[0] == "long"
-            else bf.test_bytes(probe[1])
-        )
-        if hit:
-            return True
-    return not any_entry  # all entries reject -> provably absent
+        for ptype, pval in probes:
+            hit = (
+                bf.test_long(pval)
+                if ptype == "long"
+                else bf.test_bytes(pval)
+            )
+            if hit:
+                return True
+    return not any_entry  # all (entry, member) pairs reject -> absent
 
 
 def _prune_stripes(meta_raw, root: _OrcType, predicate,
@@ -921,8 +929,12 @@ def _prune_stripes(meta_raw, root: _OrcType, predicate,
     section (same exact-or-wider contract the writer emits); a stripe
     without usable min/max stays selected."""
     col_name, op, lit = predicate
-    if op not in ("<", "<=", "==", ">=", ">"):
+    if op not in ("<", "<=", "==", ">=", ">", "in"):
         raise ValueError(f"orc_read: predicate op {op!r}")
+    if op == "in":
+        members = list(lit)
+        if not members:
+            return [False] * n_stripes  # IN () matches nothing
     if col_name not in root.names:
         raise KeyError(f"orc_read: predicate column {col_name!r}")
     cid = root.subtypes[root.names.index(col_name)]
@@ -941,7 +953,9 @@ def _prune_stripes(meta_raw, root: _OrcType, predicate,
             keep.append(True)
             continue
         lo, hi = stt["min"], stt["max"]
-        if op == "==":
+        if op == "in":
+            keep.append(any(lo <= m <= hi for m in members))
+        elif op == "==":
             keep.append(lo <= lit <= hi)
         elif op == "<":
             keep.append(lo < lit)

@@ -247,6 +247,27 @@ def test_own_reader_prunes_own_bloom(tmp_path):
     assert read_orc(path).num_rows == tbl.num_rows
 
 
+def test_own_reader_in_predicate_bloom(tmp_path):
+    """``in`` predicates stripe-prune through stats AND bloom: keep a
+    stripe iff some member may be present; IN () matches nothing."""
+    from orc_format_spark.sources.orc_read import read_orc
+
+    path = str(tmp_path / "own_in.orc")
+    _bloom_file(path)  # needles: "needle_string" / 123456789012 in stripe 2
+    got = read_orc(path, predicate=("s", "in", ["needle_string", "nope_1"]))
+    assert "needle_string" in got.column("s").to_pylist()
+    assert got.num_rows <= 10_000  # stats span everywhere: bloom did this
+    got = read_orc(path, predicate=("k", "in", (123_456_789_012, 3)))
+    assert 123_456_789_012 in got.column("k").to_pylist()
+    assert got.num_rows <= 10_000
+    got = read_orc(path, predicate=("s", "in", ["absent_a", "absent_b"]))
+    assert got.num_rows <= 5_000  # all clean stripes pruned (fpp slack: 1)
+    assert read_orc(path, predicate=("s", "in", [])).num_rows == 0
+    # stats-only leg: int members all above every stripe max
+    got = read_orc(path, predicate=("k", "in", [2**50, 2**51]))
+    assert got.num_rows == 0
+
+
 def test_pyarrow_still_reads_files_with_bloom_streams(tmp_path):
     import pyarrow.orc as po
 
