@@ -972,12 +972,18 @@ def _prune_stripes(meta_raw, root: _OrcType, predicate,
 
 
 def read_orc_files_native(files, schema: str,
-                          columns: list[str] | None = None):
+                          columns: list[str] | None = None,
+                          predicate=None):
     """Decode ORC rows (``orc_path`` column) with THE REPO'S OWN reader
     inside each task — the native-decoder counterpart of
     orc_file.read_orc_files (which routes through pyarrow.orc): same
     mapInArrow shape, payload never crosses the Python->JVM socket
-    until after decode."""
+    until after decode. ``predicate`` is :func:`read_orc`'s triple,
+    applied inside each task: stripes are stats/bloom-eliminated before
+    their streams are ever decompressed, so a selective point lookup
+    over a many-file table decodes only the stripes that may match
+    (callers still apply the exact row filter on the returned frame —
+    stripe elimination is a superset, the SearchArgument contract)."""
     from collections.abc import Iterator
 
     from ..worker_env import limit_worker_threads
@@ -988,7 +994,7 @@ def read_orc_files_native(files, schema: str,
             col = batch.column(batch.schema.get_field_index("orc_path"))
             for v in col:
                 yield from read_orc(
-                    v.as_py(), columns=columns
+                    v.as_py(), columns=columns, predicate=predicate
                 ).to_batches()
 
     # project first: only the path crosses the JVM->Python socket

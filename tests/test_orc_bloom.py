@@ -268,6 +268,39 @@ def test_own_reader_in_predicate_bloom(tmp_path):
     assert got.num_rows == 0
 
 
+def test_distributed_native_read_predicate(spark, tmp_path):
+    """read_orc_files_native(predicate=...) eliminates stripes inside
+    each task: the distributed scan of a bloom-indexed multi-file table
+    returns a superset containing exactly the needle, far smaller than
+    the table (stats alone cannot prune the salted layout)."""
+    from orc_format_spark.sources.orc_file import write_orc_groups
+    from orc_format_spark.sources.orc_read import read_orc_files_native
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    n = li.count()
+    needle = li.selectExpr("max(l_orderkey) h").first().h // 2
+    needle = (
+        li.filter(f"l_orderkey <= {needle}")
+        .selectExpr("max(l_orderkey) h").first().h
+    )
+    files = write_orc_groups(
+        li, str(tmp_path / "orc"), num_groups=4, key_col="l_orderkey",
+        compression="zstd", stripe_rows=512, bloom_columns=["l_orderkey"],
+    )
+    got = read_orc_files_native(
+        files, "l_orderkey bigint, l_partkey bigint",
+        predicate=("l_orderkey", "==", needle),
+    )
+    rows = got.collect()
+    want = li.filter(f"l_orderkey = {needle}").collect()
+    assert sorted((r.l_orderkey, r.l_partkey) for r in rows if
+                  r.l_orderkey == needle) == sorted(
+        (r.l_orderkey, r.l_partkey) for r in want)
+    assert 0 < len(rows) < n // 4  # stripes actually eliminated
+
+
 def test_pyarrow_still_reads_files_with_bloom_streams(tmp_path):
     import pyarrow.orc as po
 
