@@ -1660,14 +1660,20 @@ def q_orc_bloom_prune(spark, sf_dir):
             .agg(F.max("l_orderkey"))
             .first()[0]
         )
+        prior = spark.conf.get("spark.sql.orc.filterPushdown", "true")
         spark.conf.set("spark.sql.orc.filterPushdown", "true")
-        out = (
-            spark.read.orc(f"{work}/orc")
-            .filter(F.col("l_orderkey") == F.lit(needle))
-            .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-            .cache()
-        )
-        out.count()  # materialize before the scratch dir disappears
+        try:
+            out = (
+                spark.read.orc(f"{work}/orc")
+                .filter(F.col("l_orderkey") == F.lit(needle))
+                .select(
+                    "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+                )
+                .cache()
+            )
+            out.count()  # materialize before the scratch dir disappears
+        finally:
+            spark.conf.set("spark.sql.orc.filterPushdown", prior)
         return out
     finally:
         shutil.rmtree(work, ignore_errors=True)

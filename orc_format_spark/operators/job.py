@@ -171,9 +171,8 @@ def run_encode_job(
         },
         sort_keys=True,
     )
-    grouped = with_group_id(
-        df, num_groups, key_col=key_col, size_col=size_col
-    ).persist()
+    # read state + run both refusal guards BEFORE any grouping/persist:
+    # a refused resume must not leak a cached DataFrame or do work
     blobs_path = f"{out_dir}/blobs"
     state_path = f"{out_dir}/_state"
     done, engines, prior_params = _read_state(spark, state_path)
@@ -195,6 +194,9 @@ def run_encode_job(
             "matches. Re-run with the original parameters, or delete the "
             "output directory to re-encode from wave 0."
         )
+    grouped = with_group_id(
+        df, num_groups, key_col=key_col, size_col=size_col
+    ).persist()
     try:
         for w in range(waves):
             if w in done:

@@ -772,6 +772,11 @@ def read_orc(source, columns: list[str] | None = None,
 
     keep = None
     if predicate is not None:
+        if predicate[1] == "in":
+            # materialize ONCE: a one-shot iterable consumed here would
+            # leave the per-stripe bloom probe below with zero members,
+            # silently pruning every bloom-carrying stripe
+            predicate = (predicate[0], "in", list(predicate[2]))
         keep = _prune_stripes(meta_raw, root, predicate,
                               len(footer["stripes"]))
 
@@ -908,7 +913,10 @@ def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lits) -> bool:
             elif f2 == 2:  # legacy repeated fixed64 bitset (packed or not)
                 legacy += bytes(v2)
         bitset = utf8 or legacy
-        if not k or not bitset or len(bitset) % 8:
+        # k is UNTRUSTED file bytes: a flipped varint could size the
+        # position arrays to gigabytes. Java's sizing never exceeds
+        # double digits; treat anything implausible as malformed.
+        if not k or k > 128 or not bitset or len(bitset) % 8:
             return True  # malformed/absent entry: never prune on it
         any_entry = True
         bf = OrcBloomFilter.from_utf8bitset(k, bitset)

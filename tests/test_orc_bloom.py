@@ -301,6 +301,47 @@ def test_distributed_native_read_predicate(spark, tmp_path):
     assert 0 < len(rows) < n // 4  # stripes actually eliminated
 
 
+def test_in_predicate_one_shot_iterable(tmp_path):
+    """A generator/one-shot iterable as the IN literal must behave like
+    the list form — regression: it used to be exhausted by the stats
+    prune, leaving the bloom probe with zero members and silently
+    pruning every bloom-carrying stripe."""
+    from orc_format_spark.sources.orc_read import read_orc
+
+    path = str(tmp_path / "own_iter.orc")
+    _bloom_file(path)
+    want = read_orc(path, predicate=("k", "in", [123_456_789_012]))
+    got = read_orc(path, predicate=("k", "in", iter([123_456_789_012])))
+    assert got.num_rows == want.num_rows > 0
+    assert 123_456_789_012 in got.column("k").to_pylist()
+
+
+def test_corrupt_num_hashes_never_prunes_or_allocates(tmp_path):
+    """numHashFunctions is untrusted file bytes: an implausibly large k
+    (flipped varint) must fall into the malformed-entry keep path, not
+    size gigabyte position arrays or wrongly prune."""
+    from orc_format_spark.sources.orc_file import _pb, _pv
+    from orc_format_spark.sources.orc_read import _bloom_may_match, _K_LONG
+
+    bf = OrcBloomFilter(10, 0.05)
+    bf.add_longs(np.array([1, 2, 3]))
+    good = _pb(1, _pv(1, bf.num_hashes) + _pb(3, bf.utf8bitset()))
+    evil = _pb(1, _pv(1, 2**31 - 1) + _pb(3, bf.utf8bitset()))
+
+    class _Stub:
+        def __init__(self, raw):
+            self._raw = raw
+
+        def stream(self, cid, kind):
+            return self._raw if kind == 8 else None
+
+    # sane entry: absent value prunes, present value kept
+    assert _bloom_may_match(_Stub(good), 1, _K_LONG, [2]) is True
+    assert _bloom_may_match(_Stub(good), 1, _K_LONG, [999]) is False
+    # corrupt k: never prunes (and returns fast — no huge allocation)
+    assert _bloom_may_match(_Stub(evil), 1, _K_LONG, [999]) is True
+
+
 def test_pyarrow_still_reads_files_with_bloom_streams(tmp_path):
     import pyarrow.orc as po
 
