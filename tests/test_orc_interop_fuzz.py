@@ -159,15 +159,46 @@ def test_orc_interop_fuzz(trial):
     comp = random.choice(["none", "zlib", "snappy", "zstd", "lz4"])
     stripe_rows = int(rng.integers(50, 4000))
 
+    # ~half the trials also carry BLOOM_FILTER_UTF8 streams on every
+    # eligible top-level column, so the bloom writer rides the whole
+    # random-schema / compression / rle / stripe-size matrix
+    eligible = [
+        f.name for f in t.schema
+        if pa.types.is_integer(f.type) or pa.types.is_date32(f.type)
+        or pa.types.is_string(f.type) or pa.types.is_large_string(f.type)
+        or pa.types.is_binary(f.type)
+    ]
+    bloom = eligible if (eligible and random.random() < 0.5) else []
+
     # Direction A: our writer -> Apache reader AND our own reader
     pth = tempfile.mktemp(suffix=".orc")
     try:
         write_orc(t, pth, rle=rle, compression=comp,
-                  stripe_rows=stripe_rows)
+                  stripe_rows=stripe_rows, bloom_columns=bloom or None)
         assert po.ORCFile(pth).read().cast(t.schema).equals(t), \
             (trial, "A-apache", rle, comp)
         assert read_orc(pth).cast(t.schema).equals(t), \
             (trial, "A-native", rle, comp)
+        # bloom-pruned point read must not LOSE rows: for one sampled
+        # needle per int/string bloom column, the exact filter over the
+        # pruned superset matches the exact filter over the full table
+        import pyarrow.compute as pc
+        for bc in bloom:
+            ft = t.schema.field(bc).type
+            if not (pa.types.is_integer(ft) or pa.types.is_string(ft)):
+                continue
+            vals = t.column(bc).drop_null()
+            if len(vals) == 0:
+                continue
+            v = vals[int(rng.integers(0, len(vals)))].as_py()
+            got = read_orc(pth, predicate=(bc, "==", v))
+            n_got = got.filter(
+                pc.fill_null(pc.equal(got.column(bc), v), False)
+            ).num_rows
+            n_want = t.filter(
+                pc.fill_null(pc.equal(t.column(bc), v), False)
+            ).num_rows
+            assert n_got == n_want, (trial, "A-bloom", bc, v)
     finally:
         if os.path.exists(pth):
             os.unlink(pth)
