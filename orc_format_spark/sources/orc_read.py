@@ -29,13 +29,16 @@ Scope (matches + exceeds the writer):
   sniff), zstd (frame-header content-size sniff — one-shot frames as
   written by Apache C++/Java and pyarrow always carry it), lz4 (pure-
   Python block decode: no lz4 module in-sandbox and raw LZ4 carries no
-  size, so this is the documented slow path), lzo unsupported;
+  size, so this is the documented slow path), lzo (the repo's own
+  pure-Python LZO1X decoder, codecs/lzo.py);
 - column projection: ``columns=[...]`` decodes + decompresses only the
   requested top-level subtrees (streams of unselected columns are
   never touched);
 - stripe pruning: min/max predicate over footer/metadata
-  ColumnStatistics via ``predicate=(col, op, literal)`` — the read
-  side of the writer's stripe-elimination statistics.
+  ColumnStatistics via ``predicate=(col, op, literal)`` or an AND-list
+  of such triples (SearchArgument conjunction) — the read side of the
+  writer's stripe-elimination statistics; ``==``/``in`` terms also
+  probe per-stripe bloom filters.
 
 Scale shape: one task reads its own files inside ``mapInArrow``
 (``read_orc_files_native``) — whole-file bytes stay in the worker,
@@ -747,11 +750,13 @@ def read_orc(source, columns: list[str] | None = None,
     ``predicate=(col, op, literal)`` with op in <,<=,==,>=,>,in (where
     ``in`` takes an iterable literal) skips whole stripes whose
     Metadata ColumnStatistics prove no row can match — the read side of
-    the writer's stripe-elimination stats; ``==``/``in`` additionally
-    probe each surviving stripe's BLOOM_FILTER_UTF8 stream when one
-    exists (ours or Apache-written), dropping stripes whose filters
-    prove every member absent. Rows are NOT row-filtered (same contract
-    as ORC readers' SearchArguments).
+    the writer's stripe-elimination stats; a LIST of such triples is an
+    implicit AND (the ORC SearchArgument conjunction shape): a stripe
+    survives only if every term admits a match. ``==``/``in`` terms
+    additionally probe each surviving stripe's BLOOM_FILTER_UTF8
+    stream when one exists (ours or Apache-written), dropping stripes
+    whose filters prove every member absent. Rows are NOT row-filtered
+    (same contract as ORC readers' SearchArguments).
     """
     data = _load(source)
     ps, comp, bs, footer, meta_raw = _file_tail(data)
@@ -771,13 +776,10 @@ def read_orc(source, columns: list[str] | None = None,
     names = [root.names[i] for i in sel]
 
     keep = None
+    terms: list[tuple] = []
     if predicate is not None:
-        if predicate[1] == "in":
-            # materialize ONCE: a one-shot iterable consumed here would
-            # leave the per-stripe bloom probe below with zero members,
-            # silently pruning every bloom-carrying stripe
-            predicate = (predicate[0], "in", list(predicate[2]))
-        keep = _prune_stripes(meta_raw, root, predicate,
+        terms = _normalize_predicate(predicate, root)
+        keep = _prune_stripes(meta_raw, root, terms,
                               len(footer["stripes"]))
 
     tables = []
@@ -794,15 +796,17 @@ def read_orc(source, columns: list[str] | None = None,
         # only ever re-slices, so a memoryview suffices
         st = _Stripe(memoryview(data)[start:end], sf, comp, bs,
                      info["n_rows"])
-        if predicate is not None and predicate[1] in ("==", "in"):
-            pcid = root.subtypes[root.names.index(predicate[0])]
-            lits = (
-                [predicate[2]]
-                if predicate[1] == "=="
-                else list(predicate[2])
-            )
-            if not _bloom_may_match(st, pcid, types[pcid].kind, lits):
+        bloom_pruned = False
+        for tcol, top, tlit in terms:
+            if top not in ("==", "in"):
                 continue
+            pcid = root.subtypes[root.names.index(tcol)]
+            lits = [tlit] if top == "==" else tlit
+            if not _bloom_may_match(st, pcid, types[pcid].kind, lits):
+                bloom_pruned = True
+                break
+        if bloom_pruned:
+            continue
         arrays = [
             _read_column(st, types, root.subtypes[i], info["n_rows"])
             for i in sel
@@ -931,48 +935,80 @@ def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lits) -> bool:
     return not any_entry  # all (entry, member) pairs reject -> absent
 
 
-def _prune_stripes(meta_raw, root: _OrcType, predicate,
+def _normalize_predicate(predicate, root: _OrcType) -> list[tuple]:
+    """Accept one ``(col, op, literal)`` triple or a list/tuple of
+    triples (implicit AND — the ORC SearchArgument conjunction shape);
+    return a validated list with every ``in`` literal materialized
+    ONCE (a one-shot iterable consumed during stripe pruning would
+    leave the per-stripe bloom probe with zero members, silently
+    pruning every bloom-carrying stripe)."""
+    if (
+        isinstance(predicate, tuple)
+        and len(predicate) == 3
+        and isinstance(predicate[0], str)
+    ):
+        terms = [predicate]
+    else:
+        terms = list(predicate)
+    out = []
+    for term in terms:
+        col_name, op, lit = term
+        if op not in ("<", "<=", "==", ">=", ">", "in"):
+            raise ValueError(f"orc_read: predicate op {op!r}")
+        if col_name not in root.names:
+            raise KeyError(f"orc_read: predicate column {col_name!r}")
+        out.append((col_name, op, list(lit) if op == "in" else lit))
+    return out
+
+
+def _prune_stripes(meta_raw, root: _OrcType, terms: list[tuple],
                    n_stripes: int) -> list[bool]:
     """True = must read. Uses StripeStatistics from the Metadata
     section (same exact-or-wider contract the writer emits); a stripe
-    without usable min/max stays selected."""
-    col_name, op, lit = predicate
-    if op not in ("<", "<=", "==", ">=", ">", "in"):
-        raise ValueError(f"orc_read: predicate op {op!r}")
-    if op == "in":
-        members = list(lit)
-        if not members:
-            return [False] * n_stripes  # IN () matches nothing
-    if col_name not in root.names:
-        raise KeyError(f"orc_read: predicate column {col_name!r}")
-    cid = root.subtypes[root.names.index(col_name)]
-    per_stripe: list[dict | None] = [None] * n_stripes
+    without usable min/max stays selected. ``terms`` AND together: a
+    stripe survives only if EVERY term's stats range admits a match
+    (conjunction may eliminate stripes no single term can)."""
+    cids = sorted(
+        {root.subtypes[root.names.index(t[0])] for t in terms}
+    )
+    # one Metadata pass gathers every predicate column's per-stripe stats
+    per_stripe: dict[int, list[dict | None]] = {
+        c: [None] * n_stripes for c in cids
+    }
     si = 0
     for fno, _wt, v in _proto_fields(meta_raw):
         if fno != 1:  # StripeStatistics
             continue
         col_stats = [v2 for f2, _w2, v2 in _proto_fields(v) if f2 == 1]
-        if si < n_stripes and cid < len(col_stats):
-            per_stripe[si] = _parse_stats(col_stats[cid])
+        if si < n_stripes:
+            for c in cids:
+                if c < len(col_stats):
+                    per_stripe[c][si] = _parse_stats(col_stats[c])
         si += 1
-    keep = []
-    for stt in per_stripe:
-        if stt is None or stt["min"] is None or stt["max"] is None:
-            keep.append(True)
-            continue
-        lo, hi = stt["min"], stt["max"]
-        if op == "in":
-            keep.append(any(lo <= m <= hi for m in members))
-        elif op == "==":
-            keep.append(lo <= lit <= hi)
-        elif op == "<":
-            keep.append(lo < lit)
-        elif op == "<=":
-            keep.append(lo <= lit)
-        elif op == ">":
-            keep.append(hi > lit)
-        else:
-            keep.append(hi >= lit)
+    keep = [True] * n_stripes
+    for col_name, op, lit in terms:
+        if op == "in" and not lit:
+            return [False] * n_stripes  # IN () matches nothing
+        cid = root.subtypes[root.names.index(col_name)]
+        for si, stt in enumerate(per_stripe[cid]):
+            if not keep[si]:
+                continue
+            if stt is None or stt["min"] is None or stt["max"] is None:
+                continue
+            lo, hi = stt["min"], stt["max"]
+            if op == "in":
+                ok = any(lo <= m <= hi for m in lit)
+            elif op == "==":
+                ok = lo <= lit <= hi
+            elif op == "<":
+                ok = lo < lit
+            elif op == "<=":
+                ok = lo <= lit
+            elif op == ">":
+                ok = hi > lit
+            else:
+                ok = hi >= lit
+            keep[si] = ok
     return keep
 
 
@@ -986,7 +1022,8 @@ def read_orc_files_native(files, schema: str,
     inside each task — the native-decoder counterpart of
     orc_file.read_orc_files (which routes through pyarrow.orc): same
     mapInArrow shape, payload never crosses the Python->JVM socket
-    until after decode. ``predicate`` is :func:`read_orc`'s triple,
+    until after decode. ``predicate`` is :func:`read_orc`'s triple or
+    AND-list of triples,
     applied inside each task: stripes are stats/bloom-eliminated before
     their streams are ever decompressed, so a selective point lookup
     over a many-file table decodes only the stripes that may match

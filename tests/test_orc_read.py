@@ -211,6 +211,52 @@ def test_predicate_stripe_pruning(writer):
     assert pruned.num_rows < full.num_rows
 
 
+def test_predicate_conjunction_pruning():
+    """AND-list predicates (the SearchArgument conjunction shape): a
+    range expressed as two terms keeps only the middle stripes —
+    strictly fewer than either term alone — and an ==-term on a bloom
+    column composes with a stats term inside the same conjunction."""
+    n = 40_000
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"id": pa.array(ids), "v": pa.array(ids * 3)})
+    buf = io.BytesIO()
+    write_orc(t, buf, compression="zlib", rle="v2", stripe_rows=5_000,
+              bloom_columns=["id"])
+    data = buf.getvalue()
+    lo, hi = int(n * 0.3), int(n * 0.6)
+    both = read_orc(data, predicate=[("id", ">", lo), ("id", "<=", hi)])
+    got_ids = set(both["id"].to_pylist())
+    assert {int(x) for x in ids if lo < x <= hi} <= got_ids
+    only_lo = read_orc(data, predicate=("id", ">", lo))
+    only_hi = read_orc(data, predicate=("id", "<=", hi))
+    assert both.num_rows < min(only_lo.num_rows, only_hi.num_rows)
+
+    # bloom == term composes: an absent needle empties the read even
+    # though the companion stats term alone keeps stripes
+    absent = read_orc(
+        data, predicate=[("id", "==", n + 17), ("v", ">=", 0)]
+    )
+    assert absent.num_rows == 0
+    present = read_orc(
+        data, predicate=[("id", "==", lo + 1), ("v", ">=", 0)]
+    )
+    assert (lo + 1) in set(present["id"].to_pylist())
+    # stats cross-elimination: each term alone keeps its own stripes,
+    # but no stripe satisfies both (id<5000 lives only where v<15000)
+    cross = read_orc(
+        data, predicate=[("id", "<", 5_000), ("v", ">", (n - 1) * 3 - 1)]
+    )
+    assert cross.num_rows == 0
+    # empty IN inside a conjunction matches nothing
+    assert read_orc(
+        data, predicate=[("id", "in", []), ("v", ">=", 0)]
+    ).num_rows == 0
+    with pytest.raises(ValueError):
+        read_orc(data, predicate=[("id", "!=", 3)])
+    with pytest.raises(KeyError):
+        read_orc(data, predicate=[("id", ">", 1), ("nope", ">", 1)])
+
+
 def test_empty_and_errors():
     e = pa.table({"x": pa.array([], pa.int64())})
     buf = io.BytesIO()
