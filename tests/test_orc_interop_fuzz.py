@@ -11,7 +11,11 @@ Random column trees (ints in the four RLEv2-splitting distributions,
 floats, low/high-cardinality + unicode strings, binary, date,
 timestamp, decimal, list/map/struct to depth 2), null densities
 {0, 0.05, 0.5, 0.95}, both RLE modes, all five block compressions
-(incl. the pure-Python lz4 read path), random stripe sizes.
+(incl. the pure-Python lz4 read path), random stripe sizes. Half the
+bloom-eligible trials carry BLOOM_FILTER_UTF8 streams in BOTH
+directions (our writer's and Apache's, via raw preorder column IDs),
+each checked with a sampled-needle point read that must lose no rows
+through the stats+bloom stripe pruning.
 
 Default is a quick 12-trial smoke so the suite stays fast; the
 round-5 deep run was 1,260 trials / 0 failures (seeds 1, 2, 7, 42 —
@@ -203,15 +207,55 @@ def test_orc_interop_fuzz(trial):
         if os.path.exists(pth):
             os.unlink(pth)
 
-    # Direction B: Apache writer -> our reader matches Apache's read
+    # Direction B: Apache writer -> our reader matches Apache's read.
+    # Half the bloom-eligible trials also ask Apache to write bloom
+    # filters (pyarrow takes raw preorder ORC column IDs), so the
+    # CONSUMPTION side rides the same random matrix: a sampled-needle
+    # point read through our stats+bloom pruning must lose no rows.
+    def _orc_nodes(typ) -> int:
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            return 1 + _orc_nodes(typ.value_type)
+        if pa.types.is_struct(typ):
+            return 1 + sum(_orc_nodes(f.type) for f in typ)
+        if pa.types.is_map(typ):
+            return 1 + _orc_nodes(typ.key_type) + _orc_nodes(typ.item_type)
+        return 1
+
+    bloom_ids, bloom_names, cid = [], [], 1
+    for f in t.schema:
+        if f.name in eligible:
+            bloom_ids.append(cid)
+            bloom_names.append(f.name)
+        cid += _orc_nodes(f.type)
+    if not bloom_ids or random.random() < 0.5:
+        bloom_ids, bloom_names = [], []
+
     pth2 = tempfile.mktemp(suffix=".orc")
     bcomp = random.choice(["uncompressed", "zlib", "snappy", "zstd", "lz4"])
     try:
         po.write_table(t, pth2, compression=bcomp,
-                       stripe_size=max(1024, int(rng.integers(1, 64)) * 4096))
+                       stripe_size=max(1024, int(rng.integers(1, 64)) * 4096),
+                       bloom_filter_columns=bloom_ids or None)
         expect = po.ORCFile(pth2).read()
         assert read_orc(pth2).cast(expect.schema).equals(expect), \
             (trial, "B", bcomp)
+        import pyarrow.compute as pc
+        for bc in bloom_names:
+            ft = t.schema.field(bc).type
+            if not (pa.types.is_integer(ft) or pa.types.is_string(ft)):
+                continue
+            vals = t.column(bc).drop_null()
+            if len(vals) == 0:
+                continue
+            v = vals[int(rng.integers(0, len(vals)))].as_py()
+            got = read_orc(pth2, predicate=(bc, "==", v))
+            n_got = got.filter(
+                pc.fill_null(pc.equal(got.column(bc), v), False)
+            ).num_rows
+            n_want = t.filter(
+                pc.fill_null(pc.equal(t.column(bc), v), False)
+            ).num_rows
+            assert n_got == n_want, (trial, "B-bloom", bc, v)
     finally:
         if os.path.exists(pth2):
             os.unlink(pth2)
