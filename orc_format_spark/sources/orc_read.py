@@ -425,7 +425,9 @@ def _parse_stripe_footer(buf) -> dict:
 def _parse_stats(buf) -> dict:
     """ColumnStatistics -> {n, has_null, min, max} (ints/doubles/strings);
     enough for min/max stripe pruning — mirrors the writer's _stats_msg."""
-    out = {"n": None, "has_null": False, "min": None, "max": None}
+    # has_null stays None when the writer omitted field 10 (pre-1.x
+    # Hive files): "unknown" must never prune an isnull term
+    out = {"n": None, "has_null": None, "min": None, "max": None}
     for fno, _wt, v in _proto_fields(buf):
         if fno == 1:
             out["n"] = v
@@ -747,8 +749,9 @@ def read_orc(source, columns: list[str] | None = None,
 
     ``source``: path, bytes, or binary file-like. ``columns`` projects
     top-level fields (unselected column streams are never decompressed).
-    ``predicate=(col, op, literal)`` with op in <,<=,==,>=,>,in (where
-    ``in`` takes an iterable literal) skips whole stripes whose
+    ``predicate=(col, op, literal)`` with op in <,<=,==,!=,>=,>,in,
+    isnull,notnull (``in`` takes an iterable literal; the null ops
+    ignore theirs — pass None) skips whole stripes whose
     Metadata ColumnStatistics prove no row can match — the read side of
     the writer's stripe-elimination stats; a LIST of such triples is an
     implicit AND (the ORC SearchArgument conjunction shape): a stripe
@@ -953,7 +956,8 @@ def _normalize_predicate(predicate, root: _OrcType) -> list[tuple]:
     out = []
     for term in terms:
         col_name, op, lit = term
-        if op not in ("<", "<=", "==", ">=", ">", "in"):
+        if op not in ("<", "<=", "==", "!=", ">=", ">", "in",
+                      "isnull", "notnull"):
             raise ValueError(f"orc_read: predicate op {op!r}")
         if col_name not in root.names:
             raise KeyError(f"orc_read: predicate column {col_name!r}")
@@ -991,15 +995,30 @@ def _prune_stripes(meta_raw, root: _OrcType, terms: list[tuple],
             return [False] * n_stripes  # IN () matches nothing
         cid = root.subtypes[root.names.index(col_name)]
         for si, stt in enumerate(per_stripe[cid]):
-            if not keep[si]:
+            if not keep[si] or stt is None:
                 continue
-            if stt is None or stt["min"] is None or stt["max"] is None:
+            if op == "isnull":
+                # prune only on an EXPLICIT hasNull=false (None =
+                # pre-1.x writer omitted the field: unknown keeps)
+                keep[si] = stt["has_null"] is not False
+                continue
+            if op == "notnull":
+                # numberOfValues counts NON-null values: 0 proves the
+                # stripe is all-null for this column
+                keep[si] = stt["n"] != 0
+                continue
+            if stt["min"] is None or stt["max"] is None:
                 continue
             lo, hi = stt["min"], stt["max"]
             if op == "in":
                 ok = any(lo <= m <= hi for m in lit)
             elif op == "==":
                 ok = lo <= lit <= hi
+            elif op == "!=":
+                # skippable only when EVERY row fails col != lit:
+                # all non-null values equal lit (lo == hi == lit) and
+                # null rows fail it anyway under SQL ternary logic
+                ok = not (lo == hi == lit)
             elif op == "<":
                 ok = lo < lit
             elif op == "<=":

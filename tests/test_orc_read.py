@@ -252,9 +252,43 @@ def test_predicate_conjunction_pruning():
         data, predicate=[("id", "in", []), ("v", ">=", 0)]
     ).num_rows == 0
     with pytest.raises(ValueError):
-        read_orc(data, predicate=[("id", "!=", 3)])
+        read_orc(data, predicate=[("id", "between", 3)])
     with pytest.raises(KeyError):
         read_orc(data, predicate=[("id", ">", 1), ("nope", ">", 1)])
+
+
+def test_predicate_null_and_ne_ops():
+    """isnull / notnull prune on hasNull / numberOfValues; != prunes
+    only stripes whose stats prove every value equals the literal."""
+    n = 20_000
+    half = n // 2
+    vals = [None] * half + list(range(half, n))  # stripe 0-1 all-null
+    t = pa.table(
+        {
+            "x": pa.array(vals, pa.int64()),
+            # constant column: != on it can drop every stripe
+            "c": pa.array([7] * n, pa.int64()),
+        }
+    )
+    buf = io.BytesIO()
+    write_orc(t, buf, compression="zlib", rle="v2", stripe_rows=5_000)
+    data = buf.getvalue()
+
+    nn = read_orc(data, predicate=("x", "notnull", None))
+    assert nn.num_rows == half  # the two all-null stripes are skipped
+    assert nn["x"].null_count == 0
+    isn = read_orc(data, predicate=("x", "isnull", None))
+    assert isn.num_rows == half  # the two no-null stripes are skipped
+    assert isn["x"].null_count == half
+
+    assert read_orc(data, predicate=("c", "!=", 7)).num_rows == 0
+    ne = read_orc(data, predicate=("x", "!=", 123))  # never provable
+    assert ne.num_rows == n
+    # conjunction: null op composes with a range term
+    both = read_orc(
+        data, predicate=[("x", "notnull", None), ("x", ">=", n - 5_000)]
+    )
+    assert both.num_rows == 5_000
 
 
 def test_empty_and_errors():
