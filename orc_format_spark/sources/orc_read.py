@@ -433,7 +433,7 @@ def _parse_stats(buf) -> dict:
             out["n"] = v
         elif fno == 10:
             out["has_null"] = bool(v)
-        elif fno in (2, 3, 4):  # int / double / string stats
+        elif fno in (2, 3, 4, 6, 7):  # int/double/string/decimal/date
             for f2, w2, v2 in _proto_fields(v):
                 if f2 == 1:
                     out["min"] = _stat_scalar(fno, w2, v2)
@@ -443,11 +443,27 @@ def _parse_stats(buf) -> dict:
 
 
 def _stat_scalar(msg_fno: int, wt: int, v):
-    if msg_fno == 2:  # IntegerStatistics: sint64 (zigzag)
+    if msg_fno in (2, 7):  # Integer/DateStatistics: sint64/sint32 zigzag
         return (v >> 1) ^ -(v & 1)
     if msg_fno == 3:  # DoubleStatistics: fixed64 double
         return np.frombuffer(bytes(v), "<f8")[0] if wt == 1 else float(v)
+    if msg_fno == 6:  # DecimalStatistics: decimal-as-string
+        import decimal
+
+        return decimal.Decimal(bytes(v).decode("utf-8"))
     return bytes(v).decode("utf-8")  # StringStatistics
+
+
+def _days_lit(lit):
+    """datetime.date predicate literals compare against DateStatistics'
+    epoch-days ints; everything else passes through."""
+    import datetime
+
+    if isinstance(lit, datetime.date) and not isinstance(
+        lit, datetime.datetime
+    ):
+        return (lit - datetime.date(1970, 1, 1)).days
+    return lit
 
 
 # ---------------------------------------------------------- stripe decode
@@ -902,7 +918,8 @@ def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lits) -> bool:
             probes.append(("bytes", bytes(lit)))
         else:
             try:
-                probes.append(("long", int(lit)))
+                # datetime.date -> epoch days (how ORC hashes DATE)
+                probes.append(("long", int(_days_lit(lit))))
             except (TypeError, ValueError):
                 return True
     any_entry = False
@@ -1010,23 +1027,29 @@ def _prune_stripes(meta_raw, root: _OrcType, terms: list[tuple],
             if stt["min"] is None or stt["max"] is None:
                 continue
             lo, hi = stt["min"], stt["max"]
-            if op == "in":
-                ok = any(lo <= m <= hi for m in lit)
-            elif op == "==":
-                ok = lo <= lit <= hi
-            elif op == "!=":
-                # skippable only when EVERY row fails col != lit:
-                # all non-null values equal lit (lo == hi == lit) and
-                # null rows fail it anyway under SQL ternary logic
-                ok = not (lo == hi == lit)
-            elif op == "<":
-                ok = lo < lit
-            elif op == "<=":
-                ok = lo <= lit
-            elif op == ">":
-                ok = hi > lit
-            else:
-                ok = hi >= lit
+            # a cross-typed literal (int predicate on a string column,
+            # …) must keep the stripe, never crash: unknown never prunes
+            try:
+                if op == "in":
+                    ok = any(lo <= _days_lit(m) <= hi for m in lit)
+                elif op == "==":
+                    ok = lo <= _days_lit(lit) <= hi
+                elif op == "!=":
+                    # skippable only when EVERY row fails col != lit:
+                    # all non-null values equal lit (lo == hi == lit)
+                    # and null rows fail it anyway under SQL ternary
+                    # logic
+                    ok = not (lo == hi == _days_lit(lit))
+                elif op == "<":
+                    ok = lo < _days_lit(lit)
+                elif op == "<=":
+                    ok = lo <= _days_lit(lit)
+                elif op == ">":
+                    ok = hi > _days_lit(lit)
+                else:
+                    ok = hi >= _days_lit(lit)
+            except TypeError:
+                ok = True
             keep[si] = ok
     return keep
 

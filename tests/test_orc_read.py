@@ -291,6 +291,95 @@ def test_predicate_null_and_ne_ops():
     assert both.num_rows == 5_000
 
 
+def test_predicate_date_decimal_and_cross_typed():
+    """Date and decimal columns prune from their own statistics kinds
+    (DateStatistics sint days, DecimalStatistics string bounds); a
+    cross-typed literal keeps every stripe instead of crashing."""
+    import datetime
+    import decimal
+
+    n = 20_000
+    days = np.arange(n, dtype=np.int32)  # 1970-01-01 + i
+    t = pa.table(
+        {
+            "d": pa.array(days).cast(pa.date32()),
+            "m": pa.array(
+                [decimal.Decimal(f"{i}.25") for i in range(n)],
+                pa.decimal128(12, 2),
+            ),
+            "s": pa.array([f"s{i:06d}" for i in range(n)]),
+        }
+    )
+    buf = io.BytesIO()
+    write_orc(t, buf, compression="zlib", rle="v2", stripe_rows=5_000)
+    data = buf.getvalue()
+    full = read_orc(data)
+
+    cut_date = datetime.date(1970, 1, 1) + datetime.timedelta(days=n - 4_000)
+    by_date = read_orc(data, predicate=("d", ">=", cut_date))
+    assert by_date.num_rows < full.num_rows
+    assert {x.as_py() for x in t["d"] if x.as_py() >= cut_date} <= set(
+        by_date["d"].to_pylist()
+    )
+    # int literal = raw epoch days, same stripes
+    assert read_orc(
+        data, predicate=("d", ">=", n - 4_000)
+    ).num_rows == by_date.num_rows
+
+    by_dec = read_orc(
+        data, predicate=("m", "<", decimal.Decimal("2500.00"))
+    )
+    assert by_dec.num_rows < full.num_rows
+    assert {
+        x.as_py() for x in t["m"] if x.as_py() < decimal.Decimal("2500")
+    } <= set(by_dec["m"].to_pylist())
+    # int/float literals compare exactly against Decimal bounds
+    assert read_orc(data, predicate=("m", "<", 2500)).num_rows \
+        == by_dec.num_rows
+
+    # cross-typed: int literal against string stats -> keep everything
+    assert read_orc(data, predicate=("s", ">", 12)).num_rows == n
+
+
+def test_predicate_date_decimal_apache_writer():
+    """The same Date/DecimalStatistics pruning against an Apache-
+    written file (its own stats rendering, multi-stripe)."""
+    import datetime
+    import decimal
+
+    n = 40_000
+    rng = np.random.default_rng(1)
+    t = pa.table(
+        {
+            "d": pa.array(np.arange(n, dtype=np.int32)).cast(pa.date32()),
+            "m": pa.array(
+                [decimal.Decimal(f"{i}.25") for i in range(n)],
+                pa.decimal128(12, 2),
+            ),
+            "pad": pa.array(
+                [bytes(x) for x in rng.integers(0, 256, (n, 64),
+                                                dtype=np.uint8)],
+                pa.binary(),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    po.write_table(t, buf, compression="zlib", stripe_size=256 * 1024)
+    data = buf.getvalue()
+    assert po.ORCFile(io.BytesIO(data)).nstripes > 1
+    full = read_orc(data)
+    cut = datetime.date(1970, 1, 1) + datetime.timedelta(days=n - 5_000)
+    p1 = read_orc(data, predicate=("d", ">=", cut))
+    p2 = read_orc(data, predicate=("m", "<", decimal.Decimal("2500")))
+    assert p1.num_rows < full.num_rows and p2.num_rows < full.num_rows
+    assert {x.as_py() for x in t["d"] if x.as_py() >= cut} <= set(
+        p1["d"].to_pylist()
+    )
+    assert {x.as_py() for x in t["m"] if x.as_py() < 2500} <= set(
+        p2["m"].to_pylist()
+    )
+
+
 def test_empty_and_errors():
     e = pa.table({"x": pa.array([], pa.int64())})
     buf = io.BytesIO()
