@@ -34,11 +34,15 @@ Scope (matches + exceeds the writer):
 - column projection: ``columns=[...]`` decodes + decompresses only the
   requested top-level subtrees (streams of unselected columns are
   never touched);
-- stripe pruning: min/max predicate over footer/metadata
-  ColumnStatistics via ``predicate=(col, op, literal)`` or an AND-list
-  of such triples (SearchArgument conjunction) — the read side of the
-  writer's stripe-elimination statistics; ``==``/``in`` terms also
-  probe per-stripe bloom filters.
+- stripe pruning: ``predicate=(col, op, literal)`` or an AND-list of
+  triples (SearchArgument conjunction), op in <,<=,==,!=,>=,>,in,
+  isnull,notnull, over every min/max-carrying ColumnStatistics kind
+  (Integer, Double, String, Decimal, Date, Timestamp — the UTC ms
+  pair only, widened 1 ms per side) plus hasNull/numberOfValues for
+  the null ops — the read side of the writer's stripe-elimination
+  statistics; ``==``/``in`` terms also probe per-stripe bloom
+  filters. Temporal literals convert (date→epoch days, datetime→UTC
+  ns); a cross-typed literal keeps the stripe, never crashes.
 
 Scale shape: one task reads its own files inside ``mapInArrow``
 (``read_orc_files_native``) — whole-file bytes stay in the worker,
@@ -434,11 +438,24 @@ def _parse_stats(buf) -> dict:
         elif fno == 10:
             out["has_null"] = bool(v)
         elif fno in (2, 3, 4, 6, 7):  # int/double/string/decimal/date
+            out["sk"] = {7: "date"}.get(fno)
             for f2, w2, v2 in _proto_fields(v):
                 if f2 == 1:
                     out["min"] = _stat_scalar(fno, w2, v2)
                 elif f2 == 2:
                     out["max"] = _stat_scalar(fno, w2, v2)
+        elif fno == 9:  # TimestampStatistics: use ONLY the UTC pair
+            # (minimumUtc=3 / maximumUtc=4, sint64 epoch ms) — the
+            # legacy 1/2 pair is writer-timezone-relative and could
+            # misprune a foreign-timezone file. Bounds widen by 1 ms
+            # each side: stats are ms-truncated while values carry ns.
+            out["sk"] = "ts"
+            for f2, _w2, v2 in _proto_fields(v):
+                dec = (v2 >> 1) ^ -(v2 & 1)
+                if f2 == 3:
+                    out["min"] = (dec - 1) * 1_000_000
+                elif f2 == 4:
+                    out["max"] = (dec + 1) * 1_000_000
     return out
 
 
@@ -454,15 +471,25 @@ def _stat_scalar(msg_fno: int, wt: int, v):
     return bytes(v).decode("utf-8")  # StringStatistics
 
 
-def _days_lit(lit):
-    """datetime.date predicate literals compare against DateStatistics'
-    epoch-days ints; everything else passes through."""
+def _conv_lit(lit, sk):
+    """Convert a temporal predicate literal to the unit the stats kind
+    compares in: epoch days for DateStatistics (``sk='date'``), epoch
+    ns for TimestampStatistics (``sk='ts'``; naive datetimes are UTC,
+    ints are taken as ns already). Everything else passes through."""
     import datetime
 
-    if isinstance(lit, datetime.date) and not isinstance(
-        lit, datetime.datetime
-    ):
-        return (lit - datetime.date(1970, 1, 1)).days
+    if isinstance(lit, datetime.datetime):
+        if sk == "date":
+            lit = lit.date()
+        else:
+            if lit.tzinfo is None:
+                lit = lit.replace(tzinfo=datetime.timezone.utc)
+            # float seconds -> exact int ns: µs precision is exact in
+            # float64 out to year ~2255
+            return int(round(lit.timestamp() * 1_000_000)) * 1_000
+    if isinstance(lit, datetime.date):
+        days = (lit - datetime.date(1970, 1, 1)).days
+        return days * 86_400_000_000_000 if sk == "ts" else days
     return lit
 
 
@@ -919,7 +946,7 @@ def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lits) -> bool:
         else:
             try:
                 # datetime.date -> epoch days (how ORC hashes DATE)
-                probes.append(("long", int(_days_lit(lit))))
+                probes.append(("long", int(_conv_lit(lit, 'date'))))
             except (TypeError, ValueError):
                 return True
     any_entry = False
@@ -1027,27 +1054,28 @@ def _prune_stripes(meta_raw, root: _OrcType, terms: list[tuple],
             if stt["min"] is None or stt["max"] is None:
                 continue
             lo, hi = stt["min"], stt["max"]
+            sk = stt.get("sk")
             # a cross-typed literal (int predicate on a string column,
             # …) must keep the stripe, never crash: unknown never prunes
             try:
                 if op == "in":
-                    ok = any(lo <= _days_lit(m) <= hi for m in lit)
+                    ok = any(lo <= _conv_lit(m, sk) <= hi for m in lit)
                 elif op == "==":
-                    ok = lo <= _days_lit(lit) <= hi
+                    ok = lo <= _conv_lit(lit, sk) <= hi
                 elif op == "!=":
                     # skippable only when EVERY row fails col != lit:
                     # all non-null values equal lit (lo == hi == lit)
                     # and null rows fail it anyway under SQL ternary
                     # logic
-                    ok = not (lo == hi == _days_lit(lit))
+                    ok = not (lo == hi == _conv_lit(lit, sk))
                 elif op == "<":
-                    ok = lo < _days_lit(lit)
+                    ok = lo < _conv_lit(lit, sk)
                 elif op == "<=":
-                    ok = lo <= _days_lit(lit)
+                    ok = lo <= _conv_lit(lit, sk)
                 elif op == ">":
-                    ok = hi > _days_lit(lit)
+                    ok = hi > _conv_lit(lit, sk)
                 else:
-                    ok = hi >= _days_lit(lit)
+                    ok = hi >= _conv_lit(lit, sk)
             except TypeError:
                 ok = True
             keep[si] = ok

@@ -380,6 +380,61 @@ def test_predicate_date_decimal_apache_writer():
     )
 
 
+@pytest.mark.parametrize("writer", ["native", "apache"])
+def test_predicate_timestamp_pruning(writer):
+    """TimestampStatistics pruning uses ONLY the UTC ms pair (widened
+    1 ms per side for sub-ms truncation); datetime literals — naive
+    treated as UTC — and datetime.date literals both prune."""
+    import datetime
+
+    n = 20_000
+    base = 1_600_000_000  # 2020-09-13T12:26:40Z
+    sec = base + np.arange(n, dtype=np.int64)
+    ns = sec * 10**9 + 123_456  # sub-ms part exercises the widening
+    rng = np.random.default_rng(9)
+    t = pa.table(
+        {
+            "ts": pa.array(ns).cast(pa.timestamp("ns")),
+            # incompressible bulk so the Apache writer (which sizes
+            # stripes on COMPRESSED bytes) actually splits stripes
+            "pad": pa.array(
+                [bytes(x) for x in rng.integers(0, 256, (n, 64),
+                                                dtype=np.uint8)],
+                pa.binary(),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    if writer == "native":
+        write_orc(t, buf, compression="zlib", rle="v2", stripe_rows=5_000)
+    else:
+        po.write_table(t, buf, compression="zlib", stripe_size=128 * 1024)
+    data = buf.getvalue()
+    assert po.ORCFile(io.BytesIO(data)).nstripes > 1
+    full = read_orc(data)
+
+    cut_s = base + n - 4_000
+    cut = datetime.datetime.fromtimestamp(cut_s, datetime.timezone.utc)
+    for lit in (cut, cut.replace(tzinfo=None)):  # aware and naive-UTC
+        pruned = read_orc(data, predicate=("ts", ">=", lit))
+        assert pruned.num_rows < full.num_rows
+        want = {x.as_py() for x in t["ts"]
+                if x.as_py().timestamp() >= cut_s}
+        assert want <= set(pruned["ts"].to_pylist())
+    # boundary exactness under the 1 ms widening: a == probe for a
+    # present value keeps its stripe
+    mid = datetime.datetime.fromtimestamp(
+        base + 10, datetime.timezone.utc
+    ) + datetime.timedelta(microseconds=123)  # 123456 ns ≈ 123 µs
+    eq = read_orc(data, predicate=("ts", "==", mid.replace(tzinfo=None)))
+    assert eq.num_rows >= 1
+    # a date literal prunes as midnight UTC
+    d0 = datetime.datetime.fromtimestamp(
+        base + n, datetime.timezone.utc
+    ).date() + datetime.timedelta(days=2)
+    assert read_orc(data, predicate=("ts", ">", d0)).num_rows == 0
+
+
 def test_empty_and_errors():
     e = pa.table({"x": pa.array([], pa.int64())})
     buf = io.BytesIO()
