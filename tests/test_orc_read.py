@@ -435,6 +435,93 @@ def test_predicate_timestamp_pruning(writer):
     assert read_orc(data, predicate=("ts", ">", d0)).num_rows == 0
 
 
+def test_predicate_pruning_fuzz():
+    """Random predicates (every op × int/double/string/decimal/date/
+    timestamp columns × single terms and conjunctions) through both
+    writers: the pruned read must retain every exactly-matching row —
+    stripe elimination is a superset, never lossy."""
+    import datetime
+    import decimal
+    import random
+
+    rng = np.random.default_rng(17)
+    random.seed(17)
+    n = 12_000
+    ivals = np.sort(rng.integers(-(10**6), 10**6, n))
+    dvals = rng.standard_normal(n) * 1e3
+    svals = [f"k{int(x):07d}" for x in np.sort(rng.integers(0, 10**7, n))]
+    days = np.sort(rng.integers(0, 30_000, n)).astype(np.int32)
+    ts_ns = np.sort(
+        rng.integers(0, 2**40, n) * 10**6 + rng.integers(0, 10**6, n)
+    )
+    decs = [decimal.Decimal(f"{int(x)}.{int(y):02d}")
+            for x, y in zip(np.sort(rng.integers(-(10**8), 10**8, n)),
+                            rng.integers(0, 100, n))]
+    t = pa.table(
+        {
+            "i": pa.array(ivals),
+            "f": pa.array(dvals),
+            "s": pa.array(svals),
+            "d": pa.array(days).cast(pa.date32()),
+            "ts": pa.array(ts_ns).cast(pa.timestamp("ns")),
+            "m": pa.array(decs, pa.decimal128(12, 2)),
+        }
+    )
+
+    def sample_lit(col):
+        v = t.column(col)[int(rng.integers(0, n))].as_py()
+        if col == "i" and random.random() < 0.5:
+            return int(v + rng.integers(-100, 100))
+        return v
+
+    def rand_term():
+        col = random.choice(["i", "f", "s", "d", "ts", "m"])
+        op = random.choice(["<", "<=", "==", "!=", ">=", ">", "in",
+                            "isnull", "notnull"])
+        if op == "in":
+            return (col, op, [sample_lit(col) for _ in range(3)])
+        if op in ("isnull", "notnull"):
+            return (col, op, None)
+        return (col, op, sample_lit(col))
+
+    def matches(tab, term):
+        col, op, lit = term
+        vals = [x.as_py() for x in tab.column(col)]
+        if op == "isnull":
+            return [v is None for v in vals]
+        if op == "notnull":
+            return [v is not None for v in vals]
+        import operator as _op
+
+        f = {"<": _op.lt, "<=": _op.le, "==": _op.eq, "!=": _op.ne,
+             ">=": _op.ge, ">": _op.gt}.get(op)
+        if op == "in":
+            return [v is not None and v in lit for v in vals]
+        return [v is not None and f(v, lit) for v in vals]
+
+    for trial in range(40):
+        wr = random.choice(["native", "apache"])
+        buf = io.BytesIO()
+        if wr == "native":
+            write_orc(t, buf, compression="zstd", rle="v2",
+                      stripe_rows=int(rng.integers(500, 4_000)))
+        else:
+            po.write_table(t, buf, compression="zlib",
+                           stripe_size=64 * 1024)
+        data = buf.getvalue()
+        terms = [rand_term()
+                 for _ in range(1 if random.random() < 0.5 else 2)]
+        pred = terms[0] if len(terms) == 1 else terms
+        got = read_orc(data, predicate=pred)
+        m_full = np.ones(n, bool)
+        for term in terms:
+            m_full &= np.array(matches(t, term), bool)
+        m_got = np.ones(got.num_rows, bool)
+        for term in terms:
+            m_got &= np.array(matches(got, term), bool)
+        assert int(m_got.sum()) == int(m_full.sum()), (trial, wr, terms)
+
+
 def test_empty_and_errors():
     e = pa.table({"x": pa.array([], pa.int64())})
     buf = io.BytesIO()
