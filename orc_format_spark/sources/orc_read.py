@@ -946,9 +946,16 @@ def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lits) -> bool:
         else:
             try:
                 # datetime.date -> epoch days (how ORC hashes DATE)
-                probes.append(("long", int(_conv_lit(lit, 'date'))))
-            except (TypeError, ValueError):
+                pv = int(_conv_lit(lit, 'date'))
+            except (TypeError, ValueError, OverflowError):
                 return True
+            if -(1 << 63) <= pv < (1 << 63):
+                probes.append(("long", pv))
+            # an out-of-int64-range literal can never equal a stored
+            # ORC long: skip the member rather than feed wang_hash64 a
+            # value numpy can't cast (OverflowError would kill the
+            # task); an IN list that is ENTIRELY out of range matches
+            # nothing, so the empty probe set below prunes soundly
     any_entry = False
     for fno, _wt, v in _proto_fields(raw):
         if fno != 1:  # BloomFilterIndex.bloomFilter

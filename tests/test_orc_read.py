@@ -291,6 +291,30 @@ def test_predicate_null_and_ne_ops():
     assert both.num_rows == 5_000
 
 
+def test_predicate_bloom_out_of_int64_literal():
+    """An ==/in integer literal outside int64 range can never equal a
+    stored ORC long: the bloom probe must skip (not crash on) it, an
+    IN list that is ENTIRELY out of range matches nothing, and a mixed
+    list prunes by its in-range members alone."""
+    n = 20_000
+    t = pa.table({"i": pa.array(np.arange(0, 2 * n, 2, dtype=np.int64))})
+    buf = io.BytesIO()
+    write_orc(t, buf, compression="zlib", rle="v2", stripe_rows=5_000,
+              bloom_columns=["i"])
+    data = buf.getvalue()
+
+    # out-of-range member + absent in-range member -> bloom prunes all
+    assert read_orc(data, predicate=("i", "in", [5, 2**70])).num_rows == 0
+    # out-of-range member + present member -> that stripe survives
+    kept = read_orc(data, predicate=("i", "in", [4, 2**70]))
+    assert 4 in set(kept["i"].to_pylist())
+    # entirely out-of-range ==/in -> nothing can match
+    assert read_orc(data, predicate=("i", "==", -(2**63) - 1)).num_rows == 0
+    assert read_orc(
+        data, predicate=("i", "in", [2**70, -(2**64)])
+    ).num_rows == 0
+
+
 def test_predicate_date_decimal_and_cross_typed():
     """Date and decimal columns prune from their own statistics kinds
     (DateStatistics sint days, DecimalStatistics string bounds); a
