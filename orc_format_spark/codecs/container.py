@@ -64,7 +64,9 @@ _READ_VERSIONS = (1, 3)
 # training); bump the MAJOR when the wire format itself changes (old
 # blobs stop being decodable by this version) — wave-resumed jobs must
 # finish on the version they started with (operators/job.py), and
-# deserialize_blob refuses cross-major rle_v2 decodes.
+# deserialize_blob refuses cross-major rle_v2 decodes (narrowed to
+# streams that actually contain a patched-base run — the only wire
+# that changed; see the 4.0 gate below).
 # 4.0: RLEv2 patched-base wire corrected to spec (patch entries at the
 #      closest fixed width, sign-bit-safe base bytes) — validated by
 #      Apache ORC C++ via write_orc(rle="v2").
@@ -503,16 +505,34 @@ def deserialize_blob(blob: bytes) -> list[ColumnEntry]:
     # Engine 4.0 corrected the RLEv2 patched-base wire format (patch-list
     # entries at the closest FIXED width >= pgw+pw; base byte count
     # reserves the sign bit) to match spec-compliant external readers.
-    # Pre-4.0 rle_v2 streams with patched runs would now decode WRONG,
-    # so refuse them loudly instead of returning silent wrong data.
-    if _engine_major(engine) < 4 and any(
-        e.codec == "rle_v2" for e in entries
-    ):
-        raise ValueError(
-            f"blob written by engine {engine!r} uses the pre-4.0 rle_v2 "
-            "patched-base wire format; decode it with the writing "
-            "version or re-encode"
-        )
+    # ONLY that sub-encoding changed: short-repeat/direct/delta streams
+    # are byte-identical across versions, and most persisted rle_v2
+    # columns contain no patched runs at all. Refuse a pre-4.0 blob only
+    # when a patched run is actually present (header-only scan of the
+    # decompressed DATA stream — pre-4.0 blobs are the legacy read path,
+    # current-engine blobs pay nothing), instead of making every old
+    # rle_v2 dataset permanently undecodable.
+    if _engine_major(engine) < 4:
+        from .rle_v2 import rle_v2_has_patched
+
+        for e in entries:
+            if e.codec != "rle_v2":
+                continue
+            for kind, s in e.streams:
+                if kind != DATA:
+                    continue
+                try:
+                    patched = rle_v2_has_patched(
+                        decompress_stream(s, e.comp)
+                    )
+                except (IndexError, ValueError):
+                    patched = True  # malformed: refuse, decode would too
+                if patched:
+                    raise ValueError(
+                        f"blob written by engine {engine!r} uses the "
+                        "pre-4.0 rle_v2 patched-base wire format; decode "
+                        "it with the writing version or re-encode"
+                    )
     return entries
 
 
@@ -970,6 +990,13 @@ def _decode_body(blob: bytes, columns: list[str] | None = None) -> pa.Table:
         names.append(name)
         cols.append(arr)
     if columns is not None:
+        # a typo'd projection must be loud, not a silently narrower
+        # table (checked in the same entry walk — no second header
+        # parse; evolution decode resolves missing columns itself and
+        # never reaches here)
+        missing = [c for c in columns if c not in names]
+        if missing:
+            raise KeyError(f"decode_table: no such columns {missing}")
         order = {c: k for k, c in enumerate(columns)}
         pairs = sorted(zip(names, cols), key=lambda nc: order[nc[0]])
         names = [n for n, _ in pairs]
@@ -1170,14 +1197,6 @@ def decode_table(
                 raise ValueError(
                     f"decode_table: predicate column {pcol!r} must be in columns"
                 )
-    if columns is not None:
-        # a typo'd projection must be loud, not a silently narrower
-        # table (header-only check; evolution decode resolves missing
-        # columns itself and never reaches here)
-        have = set(blob_schema(blob).names)
-        missing = [c for c in columns if c not in have]
-        if missing:
-            raise KeyError(f"decode_table: no such columns {missing}")
     if blob[:4] == MAGIC2:
         if blob[4] not in _READ_VERSIONS2:
             raise ValueError(f"unsupported blob version {blob[4]}")

@@ -667,3 +667,41 @@ def decode_int_rle_v2(buf, signed: bool = True) -> np.ndarray:
         _scatter_ranges(out, starts[didx], c, vals)
 
     return out.view(np.int64) if signed else out
+
+
+def rle_v2_has_patched(buf) -> bool:
+    """Header-only scan: True iff any run in ``buf`` uses the
+    patched-base sub-encoding (kind 2) — the ONLY RLEv2 wire that
+    changed in engine 4.0 (patch-entry width rounding, sign-bit-safe
+    base bytes). Walks the same headers as ``decode_int_rle_v2``'s
+    pass 1 but never touches a payload, so pre-4.0 blobs whose
+    short-repeat/direct/delta streams are byte-identical across
+    versions stay decodable (deserialize_blob's cross-major gate calls
+    this instead of refusing every rle_v2 blob)."""
+    b = bytes(buf)
+    L = len(b)
+    pos = 0
+    while pos < L:
+        h0 = b[pos]
+        kind = h0 >> 6
+        if kind == 0:  # short repeat
+            pos += 1 + (((h0 >> 3) & 0x7) + 1)
+        elif kind == 1:  # direct
+            w = code_width((h0 >> 1) & 0x1F)
+            n = (((h0 & 1) << 8) | b[pos + 1]) + 1
+            pos += 2 + (n * w + 7) // 8
+        elif kind == 2:  # patched base
+            return True
+        else:  # delta
+            dfield = (h0 >> 1) & 0x1F
+            n = (((h0 & 1) << 8) | b[pos + 1]) + 1
+            pos += 2
+            _, pos = decode_varint_one(b, pos)  # base
+            _, pos = decode_varint_one(b, pos)  # d0
+            if dfield:
+                if n < 2:
+                    raise ValueError(
+                        "rle_v2: variable-width delta run with n < 2"
+                    )
+                pos += ((n - 2) * code_width(dfield) + 7) // 8
+    return False

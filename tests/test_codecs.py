@@ -546,35 +546,68 @@ def test_blob_engine_version_tag():
     assert blob_engine_version(legacy) == "<pre-3.0>"
 
 
-def test_pre_4_rle_v2_blob_refused_loudly():
-    """Engine 4.0 corrected the RLEv2 patched-base wire format; a
-    pre-4.0 blob whose columns used rle_v2 must refuse decode instead of
-    returning silently-wrong values. Same-bytes blobs with other codecs
-    stay decodable across the tag swap."""
+def test_pre_4_rle_v2_blob_refused_only_when_patched():
+    """Engine 4.0 corrected ONLY the RLEv2 patched-base sub-encoding;
+    short-repeat/direct/delta streams are byte-identical across
+    versions. A pre-4.0 blob must refuse decode iff a patched run is
+    actually present (header-only scan) — refusing every rle_v2 blob
+    would make whole old datasets permanently undecodable, while
+    decoding a patched one would return silently-wrong values."""
+    import numpy as np
+
     from orc_format_spark.codecs.container import (
         ENCODER_VERSION,
         decode_table,
         deserialize_blob,
         encode_table,
     )
+    from orc_format_spark.codecs.rle_v2 import rle_v2_has_patched
 
     assert ENCODER_VERSION == "4.0"
     old_tag = b"3.3"
     new_tag = ENCODER_VERSION.encode()
     assert len(old_tag) == len(new_tag)  # in-place tag swap stays valid
 
+    # Delta-only stream: wire unchanged since pre-4.0, stays decodable.
     tbl = pa.table({"a": pa.array(range(4_096), pa.int64())})
     v2_blob, _ = encode_table(tbl, codec="rle_v2")
     assert decode_table(v2_blob).equals(tbl)
     stale = v2_blob.replace(new_tag, old_tag, 1)
+    assert decode_table(stale).equals(tbl)
+
+    # Outlier mix forces a patched-base run: the one wire that changed
+    # in 4.0, so the stale tag must refuse loudly.
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 100, 500).astype(np.int64)
+    vals[123] = 10**15  # patch-width outlier
+    ptbl = pa.table({"a": pa.array(vals)})
+    p_blob, _ = encode_table(ptbl, codec="rle_v2")
+    entries = deserialize_blob(p_blob)
+    assert any(
+        e.codec == "rle_v2"
+        and any(rle_v2_has_patched(_decompressed_data(e)) for _ in [0])
+        for e in entries
+    ), "fixture must actually contain a patched run"
+    assert decode_table(p_blob).equals(ptbl)
+    p_stale = p_blob.replace(new_tag, old_tag, 1)
     with pytest.raises(ValueError, match="pre-4.0 rle_v2"):
-        deserialize_blob(stale)
+        deserialize_blob(p_stale)
     with pytest.raises(ValueError, match="pre-4.0 rle_v2"):
-        decode_table(stale)
+        decode_table(p_stale)
 
     v1_blob, _ = encode_table(tbl, codec="rle_v1")
     stale_v1 = v1_blob.replace(new_tag, old_tag, 1)
     assert decode_table(stale_v1).equals(tbl)  # non-rle_v2: still fine
+
+
+def _decompressed_data(entry):
+    """DATA stream of a ColumnEntry, decompressed."""
+    from orc_format_spark.codecs.container import DATA, decompress_stream
+
+    for kind, s in entry.streams:
+        if kind == DATA:
+            return decompress_stream(s, entry.comp)
+    raise AssertionError("no DATA stream")
 
 
 # ------------------------------------------------------- float codecs
