@@ -19,7 +19,8 @@ against Apache C++ byte-for-byte.
 
 Scope (matches + exceeds the writer):
 - types: boolean, tinyint..bigint, float, double, string, varchar,
-  char, binary, date, timestamp (writerTimezone must be GMT/UTC),
+  char, binary, date, timestamp (any writerTimezone in the host tz
+  database — non-UTC files restore the writer's wall clock),
   timestamp_instant, decimal (v1 varint + scale SECONDARY), list,
   map, struct, union (dense; null union rows are unrepresentable in
   Arrow and raise);
@@ -51,6 +52,7 @@ the driver sees only rows after any aggregation Spark plans.
 
 from __future__ import annotations
 
+import functools
 import zlib
 from typing import BinaryIO
 
@@ -84,6 +86,40 @@ _COMPRESSION_NAME = {0: "none", 1: "zlib", 2: "snappy", 3: "lzo",
 _EPOCH_2015 = 1420070400  # seconds 1970->2015, codecs/timestamp.py
 
 _UTC_NAMES = frozenset(("", "UTC", "GMT", "Etc/UTC", "Etc/GMT", "Z"))
+
+
+@functools.lru_cache(maxsize=None)
+def _writer_zone(name: str):
+    import zoneinfo
+
+    try:
+        return zoneinfo.ZoneInfo(name)
+    except (zoneinfo.ZoneInfoNotFoundError, ValueError) as e:
+        raise NotImplementedError(
+            f"orc_read: writerTimezone {name!r} not in the host tz "
+            "database; cannot restore wall-clock timestamps"
+        ) from e
+
+
+@functools.lru_cache(maxsize=None)
+def _writer_base_seconds(name: str) -> int:
+    """Unix seconds of 2015-01-01 00:00:00 wall clock in ``name`` —
+    ORC-Java's per-writer base epoch (TimestampTreeWriter's
+    base_timestamp under a non-UTC default TimeZone)."""
+    import datetime
+
+    dt = datetime.datetime(2015, 1, 1, tzinfo=_writer_zone(name))
+    return int(dt.timestamp())
+
+
+def _instants_to_wall_ns(ns: np.ndarray, name: str) -> np.ndarray:
+    """UTC-instant epoch nanos -> the wall clock those instants showed
+    in zone ``name``, as naive epoch nanos (vectorized; pandas applies
+    the zone's full transition history per element)."""
+    import pandas as pd
+
+    idx = pd.DatetimeIndex(ns.astype("datetime64[ns]"), tz="UTC")
+    return idx.tz_convert(_writer_zone(name)).tz_localize(None).asi8
 
 
 # ------------------------------------------------------ proto2 wire parse
@@ -696,22 +732,33 @@ def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
         return _varlen_from_parts(lengths, data, mask, arrow_t)
 
     if k in (_K_TIMESTAMP, _K_TIMESTAMP_INSTANT):
+        wtz = None  # non-UTC writerTimezone (ORC-Java/Hive default config)
         if k == _K_TIMESTAMP and st.tz not in _UTC_NAMES:
-            raise NotImplementedError(
-                f"orc_read: writerTimezone {st.tz!r} requires timezone "
-                "conversion; only UTC/GMT files are supported"
-            )
+            wtz = st.tz
         stored = st.ints(cid, _DATA, signed=True)[:nv]
         nanos_enc = st.ints(cid, _SECONDARY, signed=False)[:nv]
         from ..codecs.timestamp import expand_nanos
 
         nanos = expand_nanos(nanos_enc).astype(np.int64)
-        sec = stored + _EPOCH_2015
+        # ORC-Java writes seconds relative to 2015-01-01 00:00:00 WALL
+        # CLOCK in the writer's zone (TimestampTreeWriter base_timestamp
+        # = Timestamp.valueOf(..).getTime() under the default TimeZone);
+        # with writerTimezone=UTC that base is _EPOCH_2015
+        sec = stored + (_writer_base_seconds(wtz) if wtz else _EPOCH_2015)
         # Apache's negative-seconds convention (probed by the writer,
         # orc_file.py): stored pre-epoch values with nanos > 999999
         # carry +1s, undone here
         sec = sec - ((sec < 0) & (nanos > 999_999)).astype(np.int64)
         ns = sec * 1_000_000_000 + nanos
+        if wtz is not None:
+            # TIMESTAMP is wall-clock (LocalDateTime) semantics: both
+            # Apache readers (ORC-Java in the writer's zone, ORC-C++
+            # converting writer->reader) restore the wall clock the
+            # writer saw — validated against a genuine ORC-Java-written
+            # America/Los_Angeles fixture in tests/test_orc_read.py.
+            # Vectorized instant->wall via pandas' tz engine (handles
+            # DST/historical offsets per element, no Python loop).
+            ns = _instants_to_wall_ns(ns, wtz)
         typ = (pa.timestamp("ns", tz="UTC")
                if k == _K_TIMESTAMP_INSTANT else pa.timestamp("ns"))
         return _expand(pa.array(ns, pa.int64()).cast(typ), mask)
@@ -825,8 +872,22 @@ def read_orc(source, columns: list[str] | None = None,
     terms: list[tuple] = []
     if predicate is not None:
         terms = _normalize_predicate(predicate, root)
+        # writerTimezone lives in the stripe footers (constant per
+        # writer process): peek stripe 0's before stats pruning so
+        # wall-vs-instant skew on foreign-timezone files can't
+        # eliminate a matching stripe. 15h = max real zone offset
+        # (14h) + 1h DST fold headroom.
+        ts_slack = 0
+        if footer["stripes"]:
+            info0 = footer["stripes"][0]
+            e0 = info0["offset"] + info0["index_len"] + info0["data_len"]
+            tz0 = _parse_stripe_footer(
+                _decompress(data[e0 : e0 + info0["footer_len"]], comp, bs)
+            )["tz"]
+            if tz0 not in _UTC_NAMES:
+                ts_slack = 15 * 3600 * 1_000_000_000
         keep = _prune_stripes(meta_raw, root, terms,
-                              len(footer["stripes"]))
+                              len(footer["stripes"]), ts_slack)
 
     tables = []
     for si, info in enumerate(footer["stripes"]):
@@ -1017,12 +1078,18 @@ def _normalize_predicate(predicate, root: _OrcType) -> list[tuple]:
 
 
 def _prune_stripes(meta_raw, root: _OrcType, terms: list[tuple],
-                   n_stripes: int) -> list[bool]:
+                   n_stripes: int, ts_slack_ns: int = 0) -> list[bool]:
     """True = must read. Uses StripeStatistics from the Metadata
     section (same exact-or-wider contract the writer emits); a stripe
     without usable min/max stays selected. ``terms`` AND together: a
     stripe survives only if EVERY term's stats range admits a match
-    (conjunction may eliminate stripes no single term can)."""
+    (conjunction may eliminate stripes no single term can).
+
+    ``ts_slack_ns`` widens TimestampStatistics bounds: on a non-UTC
+    writerTimezone file the decoded NTZ values are the writer's WALL
+    clocks while minimumUtc/maximumUtc are instants, so a wall-clock
+    literal may sit up to |zone offset| (+1h DST fold) away from the
+    instant range — slack keeps elimination a sound superset there."""
     cids = sorted(
         {root.subtypes[root.names.index(t[0])] for t in terms}
     )
@@ -1062,6 +1129,12 @@ def _prune_stripes(meta_raw, root: _OrcType, terms: list[tuple],
                 continue
             lo, hi = stt["min"], stt["max"]
             sk = stt.get("sk")
+            if sk == "ts" and ts_slack_ns:
+                lo, hi = lo - ts_slack_ns, hi + ts_slack_ns
+                if op == "!=":
+                    # widened bounds can no longer PROVE every value
+                    # equals the literal
+                    continue
             # a cross-typed literal (int predicate on a string column,
             # …) must keep the stripe, never crash: unknown never prunes
             try:

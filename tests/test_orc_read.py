@@ -750,3 +750,97 @@ def test_string_stats_sum_is_utf8_bytes():
     po.write_table(t, apache)
     assert string_sum(ours.getvalue()) == want
     assert string_sum(apache.getvalue()) == want
+
+
+# ------------------------------------------------- non-UTC writerTimezone
+
+
+_TZ_FIXTURES = {
+    # genuine ORC-Java-written files (scripts/make_tz_fixtures.py): the
+    # JVM default TimeZone under orc.use.utc.timestamp=false stamps the
+    # stripe footer and rebases stored seconds on 2015-01-01 00:00:00
+    # wall clock IN THAT ZONE — the layout Hive-era writers produce
+    "tz_los_angeles.orc": "America/Los_Angeles",
+    "tz_kolkata.orc": "Asia/Kolkata",
+    "tz_sydney.orc": "Australia/Sydney",
+}
+
+# the wall clocks the writer saw — both Apache readers restore these
+# (ORC-Java read back in the writer zone; ORC-C++ converting
+# writer->reader), so our reader must too, for every zone identically
+_TZ_WALLS = [
+    "2015-06-01 12:00:00",
+    "2014-12-31 23:59:59.500000",
+    "2020-03-08 01:59:59.123456789",
+    "2020-03-08 03:00:00",
+    "2020-11-01 01:30:00",
+    "1969-12-31 15:59:59",
+    "1960-02-29 06:00:00.250000",
+    "2015-01-01 00:00:00",
+]
+
+
+@pytest.mark.parametrize("fixture", sorted(_TZ_FIXTURES))
+def test_foreign_timezone_wall_clock_restore(fixture):
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", fixture)
+    data = open(path, "rb").read()
+
+    # the fixture must stay genuine: a non-UTC zone in the stripe footer
+    from orc_format_spark.sources.orc_read import (
+        _decompress,
+        _file_tail,
+        _parse_stripe_footer,
+    )
+
+    _ps, comp, bs, footer, _meta = _file_tail(data)
+    info = footer["stripes"][0]
+    end = info["offset"] + info["index_len"] + info["data_len"]
+    sf = _parse_stripe_footer(
+        _decompress(data[end : end + info["footer_len"]], comp, bs)
+    )
+    assert sf["tz"] == _TZ_FIXTURES[fixture]
+
+    got = [str(v) for v in read_orc(data).column("ts").to_pylist()]
+    assert got == _TZ_WALLS
+    # and the independent Apache C++ reader agrees byte-for-byte
+    apache = [str(v) for v in po.read_table(path).column("ts").to_pylist()]
+    assert got == apache
+
+
+def test_foreign_timezone_predicate_prune_sound():
+    """Stats prune on a non-UTC file: TimestampStatistics carry UTC
+    instants while decoded values (and predicate literals) are writer
+    wall clocks — the 15h slack must keep every stripe a wall-clock
+    literal could match, while a literal decades away still prunes."""
+    import datetime
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "fixtures", "tz_los_angeles.orc"
+    )
+    # == on a wall clock present in the file: the (single) stripe must
+    # survive pruning and the row must come back
+    hit = read_orc(
+        path, predicate=("ts", "==", datetime.datetime(2015, 6, 1, 12, 0, 0))
+    )
+    walls = [str(v) for v in hit.column("ts").to_pylist()]
+    assert "2015-06-01 12:00:00" in walls
+    # a range far outside the data (beyond any zone offset) still prunes
+    miss = read_orc(
+        path, predicate=("ts", ">=", datetime.datetime(2150, 1, 1))
+    )
+    assert miss.num_rows == 0
+    # != must not prune through widened bounds
+    ne = read_orc(
+        path, predicate=("ts", "!=", datetime.datetime(2015, 6, 1, 12, 0, 0))
+    )
+    assert ne.num_rows == len(_TZ_WALLS)
+
+
+def test_unknown_writer_timezone_raises():
+    from orc_format_spark.sources.orc_read import _writer_zone
+
+    with pytest.raises(NotImplementedError, match="tz database"):
+        _writer_zone("Not/A_Zone")
