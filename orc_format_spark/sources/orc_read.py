@@ -768,41 +768,76 @@ def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
         scales = st.ints(cid, _SECONDARY, signed=True)[:nv]
         decl_scale = t.scale
         precision = t.precision or 38
-        unscaled = []
-        pos = 0
-        for i in range(nv):
-            z = 0
-            shift = 0
-            while True:  # unbounded zigzag varint (i128-capable)
-                b = buf[pos]
-                z |= (b & 0x7F) << shift
-                pos += 1
-                if b < 0x80:
-                    break
-                shift += 7
-            u = (z >> 1) if not (z & 1) else -((z + 1) >> 1)
-            adj = decl_scale - int(scales[i])
-            if adj >= 0:
-                u *= 10**adj
-            else:
-                q, r = divmod(u, 10 ** (-adj))
-                if r:
-                    raise ValueError(
-                        "orc_read: decimal scale narrowing loses digits"
-                    )
-                u = q
-            unscaled.append(u)
-        import decimal as _dec
-
-        # default 28-digit context would round >28-significant-digit
-        # unscaled values (decimal128 allows 38) — shift exactly
-        with _dec.localcontext() as _ctx:
-            _ctx.prec = 76
-            vals = [_dec.Decimal(u).scaleb(-decl_scale) for u in unscaled]
-        dense = pa.array(vals, pa.decimal128(precision, decl_scale))
+        dense = _decode_decimals(buf, scales, nv, precision, decl_scale)
         return _expand(dense, mask)
 
     raise NotImplementedError(f"orc_read: ORC type kind {k}")
+
+
+def _decode_decimals(buf, scales: np.ndarray, nv: int, precision: int,
+                     decl_scale: int) -> pa.Array:
+    """DECIMAL DATA stream (unbounded zigzag varints) -> decimal128.
+
+    Fast path — every varint <=9 bytes (unscaled fits 63 bits, true for
+    any precision<=18 column and most small-valued p>18 data) and every
+    row already at the declared scale (Apache writers normalize on
+    write): one vectorized LEB128 gather + zigzag, then the 16-byte
+    little-endian two's-complement decimal128 buffer is built directly
+    from sign-extended int64 limbs — no per-row Python, no Decimal
+    objects. Anything else (>9-byte varints, per-row scale drift from
+    pre-normalization writers) falls back to the exact big-int loop."""
+    from ..codecs.varint import decode_varints
+
+    arr = np.frombuffer(buf, np.uint8)
+    typ = pa.decimal128(precision, decl_scale)
+    if nv == 0:
+        return pa.nulls(0, typ)
+    term = np.flatnonzero((arr & 0x80) == 0)
+    if len(term) < nv:
+        raise ValueError("orc_read: decimal DATA stream truncated")
+    lengths = np.diff(term[:nv], prepend=np.int64(-1))
+    if int(lengths.max()) <= 9 and not np.any(scales != decl_scale):
+        z, _ = decode_varints(arr, count=nv)
+        u = ((z >> np.uint64(1)) ^ (~(z & np.uint64(1)) + np.uint64(1)))
+        lo = u  # two's complement low limb
+        hi = (u.view(np.int64) >> np.int64(63)).view(np.uint64)  # sign ext
+        limbs = np.empty((nv, 2), np.uint64)
+        limbs[:, 0] = lo
+        limbs[:, 1] = hi
+        return pa.Array.from_buffers(
+            typ, nv, [None, pa.py_buffer(limbs.tobytes())]
+        )
+
+    starts = np.empty(nv, np.int64)
+    starts[0] = 0
+    starts[1:] = term[: nv - 1] + 1
+    unscaled = []
+    for i in range(nv):
+        z = 0
+        shift = 0
+        for b in arr[starts[i] : term[i] + 1]:
+            z |= int(b & 0x7F) << shift
+            shift += 7
+        u = (z >> 1) if not (z & 1) else -((z + 1) >> 1)
+        adj = decl_scale - int(scales[i])
+        if adj >= 0:
+            u *= 10**adj
+        else:
+            q, r = divmod(u, 10 ** (-adj))
+            if r:
+                raise ValueError(
+                    "orc_read: decimal scale narrowing loses digits"
+                )
+            u = q
+        unscaled.append(u)
+    import decimal as _dec
+
+    # default 28-digit context would round >28-significant-digit
+    # unscaled values (decimal128 allows 38) — shift exactly
+    with _dec.localcontext() as _ctx:
+        _ctx.prec = 76
+        vals = [_dec.Decimal(u).scaleb(-decl_scale) for u in unscaled]
+    return pa.array(vals, typ)
 
 
 # ------------------------------------------------------------- file read

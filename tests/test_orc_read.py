@@ -844,3 +844,26 @@ def test_unknown_writer_timezone_raises():
 
     with pytest.raises(NotImplementedError, match="tz database"):
         _writer_zone("Not/A_Zone")
+
+
+def test_decimal_fast_slow_boundary():
+    """_decode_decimals picks the vectorized int64-limb path only when
+    every varint is <=9 bytes; a single 63-bit-exceeding value must
+    flip the whole stream to the exact big-int path with identical
+    results around the boundary."""
+    import decimal
+
+    from orc_format_spark.codecs.container import _encode_varint128
+    from orc_format_spark.sources.orc_read import _decode_decimals
+
+    D = decimal.Decimal
+    small = [2**61, -(2**61), 0, 1, -1, 10**18 - 1, -(10**18) + 1]
+    big = small + [2**100, -(2**100)]  # forces >9-byte varints
+    for vals, prec in ((small, 18), (big, 38)):
+        buf = _encode_varint128(vals)
+        scales = np.full(len(vals), 2)
+        got = _decode_decimals(buf, scales, len(vals), prec, 2)
+        with decimal.localcontext() as ctx:
+            ctx.prec = 76  # exact shift, no 28-digit default rounding
+            want = [D(v).scaleb(-2) for v in vals]
+        assert got.to_pylist() == want
