@@ -188,7 +188,11 @@ def encode_byte_rle(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
-def decode_byte_rle(buf) -> np.ndarray:
+def decode_byte_rle(buf, count: int | None = None) -> np.ndarray:
+    """``count`` bounds the header scan: decoding stops at the first
+    group boundary at or past ``count`` values (callers slice the
+    exact prefix), so a positioned mid-stream read pays only for the
+    values it needs, not the rest of the stripe."""
     bb = buf if isinstance(buf, bytes) else bytes(buf)
     b = np.frombuffer(bb, np.uint8)
     L = len(bb)
@@ -196,18 +200,21 @@ def decode_byte_rle(buf) -> np.ndarray:
     cnts: list[int] = []
     srcs: list[int] = []  # value byte position (run) / literal start
     i = 0
-    while i < L:
+    total = 0
+    while i < L and (count is None or total < count):
         h = bb[i]
         if h < 128:
             kinds.append(True)
             cnts.append(h + 3)
             srcs.append(i + 1)
+            total += h + 3
             i += 2
         else:
             cnt = 256 - h
             kinds.append(False)
             cnts.append(cnt)
             srcs.append(i + 1)
+            total += cnt
             i += 1 + cnt
     if not cnts:
         return np.empty(0, np.uint8)
@@ -293,11 +300,14 @@ def encode_int_rle_v1(values: np.ndarray, signed: bool = True) -> bytes:
     return out.tobytes()
 
 
-def decode_int_rle_v1(buf, signed: bool = True) -> np.ndarray:
+def decode_int_rle_v1(buf, signed: bool = True,
+                      count: int | None = None) -> np.ndarray:
     """Decode IntRLEv1 -> int64 (signed) or uint64 (unsigned) array.
 
     Group boundaries are found with O(1) Python-int work per group (varint
     terminators are pre-indexed); all value reconstruction is vectorized.
+    ``count`` stops the scan at the first group boundary at or past that
+    many values (positioned mid-stream reads pay only for what they use).
     """
     bb = buf if isinstance(buf, bytes) else bytes(buf)
     if not bb:
@@ -312,8 +322,9 @@ def decode_int_rle_v1(buf, signed: bool = True) -> np.ndarray:
     vr_len: list[int] = []
     i = 0
     ti = 0
+    total = 0
     nterm = len(term)
-    while i < L:
+    while i < L and (count is None or total < count):
         h = bb[i]
         if h < 128:  # run group: header, delta byte, base varint
             delta = bb[i + 1]
@@ -328,6 +339,7 @@ def decode_int_rle_v1(buf, signed: bool = True) -> np.ndarray:
             vr_start.append(vs)
             vr_len.append(ve + 1 - vs)
             i = ve + 1
+            total += h + 3
         else:  # literal group: header + cnt varints
             cnt = 256 - h
             vs = i + 1
@@ -341,6 +353,7 @@ def decode_int_rle_v1(buf, signed: bool = True) -> np.ndarray:
             vr_start.append(vs)
             vr_len.append(ve + 1 - vs)
             i = ve + 1
+            total += cnt
     is_run = np.array(kinds, bool)
     cnt_a = np.array(cnts, np.int64)
     vbytes = b[_range_gather_indices(np.array(vr_start, np.int64), np.array(vr_len, np.int64))]

@@ -459,7 +459,8 @@ def _scatter_ranges(dst: np.ndarray, starts, lens, vals) -> None:
     dst[_range_gather_indices(starts, lens)] = vals
 
 
-def decode_int_rle_v2(buf, signed: bool = True) -> np.ndarray:
+def decode_int_rle_v2(buf, signed: bool = True,
+                      count: int | None = None) -> np.ndarray:
     """Two-pass decode: a cheap Python header scan builds a segment
     table, then each sub-encoding materializes BATCHED across all its
     segments straight into one preallocated output. Short-repeat is a
@@ -480,7 +481,11 @@ def decode_int_rle_v2(buf, signed: bool = True) -> np.ndarray:
     seg_count: list[int] = []
     seg_meta: list = []
     pos = 0
-    while pos < L:
+    total = 0
+    # ``count`` bounds the scan at the first run boundary at or past
+    # that many values: positioned mid-stream reads stop early instead
+    # of walking (and later materializing) the rest of the stripe
+    while pos < L and (count is None or total < count):
         h0 = b[pos]
         kind = h0 >> 6
         if kind == 0:  # short repeat
@@ -538,6 +543,7 @@ def decode_int_rle_v2(buf, signed: bool = True) -> np.ndarray:
                 seg_meta.append((base, d0, None, None))
             seg_count.append(n)
         seg_kind.append(kind)
+        total += seg_count[-1]
 
     counts = np.array(seg_count, np.int64)
     ends = np.cumsum(counts)

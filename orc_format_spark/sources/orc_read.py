@@ -43,7 +43,16 @@ Scope (matches + exceeds the writer):
   the null ops — the read side of the writer's stripe-elimination
   statistics; ``==``/``in`` terms also probe per-stripe bloom
   filters. Temporal literals convert (date→epoch days, datetime→UTC
-  ns); a cross-typed literal keeps the stripe, never crashes.
+  ns); a cross-typed literal keeps the stripe, never crashes;
+- row-group elimination inside surviving stripes: RowIndexEntry
+  statistics and per-group bloom filters narrow the decode to the
+  covering groups; every projected column's streams (all types, all
+  compressions, nested children included) seek to the first kept
+  group via the recorded positions, and count-bounded RLE scans stop
+  after the last — a point lookup in a 2M-row single-stripe file
+  decodes one 10k group, ~20x faster than the full-stripe decode.
+  Columns without an index (e.g. our own writer's one-group-per-
+  stripe files) fall back to whole-stripe decode, always sound.
 
 Scale shape: one task reads its own files inside ``mapInArrow``
 (``read_orc_files_native``) — whole-file bytes stay in the worker,
@@ -72,6 +81,7 @@ from .orc_file import (
     _DICTIONARY_V2,
     _LENGTH,
     _PRESENT,
+    _ROW_INDEX,
     _SECONDARY,
 )
 
@@ -407,6 +417,7 @@ def _parse_footer(buf) -> dict:
     stripes = []
     types: list[_OrcType] = []
     n_rows = 0
+    stride = 0
     stats_blobs: list = []
     for fno, _wt, v in _proto_fields(buf):
         if fno == 3:  # StripeInformation
@@ -430,8 +441,10 @@ def _parse_footer(buf) -> dict:
             n_rows = v
         elif fno == 7:  # file-level ColumnStatistics, in column order
             stats_blobs.append(v)
+        elif fno == 8:  # rowIndexStride (0 = no row-group indexes)
+            stride = v
     return {"stripes": stripes, "types": types, "n_rows": n_rows,
-            "stats": stats_blobs}
+            "stats": stats_blobs, "stride": stride}
 
 
 def _parse_stripe_footer(buf) -> dict:
@@ -529,6 +542,218 @@ def _conv_lit(lit, sk):
     return lit
 
 
+def _stats_admit(stt: dict | None, op: str, lit, ts_slack_ns: int = 0) -> bool:
+    """Can any row in a range with ColumnStatistics ``stt`` satisfy
+    ``col op lit``? Shared by stripe elimination (Metadata stats) and
+    row-group elimination (RowIndexEntry stats); unknown never prunes."""
+    if stt is None:
+        return True
+    if op == "isnull":
+        # prune only on an EXPLICIT hasNull=false (None = pre-1.x
+        # writer omitted the field: unknown keeps)
+        return stt["has_null"] is not False
+    if op == "notnull":
+        # numberOfValues counts NON-null values: 0 proves all-null
+        return stt["n"] != 0
+    if stt["min"] is None or stt["max"] is None:
+        return True
+    lo, hi = stt["min"], stt["max"]
+    sk = stt.get("sk")
+    if sk == "ts" and ts_slack_ns:
+        lo, hi = lo - ts_slack_ns, hi + ts_slack_ns
+        if op == "!=":
+            # widened bounds can no longer PROVE every value == lit
+            return True
+    # a cross-typed literal (int predicate on a string column, …) must
+    # keep the range, never crash: unknown never prunes
+    try:
+        if op == "in":
+            return any(lo <= _conv_lit(m, sk) <= hi for m in lit)
+        if op == "==":
+            return lo <= _conv_lit(lit, sk) <= hi
+        if op == "!=":
+            # skippable only when EVERY row fails col != lit: all
+            # non-null values equal lit (lo == hi == lit) and null rows
+            # fail it anyway under SQL ternary logic
+            return not (lo == hi == _conv_lit(lit, sk))
+        if op == "<":
+            return lo < _conv_lit(lit, sk)
+        if op == "<=":
+            return lo <= _conv_lit(lit, sk)
+        if op == ">":
+            return hi > _conv_lit(lit, sk)
+        return hi >= _conv_lit(lit, sk)
+    except TypeError:
+        return True
+
+
+def _parse_row_index(raw) -> list[tuple[list[int], dict | None]]:
+    """ROW_INDEX stream -> per-row-group (positions, statistics). The
+    positions list is the column's stream-seek state at the first row
+    of the group (layout depends on kind/encoding/compression,
+    _position_layout); statistics share the stripe-stats wire format."""
+    out = []
+    for fno, _wt, v in _proto_fields(raw):
+        if fno != 1:  # RowIndexEntry
+            continue
+        positions: list[int] = []
+        stats = None
+        for f2, w2, v2 in _proto_fields(v):
+            if f2 == 1:
+                if w2 == 2:  # packed repeated uint64
+                    positions.extend(_packed_uints(v2))
+                else:
+                    positions.append(v2)
+            elif f2 == 2:
+                stats = _parse_stats(v2)
+        out.append((positions, stats))
+    return out
+
+
+def _position_layout(t: _OrcType, encoding: int,
+                     has_present: bool) -> list[tuple[int, str]] | None:
+    """RowIndexEntry position order for one column: [(stream_kind,
+    reader)] where reader is 'raw' (plain InStream), 'rle' (int RLE /
+    byte RLE: +1 value offset into the current run) or 'bool' (bit
+    reader over byte RLE: +1 run offset, +1 bit offset). Matches the
+    recordPosition order of both Apache writers (PRESENT first, then
+    the kind's data streams); None = kind we refuse to seek."""
+    out: list[tuple[int, str]] = []
+    if has_present:
+        out.append((_PRESENT, "bool"))
+    k = t.kind
+    if k in (_K_SHORT, _K_INT, _K_LONG, _K_DATE):
+        out.append((_DATA, "rle"))
+    elif k in (_K_FLOAT, _K_DOUBLE):
+        out.append((_DATA, "raw"))
+    elif k == _K_BOOL:
+        out.append((_DATA, "bool"))
+    elif k == _K_BYTE:
+        out.append((_DATA, "rle"))
+    elif k in (_K_STRING, _K_VARCHAR, _K_CHAR, _K_BINARY):
+        if encoding in (_DICTIONARY, _DICTIONARY_V2):
+            out.append((_DATA, "rle"))  # index stream only; dictionary
+            # blobs are whole-stripe and never positioned
+        else:
+            out.append((_DATA, "raw"))
+            out.append((_LENGTH, "rle"))
+    elif k in (_K_TIMESTAMP, _K_TIMESTAMP_INSTANT):
+        out.append((_DATA, "rle"))
+        out.append((_SECONDARY, "rle"))
+    elif k == _K_DECIMAL:
+        out.append((_DATA, "raw"))  # varint value stream: plain bytes
+        out.append((_SECONDARY, "rle"))
+    elif k in (_K_LIST, _K_MAP):
+        out.append((_LENGTH, "rle"))
+    elif k == _K_STRUCT:
+        pass  # PRESENT only
+    elif k == _K_UNION:
+        out.append((_DATA, "rle"))  # byte-RLE tag stream
+    else:
+        return None
+    return out
+
+
+def _unpack_positions(pos: list[int], layout: list[tuple[int, str]],
+                      compressed: bool) -> dict[int, tuple] | None:
+    """positions -> {stream_kind: (block_off, inblock_off, run_off,
+    bit_off)}. Compressed streams carry (compressed block start,
+    uncompressed offset within that block); uncompressed just a byte
+    offset. None on arity mismatch (foreign layout we mispredicted —
+    callers fall back to whole-stripe decode rather than misread)."""
+    seeks: dict[int, tuple] = {}
+    i = 0
+    try:
+        for skind, reader in layout:
+            if compressed:
+                blk, inb = pos[i], pos[i + 1]
+                i += 2
+            else:
+                blk, inb = pos[i], 0
+                i += 1
+            run = bit = 0
+            if reader in ("rle", "bool"):
+                run = pos[i]
+                i += 1
+            if reader == "bool":
+                bit = pos[i]
+                i += 1
+            seeks[skind] = (blk, inb, run, bit)
+    except IndexError:
+        return None
+    return seeks if i == len(pos) else None
+
+
+def _subtree_cids(types: list[_OrcType], cid: int) -> list[int]:
+    out = [cid]
+    for sub in types[cid].subtypes:
+        out.extend(_subtree_cids(types, sub))
+    return out
+
+
+def _build_seeks(st: "_Stripe", types: list[_OrcType], cids: list[int],
+                 group: int, compressed: bool) -> dict | None:
+    """Seek state for decoding a stripe from row group ``group``: for
+    every column in the subtrees of ``cids``, unpack that column's
+    RowIndexEntry positions. None when any required column lacks an
+    index / has an unseekable kind / mismatched arity — the caller
+    falls back to full-stripe decode (always sound)."""
+    seeks: dict[tuple[int, int], tuple] = {}
+    for top in cids:
+        for cid in _subtree_cids(types, top):
+            raw = st.stream(cid, _ROW_INDEX)
+            if raw is None:
+                return None
+            entries = _parse_row_index(raw)
+            if group >= len(entries):
+                return None
+            layout = _position_layout(
+                types[cid], st.encodings[cid][0],
+                (cid, _PRESENT) in st._ranges,
+            )
+            if layout is None:
+                return None
+            col_seeks = _unpack_positions(entries[group][0], layout,
+                                          compressed)
+            if col_seeks is None:
+                return None
+            for skind, tup in col_seeks.items():
+                seeks[(cid, skind)] = tup
+    return seeks
+
+
+def _select_row_groups(st: "_Stripe", types, root: _OrcType,
+                       terms: list[tuple], n_rows: int, stride: int,
+                       ts_slack_ns: int) -> list[bool] | None:
+    """Per-row-group keep flags from RowIndexEntry statistics (ANDed
+    across terms) and per-group bloom filters (``==``/``in``). None =
+    nothing eliminable (no usable index, or every group admits)."""
+    n_groups = (n_rows + stride - 1) // stride
+    keep = [True] * n_groups
+    any_info = False
+    for col_name, op, lit in terms:
+        cid = root.subtypes[root.names.index(col_name)]
+        raw = st.stream(cid, _ROW_INDEX)
+        if raw is not None:
+            entries = _parse_row_index(raw)
+            if len(entries) == n_groups:
+                any_info = True
+                for g, (_pos, stt) in enumerate(entries):
+                    if keep[g] and not _stats_admit(stt, op, lit,
+                                                    ts_slack_ns):
+                        keep[g] = False
+        if op in ("==", "in"):
+            lits = [lit] if op == "==" else lit
+            hits = _bloom_entry_hits(st, cid, types[cid].kind, lits)
+            if hits is not None and len(hits) == n_groups:
+                any_info = True
+                for g in range(n_groups):
+                    keep[g] = keep[g] and hits[g]
+    if not any_info or all(keep):
+        return None
+    return keep
+
+
 # ---------------------------------------------------------- stripe decode
 
 
@@ -537,13 +762,18 @@ class _Stripe:
     decompressed only when a decoded column asks for them."""
 
     def __init__(self, raw: bytes | memoryview, footer: dict, compression: str,
-                 block_size: int, n_rows: int):
+                 block_size: int, n_rows: int,
+                 seeks: dict[tuple[int, int], tuple] | None = None):
         self.raw = raw
         self.compression = compression
         self.block_size = block_size
         self.n_rows = n_rows
         self.encodings = footer["encodings"]
         self.tz = footer["tz"]
+        # {(col, stream_kind): (block_off, inblock_off, run_off,
+        # bit_off)} — positions a decode at a row-group boundary
+        # (_build_seeks); empty/None = decode from the stripe start
+        self.seeks = seeks or {}
         self._ranges: dict[tuple[int, int], tuple[int, int]] = {}
         off = 0
         for kind, col, ln in footer["streams"]:
@@ -555,18 +785,48 @@ class _Stripe:
         if rng is None:
             return None
         off, ln = rng
-        return _decompress(
-            memoryview(self.raw)[off : off + ln], self.compression,
+        blk, inb, _run, _bit = self.seeks.get((col, kind), (0, 0, 0, 0))
+        out = _decompress(
+            memoryview(self.raw)[off + blk : off + ln], self.compression,
             self.block_size,
         )
+        return out[inb:] if inb else out
 
-    def ints(self, col: int, kind: int, signed: bool) -> np.ndarray:
+    def _drops(self, col: int, kind: int) -> tuple[int, int]:
+        _blk, _inb, run, bit = self.seeks.get((col, kind), (0, 0, 0, 0))
+        return run, bit
+
+    def ints(self, col: int, kind: int, signed: bool,
+             count: int | None = None) -> np.ndarray:
         buf = self.stream(col, kind)
         if buf is None:
             return np.empty(0, np.int64 if signed else np.uint64)
+        run, _ = self._drops(col, kind)
+        want = None if count is None else count + run
         if self.encodings[col][0] >= _DIRECT_V2_KIND:
-            return decode_int_rle_v2(buf, signed=signed)
-        return decode_int_rle_v1(buf, signed=signed)
+            vals = decode_int_rle_v2(buf, signed=signed, count=want)
+        else:
+            vals = decode_int_rle_v1(buf, signed=signed, count=want)
+        return vals[run:] if run else vals
+
+    def bytes_rle(self, col: int, kind: int,
+                  count: int | None = None) -> np.ndarray | None:
+        buf = self.stream(col, kind)
+        if buf is None:
+            return None
+        run, _ = self._drops(col, kind)
+        want = None if count is None else count + run
+        vals = decode_byte_rle(buf, count=want)
+        return vals[run:] if run else vals
+
+    def bools(self, col: int, kind: int, count: int) -> np.ndarray | None:
+        buf = self.stream(col, kind)
+        if buf is None:
+            return None
+        run, bit = self._drops(col, kind)
+        packed = decode_byte_rle(buf, count=run + (bit + count + 7) // 8)
+        bits = np.unpackbits(packed[run:])[bit : bit + count]
+        return bits.astype(bool)
 
 
 _DIRECT_V2_KIND = 2  # ColumnEncoding.DIRECT_V2 / DICTIONARY_V2 boundary
@@ -604,12 +864,11 @@ def _varlen_from_parts(
 def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
                  n: int) -> pa.Array:
     t = types[cid]
-    pres = st.stream(cid, _PRESENT)
-    if pres is None:
+    mask = st.bools(cid, _PRESENT, n)
+    if mask is None:
         mask = np.ones(n, bool)
         nv = n
     else:
-        mask = decode_boolean_rle(pres, n)
         nv = int(mask.sum())
     k = t.kind
 
@@ -625,7 +884,8 @@ def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
         return _expand(dense, mask)
 
     if k in (_K_LIST, _K_MAP):
-        lengths = st.ints(cid, _LENGTH, signed=False)[:nv].astype(np.int64)
+        lengths = st.ints(cid, _LENGTH, signed=False,
+                          count=nv)[:nv].astype(np.int64)
         n_child = int(lengths.sum())
         full = np.zeros(n + 1, np.int64)
         full[1:][mask] = lengths
@@ -662,8 +922,7 @@ def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
             raise NotImplementedError(
                 "orc_read: null UNION rows have no Arrow representation"
             )
-        tags_b = st.stream(cid, _DATA)
-        tags = decode_byte_rle(tags_b)[:nv].astype(np.int8)
+        tags = st.bytes_rle(cid, _DATA, nv)[:nv].astype(np.int8)
         children = []
         offsets = np.zeros(nv, np.int32)
         for i, sub in enumerate(t.subtypes):
@@ -680,18 +939,21 @@ def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
         )
 
     if k == _K_BOOL:
-        buf = st.stream(cid, _DATA) or b""
-        vals = decode_boolean_rle(buf, nv)
+        vals = st.bools(cid, _DATA, nv)
+        if vals is None:
+            vals = np.empty(0, bool)
         dense = pa.array(vals, pa.bool_())
         return _expand(dense, mask)
 
     if k == _K_BYTE:
-        buf = st.stream(cid, _DATA) or b""
-        vals = decode_byte_rle(buf)[:nv].view(np.int8)
+        vb = st.bytes_rle(cid, _DATA, nv)
+        if vb is None:
+            vb = np.empty(0, np.uint8)
+        vals = vb[:nv].view(np.int8)
         return _expand(pa.array(vals, pa.int8()), mask)
 
     if k in (_K_SHORT, _K_INT, _K_LONG, _K_DATE):
-        vals = st.ints(cid, _DATA, signed=True)[:nv]
+        vals = st.ints(cid, _DATA, signed=True, count=nv)[:nv]
         typ = {_K_SHORT: pa.int16(), _K_INT: pa.int32(),
                _K_LONG: pa.int64(), _K_DATE: pa.date32()}[k]
         if k == _K_DATE:
@@ -724,10 +986,10 @@ def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
                 [None, pa.py_buffer(doffs.tobytes()),
                  pa.py_buffer(dict_blob)],
             )
-            idx = st.ints(cid, _DATA, signed=False)[:nv]
+            idx = st.ints(cid, _DATA, signed=False, count=nv)[:nv]
             dense = dict_arr.take(pa.array(idx.astype(np.int64)))
             return _expand(dense, mask)
-        lengths = st.ints(cid, _LENGTH, signed=False)[:nv]
+        lengths = st.ints(cid, _LENGTH, signed=False, count=nv)[:nv]
         data = st.stream(cid, _DATA) or b""
         return _varlen_from_parts(lengths, data, mask, arrow_t)
 
@@ -735,8 +997,8 @@ def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
         wtz = None  # non-UTC writerTimezone (ORC-Java/Hive default config)
         if k == _K_TIMESTAMP and st.tz not in _UTC_NAMES:
             wtz = st.tz
-        stored = st.ints(cid, _DATA, signed=True)[:nv]
-        nanos_enc = st.ints(cid, _SECONDARY, signed=False)[:nv]
+        stored = st.ints(cid, _DATA, signed=True, count=nv)[:nv]
+        nanos_enc = st.ints(cid, _SECONDARY, signed=False, count=nv)[:nv]
         from ..codecs.timestamp import expand_nanos
 
         nanos = expand_nanos(nanos_enc).astype(np.int64)
@@ -765,7 +1027,7 @@ def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
 
     if k == _K_DECIMAL:
         buf = st.stream(cid, _DATA) or b""
-        scales = st.ints(cid, _SECONDARY, signed=True)[:nv]
+        scales = st.ints(cid, _SECONDARY, signed=True, count=nv)[:nv]
         decl_scale = t.scale
         precision = t.precision or 38
         dense = _decode_decimals(buf, scales, nv, precision, decl_scale)
@@ -949,11 +1211,54 @@ def read_orc(source, columns: list[str] | None = None,
                 break
         if bloom_pruned:
             continue
+        # row-group elimination (the SearchArgument row-index skip the
+        # reference's reader never shipped): per-group RowIndexEntry
+        # stats + blooms narrow the decode to [rows_lo, rows_hi); every
+        # projected column seeks its streams to the rows_lo group via
+        # the recorded positions, so skipped leading groups are never
+        # decompressed and trailing ones never decoded (count-bounded
+        # RLE scans). Falls back to full-stripe decode when any column
+        # lacks an index — elimination stays a sound superset.
+        n_dec = info["n_rows"]
+        rows_lo = 0
+        gmask = None
+        stride = footer["stride"]
+        if terms and stride and info["n_rows"] > stride:
+            gkeep = _select_row_groups(st, types, root, terms,
+                                       info["n_rows"], stride, ts_slack)
+            if gkeep is not None:
+                kept = [g for g, k in enumerate(gkeep) if k]
+                if not kept:
+                    continue  # every row group provably empty
+                g_lo, g_hi = kept[0], kept[-1] + 1
+                rows_lo = g_lo * stride
+                rows_hi = min(info["n_rows"], g_hi * stride)
+                if rows_lo > 0:
+                    seeks = _build_seeks(
+                        st, types, [root.subtypes[i] for i in sel],
+                        g_lo, comp != "none",
+                    )
+                    if seeks is None:
+                        rows_lo = 0  # can't seek: decode from start
+                        rows_hi = min(info["n_rows"],
+                                      g_hi * stride)
+                    else:
+                        st = _Stripe(memoryview(data)[start:end], sf,
+                                     comp, bs, info["n_rows"], seeks)
+                n_dec = rows_hi - rows_lo
+                if not all(gkeep[rows_lo // stride : g_hi]):
+                    # interior gaps: drop rows of eliminated groups
+                    rel = np.arange(n_dec, dtype=np.int64) + rows_lo
+                    gm = np.array(gkeep, bool)[rel // stride]
+                    gmask = pa.array(gm)
         arrays = [
-            _read_column(st, types, root.subtypes[i], info["n_rows"])
+            _read_column(st, types, root.subtypes[i], n_dec)
             for i in sel
         ]
-        tables.append(pa.table(dict(zip(names, arrays))))
+        tbl = pa.table(dict(zip(names, arrays)))
+        if gmask is not None:
+            tbl = tbl.filter(gmask)
+        tables.append(tbl)
     if not tables:
         empty = [
             pa.nulls(0, _arrow_type(types, root.subtypes[i]))
@@ -1015,44 +1320,45 @@ _K_BLOOM_OK = (
 )
 
 
-def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lits) -> bool:
+def _bloom_entry_hits(st: "_Stripe", cid: int, kind: int,
+                      lits) -> list[bool] | None:
     """Probe the stripe's BLOOM_FILTER_UTF8 stream for ``==``/``in``
-    literals; True when the stripe may hold ANY of them (or carries no
-    usable filter — unknown never prunes). Works against both our own
-    writer's filters and Apache-written ones (pyarrow
-    bloom_filter_columns), and accepts either the utf8bitset or the
-    legacy repeated-fixed64 form. A stripe may span several row groups:
-    any (row group, member) hit keeps it.
+    literals, one verdict per RowIndexEntry (= per row group): True
+    when that row group may hold ANY of them. None = no usable filter
+    (absent stream, unsupported kind, malformed entry) — unknown never
+    prunes. Works against both our own writer's filters and
+    Apache-written ones (pyarrow bloom_filter_columns), and accepts
+    either the utf8bitset or the legacy repeated-fixed64 form.
     """
     from ..codecs.orc_bloom import OrcBloomFilter
 
     if kind not in _K_BLOOM_OK:
-        return True
+        return None
     raw = st.stream(cid, 8)  # Stream.Kind BLOOM_FILTER_UTF8
     if raw is None:
-        return True
+        return None
     probes = []
     for lit in lits:
         if kind in (_K_STRING, _K_VARCHAR, _K_CHAR):
             probes.append(("bytes", str(lit).encode()))
         elif kind == _K_BINARY:
             if not isinstance(lit, (bytes, bytearray)):
-                return True
+                return None
             probes.append(("bytes", bytes(lit)))
         else:
             try:
                 # datetime.date -> epoch days (how ORC hashes DATE)
                 pv = int(_conv_lit(lit, 'date'))
             except (TypeError, ValueError, OverflowError):
-                return True
+                return None
             if -(1 << 63) <= pv < (1 << 63):
                 probes.append(("long", pv))
             # an out-of-int64-range literal can never equal a stored
             # ORC long: skip the member rather than feed wang_hash64 a
             # value numpy can't cast (OverflowError would kill the
             # task); an IN list that is ENTIRELY out of range matches
-            # nothing, so the empty probe set below prunes soundly
-    any_entry = False
+            # nothing, so the all-miss entry below prunes soundly
+    hits: list[bool] = []
     for fno, _wt, v in _proto_fields(raw):
         if fno != 1:  # BloomFilterIndex.bloomFilter
             continue
@@ -1071,18 +1377,20 @@ def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lits) -> bool:
         # position arrays to gigabytes. Java's sizing never exceeds
         # double digits; treat anything implausible as malformed.
         if not k or k > 128 or not bitset or len(bitset) % 8:
-            return True  # malformed/absent entry: never prune on it
-        any_entry = True
+            return None  # malformed/absent entry: never prune on it
         bf = OrcBloomFilter.from_utf8bitset(k, bitset)
-        for ptype, pval in probes:
-            hit = (
-                bf.test_long(pval)
-                if ptype == "long"
-                else bf.test_bytes(pval)
-            )
-            if hit:
-                return True
-    return not any_entry  # all (entry, member) pairs reject -> absent
+        hits.append(any(
+            bf.test_long(pv) if pt == "long" else bf.test_bytes(pv)
+            for pt, pv in probes
+        ))
+    return hits or None
+
+
+def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lits) -> bool:
+    """Stripe-level view of :func:`_bloom_entry_hits`: a stripe may
+    span several row groups, any (row group, member) hit keeps it."""
+    hits = _bloom_entry_hits(st, cid, kind, lits)
+    return hits is None or any(hits)
 
 
 def _normalize_predicate(predicate, root: _OrcType) -> list[tuple]:
@@ -1150,50 +1458,7 @@ def _prune_stripes(meta_raw, root: _OrcType, terms: list[tuple],
         for si, stt in enumerate(per_stripe[cid]):
             if not keep[si] or stt is None:
                 continue
-            if op == "isnull":
-                # prune only on an EXPLICIT hasNull=false (None =
-                # pre-1.x writer omitted the field: unknown keeps)
-                keep[si] = stt["has_null"] is not False
-                continue
-            if op == "notnull":
-                # numberOfValues counts NON-null values: 0 proves the
-                # stripe is all-null for this column
-                keep[si] = stt["n"] != 0
-                continue
-            if stt["min"] is None or stt["max"] is None:
-                continue
-            lo, hi = stt["min"], stt["max"]
-            sk = stt.get("sk")
-            if sk == "ts" and ts_slack_ns:
-                lo, hi = lo - ts_slack_ns, hi + ts_slack_ns
-                if op == "!=":
-                    # widened bounds can no longer PROVE every value
-                    # equals the literal
-                    continue
-            # a cross-typed literal (int predicate on a string column,
-            # …) must keep the stripe, never crash: unknown never prunes
-            try:
-                if op == "in":
-                    ok = any(lo <= _conv_lit(m, sk) <= hi for m in lit)
-                elif op == "==":
-                    ok = lo <= _conv_lit(lit, sk) <= hi
-                elif op == "!=":
-                    # skippable only when EVERY row fails col != lit:
-                    # all non-null values equal lit (lo == hi == lit)
-                    # and null rows fail it anyway under SQL ternary
-                    # logic
-                    ok = not (lo == hi == _conv_lit(lit, sk))
-                elif op == "<":
-                    ok = lo < _conv_lit(lit, sk)
-                elif op == "<=":
-                    ok = lo <= _conv_lit(lit, sk)
-                elif op == ">":
-                    ok = hi > _conv_lit(lit, sk)
-                else:
-                    ok = hi >= _conv_lit(lit, sk)
-            except TypeError:
-                ok = True
-            keep[si] = ok
+            keep[si] = _stats_admit(stt, op, lit, ts_slack_ns)
     return keep
 
 

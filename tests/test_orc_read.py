@@ -867,3 +867,141 @@ def test_decimal_fast_slow_boundary():
             ctx.prec = 76  # exact shift, no 28-digit default rounding
             want = [D(v).scaleb(-2) for v in vals]
         assert got.to_pylist() == want
+
+
+# --------------------------------------------- row-group (index) skipping
+
+
+def _rg_table(n=25_000):
+    import datetime
+    import decimal
+
+    D = decimal.Decimal
+    return pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "ni": pa.array(
+            [None if x % 7 == 0 else int(x) for x in range(n)], pa.int32()
+        ),
+        "f": pa.array(np.arange(n) * 0.5, pa.float64()),
+        "s": pa.array([f"val{x:06d}" for x in range(n)]),
+        "dct": pa.array([f"cat{x % 50:03d}" for x in range(n)]),
+        "b": pa.array((np.arange(n) >= 20_000).tolist(), pa.bool_()),
+        "ts": pa.array(
+            [datetime.datetime(2020, 1, 1)
+             + datetime.timedelta(seconds=int(x)) for x in range(n)],
+            pa.timestamp("ns"),
+        ),
+        "dec": pa.array(
+            [D(int(x)).scaleb(-2) for x in range(n)], pa.decimal128(18, 2)
+        ),
+        "lst": pa.array([[int(x), int(x) + 1] for x in range(n)],
+                        pa.list_(pa.int32())),
+        "stc": pa.array([{"a": int(x), "b": f"s{x % 9}"} for x in range(n)],
+                        pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        "mp": pa.array([{"m": int(x)} for x in range(n)],
+                       pa.map_(pa.string(), pa.int64())),
+    })
+
+
+@pytest.mark.parametrize("comp", ["uncompressed", "zlib", "zstd"])
+def test_row_group_skipping_apache_files(comp):
+    """Apache-written files with 2k-row index groups: predicates must
+    decode only the covering groups (positions-seeked streams for every
+    type incl. nulls/dict/timestamp/decimal/list/struct/map), with the
+    returned window byte-equal to pyarrow's view of the same rows."""
+    n = 25_000
+    t = _rg_table(n)
+    buf = io.BytesIO()
+    po.write_table(t, buf, row_index_stride=2_000, compression=comp,
+                   stripe_size=64 * 1024 * 1024,
+                   bloom_filter_columns=[t.column_names.index("s")])
+    data = buf.getvalue()
+    ref = po.read_table(io.BytesIO(data))
+
+    got = read_orc(data, predicate=[("k", ">=", 12_000), ("k", "<", 13_000)])
+    assert got.num_rows == 2_000  # exactly one group
+    ks = got.column("k").to_pylist()
+    assert ks[0] == 12_000 and ks[-1] == 13_999
+    exp = ref.slice(ks[0], got.num_rows)
+    for c in t.column_names:
+        g, e = got.column(c).combine_chunks(), exp.column(c).combine_chunks()
+        if g.type != e.type:
+            g = g.cast(e.type)
+        assert g.equals(e), (comp, c)
+
+    # bloom per row group: a point lookup decodes one group
+    got2 = read_orc(data, predicate=("s", "==", "val017500"))
+    assert got2.num_rows == 2_000
+    assert "val017500" in got2.column("s").to_pylist()
+    # no group admits
+    assert read_orc(data, predicate=("k", ">", 10**9)).num_rows == 0
+    # first group needs no seek (prefix decode with count-stops)
+    got4 = read_orc(data, predicate=("k", "<", 5))
+    assert got4.num_rows == 2_000 and got4.column("k").to_pylist()[0] == 0
+    # disjoint groups: interior groups dropped from the output
+    got5 = read_orc(data, predicate=("k", "in", [100, 23_000]))
+    ks5 = got5.column("k").to_pylist()
+    assert got5.num_rows == 4_000 and 100 in ks5 and 23_000 in ks5
+    assert not any(5_000 <= v < 22_000 for v in ks5)
+    # hasNull=false groups don't exist for ni: isnull keeps everything
+    assert read_orc(data, predicate=("ni", "isnull", None)).num_rows == n
+
+
+def test_row_group_skipping_multi_stripe():
+    """Stripe elimination and row-group elimination compose: a needle
+    lands in one group of one stripe."""
+    n = 40_000
+    t = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "s": pa.array([f"row{x:06d}" for x in range(n)]),
+    })
+    buf = io.BytesIO()
+    po.write_table(t, buf, row_index_stride=1_000, compression="zlib",
+                   stripe_size=64 * 1024, batch_size=5_000)
+    data = buf.getvalue()
+    from orc_format_spark.sources.orc_read import _file_tail
+
+    _ps, _comp, _bs, footer, _meta = _file_tail(data)
+    assert len(footer["stripes"]) >= 2  # stripe_size forced several
+    got = read_orc(data, predicate=("k", "==", 31_337))
+    assert got.num_rows <= 2_000  # <= one group (+ partial tail group)
+    assert 31_337 in got.column("k").to_pylist()
+    assert [str(v) for v in got.column("s").to_pylist()] == [
+        f"row{v:06d}" for v in got.column("k").to_pylist()
+    ]
+
+
+def test_row_group_skipping_fuzz():
+    """Seeded sweep: random predicates over random strides must always
+    return a superset of the exact matches, and the rows returned must
+    byte-match pyarrow's read of the same file."""
+    rng = np.random.default_rng(99)
+    n = 12_000
+    vals = np.sort(rng.integers(0, 100_000, n))
+    strs = np.array([f"x{v:07d}" for v in vals])
+    t = pa.table({"k": pa.array(vals, pa.int64()), "s": pa.array(strs)})
+    for stride in (1_000, 3_000):
+        buf = io.BytesIO()
+        po.write_table(t, buf, row_index_stride=stride, compression="zstd",
+                       stripe_size=64 * 1024 * 1024)
+        data = buf.getvalue()
+        ref = po.read_table(io.BytesIO(data))
+        kf = np.asarray(ref.column("k"))
+        for _ in range(25):
+            op = ["<", "<=", "==", "!=", ">=", ">", "in"][rng.integers(0, 7)]
+            lit = int(rng.integers(-5_000, 105_000))
+            pred_lit = ([int(x) for x in
+                         rng.integers(0, 100_000, 3)] if op == "in" else lit)
+            got = read_orc(data, predicate=("k", op, pred_lit))
+            gk = got.column("k").to_pylist()
+            # superset of exact matches
+            if op == "in":
+                want = np.isin(kf, pred_lit)
+            else:
+                want = eval(f"kf {op if op != '==' else '=='} lit") \
+                    if op != "in" else None
+            missing = set(kf[want].tolist()) - set(gk)
+            assert not missing, (stride, op, pred_lit, sorted(missing)[:5])
+            # returned rows are real rows with aligned columns
+            gs = got.column("s").to_pylist()
+            assert gs == [f"x{v:07d}" for v in gk], (stride, op)
