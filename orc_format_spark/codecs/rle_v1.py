@@ -354,6 +354,8 @@ def decode_int_rle_v1(buf, signed: bool = True,
             vr_len.append(ve + 1 - vs)
             i = ve + 1
             total += cnt
+    if not cnts:  # count=0 positioned read: nothing to materialize
+        return np.empty(0, np.int64 if signed else np.uint64)
     is_run = np.array(kinds, bool)
     cnt_a = np.array(cnts, np.int64)
     vbytes = b[_range_gather_indices(np.array(vr_start, np.int64), np.array(vr_len, np.int64))]

@@ -545,6 +545,8 @@ def decode_int_rle_v2(buf, signed: bool = True,
         seg_kind.append(kind)
         total += seg_count[-1]
 
+    if not seg_count:  # count=0 positioned read: nothing to materialize
+        return np.empty(0, np.int64 if signed else np.uint64)
     counts = np.array(seg_count, np.int64)
     ends = np.cumsum(counts)
     starts = ends - counts

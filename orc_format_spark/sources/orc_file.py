@@ -511,6 +511,7 @@ def _column_streams(
     dict_threshold: float = DICT_THRESHOLD,
     rle: str = "v1",
     stats: dict | None = None,
+    force_present: frozenset | None = None,
 ) -> int:
     """Append (kind, column, raw_bytes) streams for this column and its
     children, pre-order; record non-DIRECT ColumnEncodings in
@@ -534,7 +535,10 @@ def _column_streams(
     if stats is not None:
         stats[col_id] = _stat_of(arr)
     valid = _validity(arr)
-    if arr.null_count:
+    if arr.null_count or (force_present and col_id in force_present):
+        # force_present: row-group-strided stripes need a UNIFORM
+        # stream set across groups, so a column null anywhere in the
+        # stripe emits PRESENT in every group (all-true runs are tiny)
         streams.append((_PRESENT, col_id, encode_boolean_rle(valid)))
         dense = arr.drop_null()
     else:
@@ -551,7 +555,7 @@ def _column_streams(
     def recurse(child: pa.Array, cid: int) -> int:
         return _column_streams(
             child, cid, streams, encodings, dict_strings, dict_threshold,
-            rle, stats,
+            rle, stats, force_present,
         )
 
     if pa.types.is_struct(t):
@@ -722,6 +726,121 @@ def _column_streams(
     return col_id + 1
 
 
+# ------------------------------------------- row-group-strided encoding
+
+
+def _writer_index_layout(nodes, cid: int,
+                         has_present: bool) -> list[tuple[int, str]]:
+    """RowIndexEntry position order for a column WE write in strided
+    mode (always DIRECT — no dictionaries there): [(stream_kind,
+    reader_kind)], reader_kind 'raw' | 'rle' | 'bool'. Mirrors the
+    recordPosition order both Apache readers expect (and orc_read's
+    _position_layout consumes)."""
+    k = nodes[cid][0]
+    out: list[tuple[int, str]] = []
+    if has_present:
+        out.append((_PRESENT, "bool"))
+    if k in (_KIND["int8"], _KIND["int16"], _KIND["int32"],
+             _KIND["int64"], _KIND["date32[day]"]):
+        out.append((_DATA, "rle"))  # int8 is byte-RLE: same arity
+    elif k in (_KIND["float"], _KIND["double"]):
+        out.append((_DATA, "raw"))
+    elif k == _KIND["bool"]:
+        out.append((_DATA, "bool"))
+    elif k in (_KIND["string"], _KIND["binary"]):
+        out.append((_DATA, "raw"))
+        out.append((_LENGTH, "rle"))
+    elif k == _KIND["timestamp"]:
+        out.append((_DATA, "rle"))
+        out.append((_SECONDARY, "rle"))
+    elif k == _KIND["decimal"]:
+        out.append((_DATA, "raw"))
+        out.append((_SECONDARY, "rle"))
+    elif k in (_KIND["list"], _KIND["map"]):
+        out.append((_LENGTH, "rle"))
+    elif k == _KIND["struct"]:
+        pass
+    elif k == _KIND["union"]:
+        out.append((_DATA, "rle"))  # byte-RLE tag stream
+    else:  # pragma: no cover — _plan_types gates the type surface
+        raise NotImplementedError(f"orc_file: no index layout for kind {k}")
+    return out
+
+
+def _comp_block_offsets(comp: bytes) -> list[int]:
+    """Byte offset of every compression block in an ORC-framed stream
+    (3-byte LE ``len*2+is_original`` headers)."""
+    offs = []
+    i = 0
+    n = len(comp)
+    while i < n:
+        offs.append(i)
+        i += 3 + (int.from_bytes(comp[i : i + 3], "little") >> 1)
+    return offs
+
+
+def _grouped_column_streams(
+    root: pa.StructArray,
+    stride: int,
+    rle: str,
+):
+    """Encode one stripe in ``stride``-row groups with every stream
+    RESTARTED at group boundaries (spec-legal — readers just decode),
+    so RowIndexEntry positions are exact with zero run/bit offsets:
+    group g of stream s starts at byte ``offsets[(kind, col)][g]`` of
+    the concatenated stream. Returns (streams, encodings, group_stats,
+    offsets, present_cols); stripe stats = merge of group stats.
+    Strings are forced DIRECT (a shared stripe dictionary cannot
+    restart per group).
+
+    ``stride`` must be a multiple of 8 so boolean bit-packing ends on
+    a byte boundary at every group edge (bit offsets stay zero)."""
+    n = len(root)
+    n_groups = max(1, (n + stride - 1) // stride)
+
+    def encode_group(g: int, force: frozenset | None):
+        streams_g: list = []
+        enc_g: dict = {}
+        stats_g: dict = {}
+        _column_streams(root.slice(g * stride, stride), 0, streams_g,
+                        enc_g, False, 0.0, rle, stats_g,
+                        force_present=force)
+        return streams_g, enc_g, stats_g
+
+    per_group = [encode_group(g, None) for g in range(n_groups)]
+    union_present = frozenset().union(*(
+        frozenset(c for k, c, _ in sg if k == _PRESENT)
+        for sg, _e, _s in per_group
+    ))
+    for g in range(n_groups):
+        has = frozenset(
+            c for k, c, _ in per_group[g][0] if k == _PRESENT
+        )
+        if has != union_present:
+            # a column is null somewhere in the stripe but not in this
+            # group: re-encode the group with PRESENT forced so every
+            # group carries the identical stream set
+            per_group[g] = encode_group(g, union_present)
+    group_stats = [s for _sg, _e, s in per_group]
+    encodings = per_group[0][1]  # uniform: type- and rle-determined
+    keys = [(k, c) for k, c, _ in per_group[0][0]]
+    for g in range(1, n_groups):
+        assert [(k, c) for k, c, _ in per_group[g][0]] == keys, \
+            "orc_file: non-uniform stream sets across row groups"
+    streams = []
+    offsets: dict[tuple[int, int], list[int]] = {key: [] for key in keys}
+    for idx, key in enumerate(keys):
+        parts = []
+        pos = 0
+        for g in range(n_groups):
+            offsets[key].append(pos)
+            b = per_group[g][0][idx][2]
+            parts.append(b)
+            pos += len(b)
+        streams.append((key[0], key[1], b"".join(parts)))
+    return streams, encodings, group_stats, offsets, union_present
+
+
 # -------------------------------------------------------------- writer
 
 
@@ -736,6 +855,7 @@ def write_orc(
     dict_threshold: float = DICT_THRESHOLD,
     rle: str = "v1",
     row_index: bool = True,
+    row_index_stride: int | None = None,
     bloom_columns: list[str] | None = None,
     bloom_fpp: float = 0.05,
 ) -> int:
@@ -762,6 +882,19 @@ def write_orc(
     overflow) plus one-row-group-per-stripe ROW_INDEX streams, enabling
     Apache ORC Java stripe elimination under predicate pushdown.
 
+    ``row_index_stride=N`` (multiple of 8, e.g. Apache's default
+    10_000) splits every stripe into N-row index groups with one
+    RowIndexEntry per group carrying REAL seek positions: every stream
+    restarts its encoder at group boundaries (spec-legal, ~1 extra run
+    per group), so positions are exact with zero run/bit offsets, and
+    compressed positions map through the block framing. Apache ORC
+    Java (Spark's reader) demonstrably SKIPS row groups inside a
+    single stripe from these positions (scan emits one group of a
+    200k-row stripe, tests/test_orc_file.py), as does the repo's own
+    reader. Strings are forced DIRECT in this mode (a shared stripe
+    dictionary cannot restart per group); ``bloom_columns`` filters
+    become one-per-group automatically.
+
     ``bloom_columns`` adds a BLOOM_FILTER_UTF8 index stream (the
     proto's bloom filters, orc_proto.proto:98-106 — listed but never
     written by the reference) for those top-level int/date/string/binary
@@ -776,6 +909,18 @@ def write_orc(
             f"orc_file: compression {compression!r} not in "
             f"{sorted(_COMPRESSION)}"
         )
+    if row_index_stride is not None:
+        if not row_index:
+            raise ValueError(
+                "orc_file: row_index_stride requires row_index=True"
+            )
+        if row_index_stride <= 0 or row_index_stride % 8:
+            # groups must end on PRESENT/boolean byte boundaries so
+            # every recorded bit offset is zero
+            raise ValueError(
+                "orc_file: row_index_stride must be a positive "
+                "multiple of 8"
+            )
     if rle not in ("v1", "v2"):
         raise ValueError(f"orc_file: rle {rle!r} not in ('v1', 'v2')")
     nodes, extras = _plan_types(table.schema)
@@ -830,13 +975,26 @@ def write_orc(
                 ],
                 names=list(batch_tbl.schema.names),
             )
-            streams: list[tuple[int, int, bytes]] = []
-            encodings: dict[int, tuple[int, int]] = {}
-            sstats: dict[int, dict] = {}
-            _column_streams(
-                root, 0, streams, encodings, dict_strings, dict_threshold,
-                rle, sstats,
-            )
+            gstats: list[dict] | None = None
+            if row_index_stride is not None:
+                (streams, encodings, gstats, goffs,
+                 present_cols) = _grouped_column_streams(
+                    root, row_index_stride, rle,
+                )
+                sstats = {}
+                for cid in range(len(nodes)):
+                    m = None
+                    for gs in gstats:
+                        m = _merge_stat(m, gs[cid])
+                    sstats[cid] = m
+            else:
+                streams = []
+                encodings = {}
+                sstats = {}
+                _column_streams(
+                    root, 0, streams, encodings, dict_strings,
+                    dict_threshold, rle, sstats,
+                )
             assert len(sstats) == len(nodes)  # walks agree on column ids
             stripe_stats.append(sstats)
             for i in range(len(nodes)):
@@ -845,7 +1003,78 @@ def write_orc(
             data_len = 0
             index_len = 0
             payloads = []
-            if row_index:
+            comp_streams = [
+                (kind, col, _orc_compress(raw, compression, block_size,
+                                          level))
+                for kind, col, raw in streams
+            ]
+            if row_index and gstats is not None:
+                # strided mode: one RowIndexEntry per row group with
+                # REAL positions — streams restart at group boundaries
+                # (run/bit offsets provably zero), so each position is
+                # (compressed block start, offset within block) or the
+                # plain byte offset when uncompressed
+                comp_map = {(k, c): cb for k, c, cb in comp_streams}
+                boffs_cache: dict[tuple[int, int], list[int]] = {}
+                n_groups = len(gstats)
+                for cid in range(len(nodes)):
+                    layout = _writer_index_layout(
+                        nodes, cid, cid in present_cols
+                    )
+                    entries = b""
+                    for g in range(n_groups):
+                        pos_vals: list[int] = []
+                        for skind, rtype in layout:
+                            u_off = goffs[(skind, cid)][g]
+                            if compression == "none":
+                                pos_vals.append(u_off)
+                            else:
+                                key = (skind, cid)
+                                if key not in boffs_cache:
+                                    boffs_cache[key] = _comp_block_offsets(
+                                        comp_map[key]
+                                    )
+                                boffs = boffs_cache[key]
+                                bi = u_off // block_size
+                                pos_vals.append(
+                                    boffs[bi] if bi < len(boffs)
+                                    else len(comp_map[key])
+                                )
+                                pos_vals.append(u_off % block_size)
+                            if rtype in ("rle", "bool"):
+                                pos_vals.append(0)
+                            if rtype == "bool":
+                                pos_vals.append(0)
+                        entry = b"".join(_pv(1, p) for p in pos_vals)
+                        entry += _pb(2, _stats_msg(gstats[g][cid]))
+                        entries += _pb(1, entry)
+                    comp = _orc_compress(
+                        entries, compression, block_size, level
+                    )
+                    payloads.append(comp)
+                    sf += _pb(
+                        1, _pv(1, _ROW_INDEX) + _pv(2, cid)
+                        + _pv(3, len(comp))
+                    )
+                    index_len += len(comp)
+                for cid in sorted(bloom_ids):
+                    col = batch_tbl.column(bloom_ids[cid])
+                    raw = b"".join(
+                        _bloom_index_msg(
+                            col.slice(g * row_index_stride,
+                                      row_index_stride), bloom_fpp,
+                        )
+                        for g in range(n_groups)
+                    )
+                    comp = _orc_compress(raw, compression, block_size,
+                                         level)
+                    payloads.append(comp)
+                    sf += _pb(
+                        1, _pv(1, _BLOOM_FILTER_UTF8) + _pv(2, cid)
+                        + _pv(3, len(comp))
+                    )
+                    index_len += len(comp)
+            elif row_index:
                 # ROW_INDEX stream per column, ONE RowIndexEntry whose
                 # statistics are the stripe's (footer rowIndexStride ==
                 # stripe_rows => exactly one row group per stripe, so
@@ -880,8 +1109,7 @@ def write_orc(
                         + _pv(3, len(comp))
                     )
                     index_len += len(comp)
-            for kind, col, raw in streams:
-                comp = _orc_compress(raw, compression, block_size, level)
+            for kind, col, comp in comp_streams:
                 payloads.append(comp)
                 stream_msg = _pv(1, kind) + _pv(2, col) + _pv(3, len(comp))
                 sf += _pb(1, stream_msg)
@@ -939,7 +1167,8 @@ def write_orc(
             )
         # one row group per stripe: stride == stripe_rows (a stride is an
         # UPPER bound on rows per group, so every stripe has exactly one)
-        footer += _pv(8, stripe_rows if row_index else 0)
+        footer += _pv(8, (row_index_stride or stripe_rows)
+                      if row_index else 0)
         footer_bytes = _orc_compress(footer, compression, block_size, level)
         f.write(footer_bytes)
         ps = _pv(1, len(footer_bytes))

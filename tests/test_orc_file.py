@@ -4,6 +4,7 @@ C++ reader (pyarrow.orc) — the reference's own validation loop
 re-expressed as the correctness gate for the protobuf tail."""
 
 import datetime
+import io
 import os
 import tempfile
 
@@ -574,3 +575,103 @@ def test_union_roundtrip_through_apache_reader():
     )
     got = _roundtrip(pa.table({"u": weird}))
     assert got.column("u").to_pylist() == [1, "b", 3, "d"]
+
+
+# ------------------------------------------- strided row-group indexes
+
+
+def test_row_index_stride_both_apache_legs():
+    """row_index_stride writes one RowIndexEntry per 2k-row group with
+    REAL positions (streams restart at group boundaries). Apache C++
+    must read the whole file exactly; our own reader must skip to the
+    covering group and slice-match the table on every type."""
+    import datetime as dt
+    import decimal
+
+    from orc_format_spark.sources.orc_read import read_orc
+
+    D = decimal.Decimal
+    n = 20_000
+    t = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "ni": pa.array([None if x % 7 == 0 else int(x) for x in range(n)],
+                       pa.int32()),
+        "f": pa.array(np.arange(n) * 0.5, pa.float64()),
+        "s": pa.array([f"val{x:06d}" for x in range(n)]),
+        "b": pa.array((np.arange(n) >= 15_000).tolist(), pa.bool_()),
+        "i8": pa.array((np.arange(n) % 120).astype(np.int8), pa.int8()),
+        "ts": pa.array([dt.datetime(2020, 1, 1)
+                        + dt.timedelta(seconds=int(x)) for x in range(n)],
+                       pa.timestamp("ns")),
+        "dec": pa.array([D(int(x)).scaleb(-2) for x in range(n)],
+                        pa.decimal128(18, 2)),
+        "lst": pa.array([[int(x), int(x) + 1] for x in range(n)],
+                        pa.list_(pa.int32())),
+        "stc": pa.array([{"a": int(x), "b": f"s{x % 9}"} for x in range(n)],
+                        pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        "mp": pa.array([{"m": int(x)} for x in range(n)],
+                       pa.map_(pa.string(), pa.int64())),
+    })
+    for rle in ("v1", "v2"):
+        for comp in ("none", "zlib", "zstd"):
+            buf = io.BytesIO()
+            write_orc(t, buf, compression=comp, rle=rle,
+                      stripe_rows=20_000, row_index_stride=2_000,
+                      bloom_columns=["s"])
+            data = buf.getvalue()
+            f = po.ORCFile(io.BytesIO(data))
+            assert f.row_index_stride == 2_000
+            ref = f.read()
+            for c in t.column_names:
+                g = ref.column(c).combine_chunks()
+                e = t.column(c).combine_chunks()
+                if g.type != e.type:
+                    g = g.cast(e.type)
+                assert g.equals(e), (rle, comp, c)
+            got = read_orc(data, predicate=[("k", ">=", 8_000),
+                                            ("k", "<", 9_000)])
+            assert got.num_rows == 2_000, (rle, comp, got.num_rows)
+            sl = t.slice(8_000, 2_000)
+            for c in t.column_names:
+                g = got.column(c).combine_chunks()
+                e = sl.column(c).combine_chunks()
+                if g.type != e.type:
+                    g = g.cast(e.type)
+                assert g.equals(e), (rle, comp, c)
+            got2 = read_orc(data, predicate=("s", "==", "val013777"))
+            assert got2.num_rows == 2_000
+            assert "val013777" in got2.column("s").to_pylist()
+
+
+def test_row_group_elimination_by_apache_java_reader(spark):
+    """The decisive external leg: Spark's ORC source (Apache ORC Java)
+    consumes OUR RowIndexEntry positions to skip row groups inside a
+    single stripe — the scan emits one 10k group of a 200k-row stripe,
+    and the rows that survive are exactly right. Wrong positions would
+    desync Java's positioned readers and corrupt values, so the value
+    assertion alone is strong validation."""
+    n = 200_000
+    t = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "s": pa.array([f"val{x:07d}" for x in range(n)]),
+    })
+    p = tempfile.mktemp(suffix=".orc")
+    write_orc(t, p, compression="zlib", rle="v2", stripe_rows=n,
+              row_index_stride=10_000, bloom_columns=["s"])
+    try:
+        assert po.ORCFile(p).nstripes == 1  # stripe skip can't help here
+        df = spark.read.orc(p)
+        q = df.filter("k >= 123456 and k < 123466")
+        rows = sorted(q.collect())
+        assert [r.k for r in rows] == list(range(123_456, 123_466))
+        assert all(r.s == f"val{r.k:07d}" for r in rows)
+        assert _scan_read_rows(q) == 10_000  # 1 of 20 row groups
+        q2 = df.filter("k = 54321").select("s")
+        assert [r.s for r in q2.collect()] == ["val0054321"]
+        assert _scan_read_rows(q2) == 10_000
+        # bloom-indexed point lookup on the string column
+        q3 = df.filter("s = 'val0188888'").select("k")
+        assert [r.k for r in q3.collect()] == [188_888]
+        assert _scan_read_rows(q3) == 10_000
+    finally:
+        os.unlink(p)
