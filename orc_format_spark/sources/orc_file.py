@@ -1205,6 +1205,7 @@ def write_orc_groups(
     rle: str = "v1",
     writer: str = "native",
     bloom_columns: list[str] | None = None,
+    row_index_stride: int | None = None,
 ):
     """Distributed real-ORC sink: salt rows into groups (the same
     :func:`operators.partitioning.with_group_id` salting as
@@ -1260,6 +1261,7 @@ def write_orc_groups(
                 data, tmp, compression=compression,
                 stripe_rows=stripe_rows, rle=rle,
                 bloom_columns=bloom_columns,
+                row_index_stride=row_index_stride,
             )
         os.replace(tmp, dest)
         return pa.table(
