@@ -691,31 +691,44 @@ def _column_streams(
     elif pa.types.is_decimal(t):
         # ORC DECIMAL v1: DATA = unbounded zigzag base-128 varint of the
         # unscaled value, SECONDARY = per-value scale (signed RLEv1).
-        # Per-value Python ints here — decimal columns are driver/test
-        # scale in this repo; the blob container owns the fast path.
-        import decimal as _dec
-
         scale = t.scale
-        data = bytearray()
-        count = 0
-        # scaleb under the default 28-digit context ROUNDS unscaled
-        # values with >28 significant digits (decimal128 allows 38);
-        # a 76-digit local context keeps the shift exact
-        with _dec.localcontext() as _ctx:
-            _ctx.prec = 76
-            unscaled = [int(v.as_py().scaleb(scale)) for v in dense]
-        for u in unscaled:
-            z = u << 1 if u >= 0 else ((-u) << 1) - 1  # zigzag, unbounded
-            while True:
-                b = z & 0x7F
-                z >>= 7
-                if z:
-                    data.append(b | 0x80)
-                else:
-                    data.append(b)
-                    break
-            count += 1
-        streams.append((_DATA, col_id, bytes(data)))
+        dd = (dense.combine_chunks()
+              if isinstance(dense, pa.ChunkedArray) else dense)
+        if t.precision <= 18:
+            # unscaled fits the decimal128 low limb: one vectorized
+            # zigzag + LEB128 pass (same kernel as the blob container),
+            # no per-value Python
+            from ..codecs.container import _decimal_unscaled_i64
+            from ..codecs.varint import encode_varints, zigzag_encode
+
+            u64 = _decimal_unscaled_i64(dd)
+            data = encode_varints(zigzag_encode(u64))[0].tobytes()
+            count = len(u64)
+        else:
+            # i128 cold path: unbounded zigzag over python big ints
+            import decimal as _dec
+
+            data_b = bytearray()
+            count = 0
+            # scaleb under the default 28-digit context ROUNDS unscaled
+            # values with >28 significant digits (decimal128 allows
+            # 38); a 76-digit local context keeps the shift exact
+            with _dec.localcontext() as _ctx:
+                _ctx.prec = 76
+                unscaled = [int(v.as_py().scaleb(scale)) for v in dd]
+            for u in unscaled:
+                z = u << 1 if u >= 0 else ((-u) << 1) - 1
+                while True:
+                    b = z & 0x7F
+                    z >>= 7
+                    if z:
+                        data_b.append(b | 0x80)
+                    else:
+                        data_b.append(b)
+                        break
+                count += 1
+            data = bytes(data_b)
+        streams.append((_DATA, col_id, data))
         streams.append(
             (_SECONDARY, col_id,
              enc_int(np.full(count, scale, np.int64), signed=True))
