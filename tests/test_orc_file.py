@@ -675,3 +675,50 @@ def test_row_group_elimination_by_apache_java_reader(spark):
         assert _scan_read_rows(q3) == 10_000
     finally:
         os.unlink(p)
+
+
+def test_row_group_seek_nullable_types_java_reader(spark):
+    """Java's positioned readers cross PRESENT (4-entry positions),
+    SECONDARY and raw-varint streams when seeking to a mid-stripe
+    group: a window inside group 8 of a 120k-row stripe must come back
+    value-exact for nullable long/bool/string/timestamp/decimal."""
+    import datetime as dt
+    import decimal
+
+    D = decimal.Decimal
+    n = 120_000
+    t = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "ni": pa.array([None if x % 7 == 0 else int(x) for x in range(n)],
+                       pa.int64()),
+        "b": pa.array([None if x % 11 == 0 else bool(x % 3)
+                       for x in range(n)], pa.bool_()),
+        "s": pa.array([None if x % 5 == 0 else f"val{x:07d}"
+                       for x in range(n)]),
+        "ts": pa.array([None if x % 13 == 0 else
+                        dt.datetime(2020, 1, 1)
+                        + dt.timedelta(seconds=int(x)) for x in range(n)],
+                       pa.timestamp("ns")),
+        "dec": pa.array([None if x % 17 == 0 else D(int(x)).scaleb(-2)
+                         for x in range(n)], pa.decimal128(18, 2)),
+    })
+    p = tempfile.mktemp(suffix=".orc")
+    write_orc(t, p, compression="zstd", rle="v2", stripe_rows=n,
+              row_index_stride=8_192)
+    try:
+        df = spark.read.orc(p)
+        q = df.filter("k >= 70000 and k < 70100")  # inside group 8
+        rows = sorted(q.collect())
+        assert len(rows) == 100
+        assert _scan_read_rows(q) == 8_192  # one group of ~15
+        for r in rows:
+            x = r.k
+            assert r.ni == (None if x % 7 == 0 else x)
+            assert r.b == (None if x % 11 == 0 else bool(x % 3))
+            assert r.s == (None if x % 5 == 0 else f"val{x:07d}")
+            assert r.dec == (None if x % 17 == 0 else D(x).scaleb(-2))
+        got_ts = sum(1 for r in rows if r.ts is not None)
+        assert got_ts == sum(1 for x in range(70_000, 70_100)
+                             if x % 13 != 0)
+    finally:
+        os.unlink(p)
