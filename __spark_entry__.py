@@ -1709,7 +1709,9 @@ def q_orc_rowgroup_prune(spark, sf_dir):
             compression="zstd", rle="v2", stripe_rows=65_536,
             row_index_stride=8_192,
         )
-        files.count()  # materialize the sink before reading
+        # no count() here: the native read executes the write lineage
+        # inside its own job (the files frame is the read's input), so
+        # an eager materialization would run the whole ORC sink TWICE
         mx = li.agg(F.max("l_orderkey")).first()[0]
         lo, hi = (mx * 2) // 5, (mx * 3) // 5  # mid-domain window
         out = read_orc_files_native(

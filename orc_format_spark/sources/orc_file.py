@@ -512,6 +512,7 @@ def _column_streams(
     rle: str = "v1",
     stats: dict | None = None,
     force_present: frozenset | None = None,
+    capture: dict | None = None,
 ) -> int:
     """Append (kind, column, raw_bytes) streams for this column and its
     children, pre-order; record non-DIRECT ColumnEncodings in
@@ -541,6 +542,8 @@ def _column_streams(
         # stripe emits PRESENT in every group (all-true runs are tiny)
         streams.append((_PRESENT, col_id, encode_boolean_rle(valid)))
         dense = arr.drop_null()
+        if capture is not None:
+            capture.setdefault(col_id, {})["valid"] = valid
     else:
         dense = arr
     t = arr.type
@@ -555,7 +558,7 @@ def _column_streams(
     def recurse(child: pa.Array, cid: int) -> int:
         return _column_streams(
             child, cid, streams, encodings, dict_strings, dict_threshold,
-            rle, stats, force_present,
+            rle, stats, force_present, capture,
         )
 
     if pa.types.is_struct(t):
@@ -612,6 +615,8 @@ def _column_streams(
     if pa.types.is_boolean(t):
         vals = np.asarray(dense.to_numpy(zero_copy_only=False), bool)
         streams.append((_DATA, col_id, encode_boolean_rle(vals)))
+        if capture is not None:
+            capture.setdefault(col_id, {})["bool"] = vals
     elif pa.types.is_int8(t):
         v = dense.to_numpy(zero_copy_only=False).astype(np.int8)
         streams.append((_DATA, col_id, encode_byte_rle(v.view(np.uint8))))
@@ -792,6 +797,28 @@ def _comp_block_offsets(comp: bytes) -> list[int]:
     return offs
 
 
+def _byte_rle_positions(buf: bytes, targets: list[int]) -> list[tuple[int, int]]:
+    """For each ascending byte-value index K, the (group header byte
+    offset, values consumed into that group) pair a positioned reader
+    needs: seek the stream to the header, decode the group, drop
+    ``into`` values. K at an exact group boundary points at the next
+    header with into=0 (the convention Apache's writers record)."""
+    out: list[tuple[int, int]] = []
+    i = 0
+    consumed = 0
+    L = len(buf)
+    for k_target in targets:
+        while i < L:
+            h = buf[i]
+            cnt = (h + 3) if h < 128 else 256 - h
+            if consumed + cnt > k_target:
+                break
+            consumed += cnt
+            i += 2 if h < 128 else 1 + cnt
+        out.append((i, k_target - consumed))
+    return out
+
+
 def _grouped_column_streams(
     root: pa.StructArray,
     stride: int,
@@ -806,8 +833,12 @@ def _grouped_column_streams(
     Strings are forced DIRECT (a shared stripe dictionary cannot
     restart per group).
 
-    ``stride`` must be a multiple of 8 so boolean bit-packing ends on
-    a byte boundary at every group edge (bit offsets stay zero)."""
+    Bit-packed streams (PRESENT at any depth, boolean DATA) are the
+    exception: their groups don't end on byte boundaries, so they are
+    encoded CONTINUOUSLY over the stripe and their RowIndexEntry
+    positions carry the scanned (header, values-into-run, bit) seek
+    state instead of zeros — the 5th return value maps (kind, col) to
+    those per-group triples."""
     n = len(root)
     n_groups = max(1, (n + stride - 1) // stride)
 
@@ -815,15 +846,16 @@ def _grouped_column_streams(
         streams_g: list = []
         enc_g: dict = {}
         stats_g: dict = {}
+        cap_g: dict = {}
         _column_streams(root.slice(g * stride, stride), 0, streams_g,
                         enc_g, False, 0.0, rle, stats_g,
-                        force_present=force)
-        return streams_g, enc_g, stats_g
+                        force_present=force, capture=cap_g)
+        return streams_g, enc_g, stats_g, cap_g
 
     per_group = [encode_group(g, None) for g in range(n_groups)]
     union_present = frozenset().union(*(
         frozenset(c for k, c, _ in sg if k == _PRESENT)
-        for sg, _e, _s in per_group
+        for sg, _e, _s, _c in per_group
     ))
     for g in range(n_groups):
         has = frozenset(
@@ -834,7 +866,8 @@ def _grouped_column_streams(
             # group: re-encode the group with PRESENT forced so every
             # group carries the identical stream set
             per_group[g] = encode_group(g, union_present)
-    group_stats = [s for _sg, _e, s in per_group]
+    group_stats = [s for _sg, _e, s, _c in per_group]
+    captures = [c for _sg, _e, _s, c in per_group]
     encodings = per_group[0][1]  # uniform: type- and rle-determined
     keys = [(k, c) for k, c, _ in per_group[0][0]]
     for g in range(1, n_groups):
@@ -851,7 +884,40 @@ def _grouped_column_streams(
             parts.append(b)
             pos += len(b)
         streams.append((key[0], key[1], b"".join(parts)))
-    return streams, encodings, group_stats, offsets, union_present
+
+    # Bit-packed streams (PRESENT anywhere, boolean DATA) CANNOT restart
+    # at group boundaries: a group whose bit count is not a multiple of
+    # 8 would pad its last byte and every continuous (non-seeking)
+    # reader would consume the padding as data. Re-encode them
+    # CONTINUOUSLY over the stripe — byte-identical to the non-strided
+    # wire — and compute genuine (byte-RLE header offset, values into
+    # group, bit offset) seek positions by scanning the encoded stream.
+    bit_seeks: dict[tuple[int, int], list[tuple[int, int, int]]] = {}
+    for idx, (skind, cid) in enumerate(keys):
+        if skind == _PRESENT:
+            field = "valid"
+        elif skind == _DATA and all(
+            "bool" in captures[g].get(cid, {}) for g in range(n_groups)
+        ):
+            field = "bool"
+        else:
+            continue
+        arrays = [np.asarray(captures[g][cid][field], bool)
+                  for g in range(n_groups)]
+        bits = np.concatenate(arrays) if arrays else np.zeros(0, bool)
+        cont = encode_boolean_rle(bits)
+        streams[idx] = (skind, cid, cont)
+        pref = 0
+        seeks = []
+        for a in arrays:
+            k_byte, bit_off = pref // 8, pref % 8
+            seeks.append((k_byte, bit_off))
+            pref += len(a)
+        hdr_into = _byte_rle_positions(cont, [s[0] for s in seeks])
+        bit_seeks[(skind, cid)] = [
+            (hdr, into, b) for (hdr, into), (_k, b) in zip(hdr_into, seeks)
+        ]
+    return streams, encodings, group_stats, offsets, bit_seeks
 
 
 # -------------------------------------------------------------- writer
@@ -927,12 +993,9 @@ def write_orc(
             raise ValueError(
                 "orc_file: row_index_stride requires row_index=True"
             )
-        if row_index_stride <= 0 or row_index_stride % 8:
-            # groups must end on PRESENT/boolean byte boundaries so
-            # every recorded bit offset is zero
+        if row_index_stride <= 0:
             raise ValueError(
-                "orc_file: row_index_stride must be a positive "
-                "multiple of 8"
+                "orc_file: row_index_stride must be positive"
             )
     if rle not in ("v1", "v2"):
         raise ValueError(f"orc_file: rle {rle!r} not in ('v1', 'v2')")
@@ -991,9 +1054,10 @@ def write_orc(
             gstats: list[dict] | None = None
             if row_index_stride is not None:
                 (streams, encodings, gstats, goffs,
-                 present_cols) = _grouped_column_streams(
+                 bit_seeks) = _grouped_column_streams(
                     root, row_index_stride, rle,
                 )
+                present_cols = {c for k, c in goffs if k == _PRESENT}
                 sstats = {}
                 for cid in range(len(nodes)):
                     m = None
@@ -1038,7 +1102,16 @@ def write_orc(
                     for g in range(n_groups):
                         pos_vals: list[int] = []
                         for skind, rtype in layout:
-                            u_off = goffs[(skind, cid)][g]
+                            bseek = bit_seeks.get((skind, cid))
+                            if bseek is not None:
+                                # continuous bit-packed stream: real
+                                # header/run/bit seek state
+                                u_off, run_v, bit_v = bseek[g]
+                            else:
+                                # group-restarted stream: group start
+                                # IS a fresh encoder state
+                                u_off = goffs[(skind, cid)][g]
+                                run_v = bit_v = 0
                             if compression == "none":
                                 pos_vals.append(u_off)
                             else:
@@ -1055,9 +1128,9 @@ def write_orc(
                                 )
                                 pos_vals.append(u_off % block_size)
                             if rtype in ("rle", "bool"):
-                                pos_vals.append(0)
+                                pos_vals.append(run_v)
                             if rtype == "bool":
-                                pos_vals.append(0)
+                                pos_vals.append(bit_v)
                         entry = b"".join(_pv(1, p) for p in pos_vals)
                         entry += _pb(2, _stats_msg(gstats[g][cid]))
                         entries += _pb(1, entry)

@@ -69,7 +69,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..codecs.rle_v1 import (
-    decode_boolean_rle,
     decode_byte_rle,
     decode_int_rle_v1,
 )
@@ -691,8 +690,18 @@ def _subtree_cids(types: list[_OrcType], cid: int) -> list[int]:
     return out
 
 
+def _stripe_row_index(st: "_Stripe", cid: int, cache: dict):
+    """Parsed ROW_INDEX entries of one column, memoized per stripe so
+    group selection and seek construction share one decompress+parse."""
+    if cid not in cache:
+        raw = st.stream(cid, _ROW_INDEX)
+        cache[cid] = None if raw is None else _parse_row_index(raw)
+    return cache[cid]
+
+
 def _build_seeks(st: "_Stripe", types: list[_OrcType], cids: list[int],
-                 group: int, compressed: bool) -> dict | None:
+                 group: int, compressed: bool,
+                 idx_cache: dict) -> dict | None:
     """Seek state for decoding a stripe from row group ``group``: for
     every column in the subtrees of ``cids``, unpack that column's
     RowIndexEntry positions. None when any required column lacks an
@@ -701,10 +710,9 @@ def _build_seeks(st: "_Stripe", types: list[_OrcType], cids: list[int],
     seeks: dict[tuple[int, int], tuple] = {}
     for top in cids:
         for cid in _subtree_cids(types, top):
-            raw = st.stream(cid, _ROW_INDEX)
-            if raw is None:
+            entries = _stripe_row_index(st, cid, idx_cache)
+            if entries is None:
                 return None
-            entries = _parse_row_index(raw)
             if group >= len(entries):
                 return None
             layout = _position_layout(
@@ -724,7 +732,7 @@ def _build_seeks(st: "_Stripe", types: list[_OrcType], cids: list[int],
 
 def _select_row_groups(st: "_Stripe", types, root: _OrcType,
                        terms: list[tuple], n_rows: int, stride: int,
-                       ts_slack_ns: int) -> list[bool] | None:
+                       ts_slack_ns: int, idx_cache: dict) -> list[bool] | None:
     """Per-row-group keep flags from RowIndexEntry statistics (ANDed
     across terms) and per-group bloom filters (``==``/``in``). None =
     nothing eliminable (no usable index, or every group admits)."""
@@ -733,9 +741,8 @@ def _select_row_groups(st: "_Stripe", types, root: _OrcType,
     any_info = False
     for col_name, op, lit in terms:
         cid = root.subtypes[root.names.index(col_name)]
-        raw = st.stream(cid, _ROW_INDEX)
-        if raw is not None:
-            entries = _parse_row_index(raw)
+        entries = _stripe_row_index(st, cid, idx_cache)
+        if entries is not None:
             if len(entries) == n_groups:
                 any_info = True
                 for g, (_pos, stt) in enumerate(entries):
@@ -1173,9 +1180,15 @@ def read_orc(source, columns: list[str] | None = None,
         # writer process): peek stripe 0's before stats pruning so
         # wall-vs-instant skew on foreign-timezone files can't
         # eliminate a matching stripe. 15h = max real zone offset
-        # (14h) + 1h DST fold headroom.
+        # (14h) + 1h DST fold headroom. The peek costs a footer
+        # decompress, so it only runs when a predicate term actually
+        # touches a (non-instant) TIMESTAMP column.
         ts_slack = 0
-        if footer["stripes"]:
+        ts_terms = any(
+            types[root.subtypes[root.names.index(tc)]].kind == _K_TIMESTAMP
+            for tc, _op, _lit in terms
+        )
+        if ts_terms and footer["stripes"]:
             info0 = footer["stripes"][0]
             e0 = info0["offset"] + info0["index_len"] + info0["data_len"]
             tz0 = _parse_stripe_footer(
@@ -1224,8 +1237,10 @@ def read_orc(source, columns: list[str] | None = None,
         gmask = None
         stride = footer["stride"]
         if terms and stride and info["n_rows"] > stride:
+            idx_cache: dict = {}
             gkeep = _select_row_groups(st, types, root, terms,
-                                       info["n_rows"], stride, ts_slack)
+                                       info["n_rows"], stride, ts_slack,
+                                       idx_cache)
             if gkeep is not None:
                 kept = [g for g, k in enumerate(gkeep) if k]
                 if not kept:
@@ -1236,12 +1251,10 @@ def read_orc(source, columns: list[str] | None = None,
                 if rows_lo > 0:
                     seeks = _build_seeks(
                         st, types, [root.subtypes[i] for i in sel],
-                        g_lo, comp != "none",
+                        g_lo, comp != "none", idx_cache,
                     )
                     if seeks is None:
                         rows_lo = 0  # can't seek: decode from start
-                        rows_hi = min(info["n_rows"],
-                                      g_hi * stride)
                     else:
                         st = _Stripe(memoryview(data)[start:end], sf,
                                      comp, bs, info["n_rows"], seeks)

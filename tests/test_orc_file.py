@@ -611,6 +611,14 @@ def test_row_index_stride_both_apache_legs():
                         pa.struct([("a", pa.int64()), ("b", pa.string())])),
         "mp": pa.array([{"m": int(x)} for x in range(n)],
                        pa.map_(pa.string(), pa.int64())),
+        # bit-packed hazards: nullable boolean DATA and null-bearing
+        # list children have per-group bit counts that are NOT byte
+        # multiples — these streams must encode continuously (group
+        # restarts would pad and desync every non-seeking reader)
+        "nb": pa.array([None if x % 11 == 0 else bool(x % 3)
+                        for x in range(n)], pa.bool_()),
+        "nlst": pa.array([[None, x] if x % 13 == 0 else [x] * (x % 3 + 1)
+                          for x in range(n)], pa.list_(pa.int32())),
     })
     for rle in ("v1", "v2"):
         for comp in ("none", "zlib", "zstd"):
@@ -722,3 +730,29 @@ def test_row_group_seek_nullable_types_java_reader(spark):
                              if x % 13 != 0)
     finally:
         os.unlink(p)
+
+
+def test_row_index_stride_bit_stream_regression():
+    """The exact shapes that corrupted under per-group bit restarts: a
+    nullable boolean and a variable-length list with null elements at a
+    non-multiple-of-8 group bit count — full reads through BOTH readers
+    must be value-exact at any stride, including odd ones."""
+    from orc_format_spark.sources.orc_read import read_orc
+
+    b_vals = [None if i == 3 else bool(i % 2) for i in range(64)]
+    l_vals = [[None, i] if i % 5 == 0 else [i] * (i % 3 + 1)
+              for i in range(64)]
+    t = pa.table({
+        "b": pa.array(b_vals, pa.bool_()),
+        "l": pa.array(l_vals, pa.list_(pa.int32())),
+    })
+    for stride in (8, 10, 16, 17):
+        buf = io.BytesIO()
+        write_orc(t, buf, row_index_stride=stride, compression="zlib")
+        data = buf.getvalue()
+        apache = po.read_table(io.BytesIO(data))
+        assert apache.column("b").to_pylist() == b_vals, stride
+        assert apache.column("l").to_pylist() == l_vals, stride
+        ours = read_orc(data)
+        assert ours.column("b").to_pylist() == b_vals, stride
+        assert ours.column("l").to_pylist() == l_vals, stride
