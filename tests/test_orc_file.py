@@ -709,6 +709,12 @@ def test_row_group_seek_nullable_types_java_reader(spark):
                        pa.timestamp("ns")),
         "dec": pa.array([None if x % 17 == 0 else D(int(x)).scaleb(-2)
                          for x in range(n)], pa.decimal128(18, 2)),
+        # list with null elements: the child PRESENT stream is
+        # continuous with SCANNED (header, run, bit) positions — the
+        # hardest seek state Java has to consume
+        "lst": pa.array([[None, int(x)] if x % 23 == 0
+                         else [int(x)] * (x % 3 + 1) for x in range(n)],
+                        pa.list_(pa.int64())),
     })
     p = tempfile.mktemp(suffix=".orc")
     write_orc(t, p, compression="zstd", rle="v2", stripe_rows=n,
@@ -725,6 +731,8 @@ def test_row_group_seek_nullable_types_java_reader(spark):
             assert r.b == (None if x % 11 == 0 else bool(x % 3))
             assert r.s == (None if x % 5 == 0 else f"val{x:07d}")
             assert r.dec == (None if x % 17 == 0 else D(x).scaleb(-2))
+            exp_l = [None, x] if x % 23 == 0 else [x] * (x % 3 + 1)
+            assert list(r.lst) == exp_l
         got_ts = sum(1 for r in rows if r.ts is not None)
         assert got_ts == sum(1 for x in range(70_000, 70_100)
                              if x % 13 != 0)
