@@ -887,6 +887,30 @@ def q_pq_ann(spark, sf_dir):
     return pq_topk(emb, k_nn=5, n_queries=10, m=8, k=16, stride=31)
 
 
+def q_sq8_roundtrip(spark, sf_dir):
+    """SQ8 scalar-quantization encode (faiss ScalarQuantizer QT_8bit
+    shape): every embedding compresses to D uint8 codes under
+    per-dimension affine bounds (4x smaller than float32, one
+    map-side-combinable bounds aggregate then pure map-side encode).
+    Codes CSV for byte-exact oracle compare."""
+    from orc_format_spark.functions.sq import sq8_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_encode(emb)
+
+
+def q_sq8_ann(spark, sf_dir):
+    """ANN over SQ8 codes via asymmetric distance: exact integer query
+    vectors against per-batch integer reconstructions, partial top-k
+    cut inside the kernel (Exchange carries <= Q*k rows per batch).
+    Ranks reproduced exactly by the SQL oracle (same bounds, codes,
+    reconstruction, tie rules)."""
+    from orc_format_spark.functions.sq import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_topk(emb, k_nn=5, n_queries=10)
+
+
 def q_ivf_pq_ann(spark, sf_dir):
     """IVF-ADC composed index (faiss IndexIVFPQ layout): IVF prunes
     which vectors are scored (nprobe nearest centroid lists), PQ prunes
@@ -2198,18 +2222,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_native_read": q_orc_native_read,
         "orc_bloom_prune": q_orc_bloom_prune,
         "orc_rowgroup_prune": q_orc_rowgroup_prune,
+        "sq8_roundtrip": q_sq8_roundtrip,
+        "sq8_ann": q_sq8_ann,
         # -- r04-green whose code changed this round, plus flagship --
         "tokens_roundtrip": q_tokens_roundtrip,
-        "clustered_encode": q_clustered_encode,
+        # clustered_encode and curation_pipeline moved below the
+        # boundary to make room for the two sq8 queries (late round-5
+        # feature, never driver-verified): their changed paths stay
+        # covered in-window — container encode/decode by the r03-group
+        # roundtrips + tokens_roundtrip, the dedup sentinel by
+        # exact_dedup + dedup_ladder
         "ann_topk": q_ann_topk,
         "pq_ann": q_pq_ann,
         "exact_dedup": q_exact_dedup,
         "dedup_ladder": q_dedup_ladder,
-        "curation_pipeline": q_curation_pipeline,
         # compression_variants gained the lzo kind this round (new
         # codecs/lzo.py) -> inside the window; curation_pipeline_v2
         # moved below (its changed dedup-sentinel path is covered by the
-        # in-window curation_pipeline + exact_dedup/dedup_ladder rows)
+        # in-window exact_dedup/dedup_ladder rows)
         "compression_variants": q_compression_variants,
         "compact_roundtrip": q_compact_roundtrip,
         "schema_evolution": q_schema_evolution,
@@ -2222,6 +2252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the encode/decode queries plus pytest +
         # scripts/check_oracles.py (88/88 green this round)
         "token_contains": q_token_contains,
+        "clustered_encode": q_clustered_encode,
+        "curation_pipeline": q_curation_pipeline,
         "predicate_decode": q_predicate_decode,
         "datasource_roundtrip": q_datasource_roundtrip,
         "bloom_filter_decode": q_bloom_filter_decode,
@@ -2278,6 +2310,7 @@ def oracle_sql() -> dict[str, str]:
         pq_encode_sql,
         pq_topk_sql,
     )
+    from orc_format_spark.functions.sq import sq8_encode_sql, sq8_topk_sql
     from orc_format_spark.functions.scrub import scrub_pii_sql
     from orc_format_spark.functions.semantic import semantic_dedup_sql
     from orc_format_spark.functions.similarity import (
@@ -2618,6 +2651,8 @@ def oracle_sql() -> dict[str, str]:
             k_nn=5, n_queries=10, m=8, k=16, pq_stride=31,
             centroid_stride=37, nprobe=4,
         ),
+        "sq8_roundtrip": sq8_encode_sql(),
+        "sq8_ann": sq8_topk_sql(k_nn=5, n_queries=10),
         "ann_lsh": lsh_bucketed_topk_sql(k=5, n_queries=10, sign_dims=8, n_tables=4),
         "ann_ivf": ivf_topk_sql(k=5, n_queries=10, centroid_stride=59, nprobe=3),
         "multimodal_features": extract_features_sql(),

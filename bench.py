@@ -85,6 +85,8 @@ HEADLINE = [
     "pq_encode",
     "pq_ann",
     "ivf_pq_ann",
+    "sq8_roundtrip",
+    "sq8_ann",
     "orc_file_roundtrip",
     "orc_dict_map_roundtrip",
     "orc_rle_v2_file_roundtrip",

@@ -33,8 +33,11 @@ Scope (matches + exceeds the writer):
   size, so this is the documented slow path), lzo (the repo's own
   pure-Python LZO1X decoder, codecs/lzo.py);
 - column projection: ``columns=[...]`` decodes + decompresses only the
-  requested top-level subtrees (streams of unselected columns are
-  never touched);
+  requested subtrees (streams of unselected columns are never
+  touched). Dotted paths project INTO structs at any depth
+  (``"s.inner.a"`` decodes only that leaf plus the enclosing structs'
+  PRESENT streams — nested schema pruning, the wide-struct scan
+  saver); ``"s"`` alongside ``"s.a"`` widens to the whole struct;
 - stripe pruning: ``predicate=(col, op, literal)`` or an AND-list of
   triples (SearchArgument conjunction), op in <,<=,==,!=,>=,>,in,
   isnull,notnull, over every min/max-carrying ColumnStatistics kind
@@ -868,8 +871,48 @@ def _varlen_from_parts(
     )
 
 
+def _proj_tree(columns: list[str]) -> dict:
+    """Dotted projection paths -> nested tree. ``None`` leaf = take the
+    whole subtree; a dict = recurse into a struct. ``"s"`` absorbs a
+    later ``"s.a"`` (whole wins) and ``"s"`` after ``"s.a"`` widens."""
+    tree: dict = {}
+    for path in columns:
+        parts = path.split(".")
+        node = tree
+        for i, p in enumerate(parts):
+            if i == len(parts) - 1:
+                node[p] = None
+            else:
+                nxt = node.get(p, _MISSING)
+                if nxt is None:
+                    break  # whole subtree already selected
+                if nxt is _MISSING:
+                    nxt = node[p] = {}
+                node = nxt
+    return tree
+
+
+_MISSING = object()
+
+
+def _validate_proj(types: list["_OrcType"], cid: int, proj,
+                   path: str) -> None:
+    if proj is None:
+        return
+    t = types[cid]
+    if t.kind != _K_STRUCT:
+        raise KeyError(
+            f"orc_read: cannot project into non-struct column {path!r}"
+        )
+    for name, sub in proj.items():
+        if name not in t.names:
+            raise KeyError(f"orc_read: no such field {path}.{name}")
+        _validate_proj(types, t.subtypes[t.names.index(name)], sub,
+                       f"{path}.{name}")
+
+
 def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
-                 n: int) -> pa.Array:
+                 n: int, proj=None) -> pa.Array:
     t = types[cid]
     mask = st.bools(cid, _PRESENT, n)
     if mask is None:
@@ -880,14 +923,27 @@ def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
     k = t.kind
 
     if k == _K_STRUCT:
+        # proj: {child_name: sub_proj} — only selected subtrees are
+        # decoded (their streams are the only ones decompressed; the
+        # pruned children's bytes are never touched)
+        if proj is None:
+            kept = list(zip(t.names, t.subtypes, [None] * len(t.subtypes)))
+        else:
+            kept = [
+                (nm, t.subtypes[t.names.index(nm)], sub)
+                for nm, sub in proj.items()
+            ]
         children = [
-            _read_column(st, types, sub, nv) for sub in t.subtypes
+            _read_column(st, types, sub_cid, nv, sub_proj)
+            for _nm, sub_cid, sub_proj in kept
         ]
         if not children:
             children = [pa.nulls(nv)]
             dense = pa.StructArray.from_arrays(children, ["__empty"])
         else:
-            dense = pa.StructArray.from_arrays(children, t.names)
+            dense = pa.StructArray.from_arrays(
+                children, [nm for nm, _c, _p in kept]
+            )
         return _expand(dense, mask)
 
     if k in (_K_LIST, _K_MAP):
@@ -1142,7 +1198,8 @@ def read_orc(source, columns: list[str] | None = None,
     """Read an ORC file into an Arrow table with the repo's decoders.
 
     ``source``: path, bytes, or binary file-like. ``columns`` projects
-    top-level fields (unselected column streams are never decompressed).
+    fields (unselected column streams are never decompressed); dotted
+    paths like ``"s.a"`` prune inside structs at any depth.
     ``predicate=(col, op, literal)`` with op in <,<=,==,!=,>=,>,in,
     isnull,notnull (``in`` takes an iterable literal; the null ops
     ignore theirs — pass None) skips whole stripes whose
@@ -1165,11 +1222,17 @@ def read_orc(source, columns: list[str] | None = None,
         raise NotImplementedError("orc_read: root type must be STRUCT")
     if columns is None:
         sel = list(range(len(root.subtypes)))
+        projs: list = [None] * len(sel)
     else:
-        missing = [c for c in columns if c not in root.names]
+        tree = _proj_tree(columns)
+        missing = [c for c in tree if c not in root.names]
         if missing:
             raise KeyError(f"orc_read: no such columns {missing}")
-        sel = [root.names.index(c) for c in columns]
+        sel = [root.names.index(c) for c in tree]
+        projs = list(tree.values())
+        for c, proj in tree.items():
+            _validate_proj(types, root.subtypes[root.names.index(c)],
+                           proj, c)
     names = [root.names[i] for i in sel]
 
     keep = None
@@ -1265,8 +1328,8 @@ def read_orc(source, columns: list[str] | None = None,
                     gm = np.array(gkeep, bool)[rel // stride]
                     gmask = pa.array(gm)
         arrays = [
-            _read_column(st, types, root.subtypes[i], n_dec)
-            for i in sel
+            _read_column(st, types, root.subtypes[i], n_dec, proj)
+            for i, proj in zip(sel, projs)
         ]
         tbl = pa.table(dict(zip(names, arrays)))
         if gmask is not None:
@@ -1274,14 +1337,14 @@ def read_orc(source, columns: list[str] | None = None,
         tables.append(tbl)
     if not tables:
         empty = [
-            pa.nulls(0, _arrow_type(types, root.subtypes[i]))
-            for i in sel
+            pa.nulls(0, _arrow_type(types, root.subtypes[i], proj))
+            for i, proj in zip(sel, projs)
         ]
         tables = [pa.table(dict(zip(names, empty)))]
     out = pa.concat_tables(tables)
     target = pa.schema(
-        [(nm, _arrow_type(types, root.subtypes[i]))
-         for nm, i in zip(names, sel)]
+        [(nm, _arrow_type(types, root.subtypes[i], proj))
+         for nm, i, proj in zip(names, sel, projs)]
     )
     try:
         return out.cast(target)
@@ -1289,7 +1352,8 @@ def read_orc(source, columns: list[str] | None = None,
         return out  # unions and friends: keep the built physical type
 
 
-def _arrow_type(types: list[_OrcType], cid: int) -> pa.DataType:
+def _arrow_type(types: list[_OrcType], cid: int,
+                proj=None) -> pa.DataType:
     t = types[cid]
     k = t.kind
     simple = {
@@ -1311,9 +1375,14 @@ def _arrow_type(types: list[_OrcType], cid: int) -> pa.DataType:
         return pa.map_(_arrow_type(types, t.subtypes[0]),
                        _arrow_type(types, t.subtypes[1]))
     if k == _K_STRUCT:
+        if proj is None:
+            return pa.struct(
+                [(nm, _arrow_type(types, sub))
+                 for nm, sub in zip(t.names, t.subtypes)]
+            )
         return pa.struct(
-            [(nm, _arrow_type(types, sub))
-             for nm, sub in zip(t.names, t.subtypes)]
+            [(nm, _arrow_type(types, t.subtypes[t.names.index(nm)], sub))
+             for nm, sub in proj.items()]
         )
     if k == _K_UNION:
         names = t.names or [f"f{i}" for i in range(len(t.subtypes))]

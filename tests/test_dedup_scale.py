@@ -401,3 +401,70 @@ def test_ivf_pq_full_probe_equals_pq_topk(spark):
         per_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
+def test_sq8_codes_bounds_and_recall(spark):
+    """SQ8 scalar quantization: codes are uint8-range and deterministic;
+    8-bit-per-dimension reconstruction is fine enough that asymmetric
+    search recovers the exact top-1 for nearly every query (far finer
+    than PQ's m-code compression on the same corpus)."""
+    import numpy as np
+
+    from orc_format_spark.functions.sq import sq8_encode, sq8_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sq8_encode(emb).collect()
+    assert len(rows) == emb.count()
+    assert all(
+        0 <= int(c) <= 255 for r in rows for c in r.codes_csv.split(",")
+    )
+    again = sq8_encode(emb).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # exact ground truth in the metric ADC approximates: L2 over the
+    # quantized (floor(x*1000)) vectors
+    vecs = {
+        r.vec_id: np.floor(np.array(r.embedding, np.float64) * 1000.0)
+        for r in emb.collect()
+    }
+    ids = np.array(sorted(vecs), np.int64)
+    mat = np.stack([vecs[i] for i in ids])
+    exact_top1 = {}
+    for qi in range(20):
+        qpos = int(np.searchsorted(ids, qi))
+        d2 = ((mat - mat[qpos]) ** 2).sum(axis=1)
+        d2[qpos] = np.iinfo(np.int64).max
+        order = np.lexsort((ids, d2))
+        exact_top1[qi] = int(ids[order[0]])
+    top5 = {}
+    for r in sq8_topk(emb, k_nn=5, n_queries=20).collect():
+        top5.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for q, nb in exact_top1.items() if nb in top5.get(q, set()))
+    # 8 bits/dim: near-exact — PQ at 32 bits/vector managed ~45% here
+    assert hits >= len(exact_top1) * 0.9, (hits, len(exact_top1))
+
+
+def test_sq8_constant_dimension_and_empty(spark):
+    """A constant dimension (span 0 -> floored to 1) encodes as code 0
+    and reconstructs exactly; an empty corpus is a loud error."""
+    import pytest as _pytest
+
+    from orc_format_spark.functions.sq import sq8_encode, sq8_topk
+
+    df = spark.createDataFrame(
+        [(0, [1.5, -2.0, 3.25]), (1, [1.5, 4.0, -1.0]), (2, [1.5, 0.5, 7.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r.codes_csv for r in sq8_encode(df).collect()}
+    # dim 0 constant -> every vector's first code is 0
+    assert all(v.split(",")[0] == "0" for v in rows.values())
+    # search still ranks by the varying dimensions
+    got = sq8_topk(df, k_nn=2, n_queries=3).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == [1, 2] for v in per_q.values())
+
+    empty = df.filter("vec_id < 0")
+    with _pytest.raises(ValueError, match="empty corpus"):
+        sq8_encode(empty).collect()

@@ -1005,3 +1005,87 @@ def test_row_group_skipping_fuzz():
             # returned rows are real rows with aligned columns
             gs = got.column("s").to_pylist()
             assert gs == [f"x{v:07d}" for v in gk], (stride, op)
+
+
+def _nested_table(n=500):
+    inner = pa.struct([("x", pa.int64()), ("y", pa.string())])
+    outer = pa.struct([("a", pa.int64()), ("b", pa.string()),
+                       ("inner", inner)])
+    return pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "s": pa.array(
+            [None if i % 11 == 0 else
+             {"a": i, "b": f"b{i}",
+              "inner": None if i % 7 == 0 else {"x": i * 2, "y": f"y{i}"}}
+             for i in range(n)], outer),
+    })
+
+
+@pytest.mark.parametrize("writer", ["apache", "ours"])
+def test_nested_projection_values(writer):
+    """Dotted columns= paths prune struct subtrees at any depth and
+    return exactly pyarrow's view of the same leaves (both writer
+    legs)."""
+    t = _nested_table()
+    if writer == "apache":
+        buf = io.BytesIO()
+        po.write_table(t, buf)
+        data = buf.getvalue()
+    else:
+        bo = io.BytesIO(); write_orc(t, bo, compression="zstd"); data = bo.getvalue()
+    ref = po.read_table(io.BytesIO(data))
+
+    got = read_orc(data, columns=["s.inner.y", "k"])
+    assert got.column_names == ["s", "k"]
+    assert got.column("k").to_pylist() == ref.column("k").to_pylist()
+    want = [None if r is None else
+            {"inner": None if r["inner"] is None
+             else {"y": r["inner"]["y"]}}
+            for r in ref.column("s").to_pylist()]
+    assert got.column("s").to_pylist() == want
+
+    # "s" alongside "s.a" widens to the whole struct
+    whole = read_orc(data, columns=["s.a", "s"])
+    assert whole.column("s").to_pylist() == ref.column("s").to_pylist()
+
+    # two sibling leaves keep selection order
+    two = read_orc(data, columns=["s.b", "s.a"])
+    assert [f.name for f in two.schema.field("s").type] == ["b", "a"]
+    assert two.column("s").to_pylist() == [
+        None if r is None else {"b": r["b"], "a": r["a"]}
+        for r in ref.column("s").to_pylist()
+    ]
+
+
+def test_nested_projection_skips_pruned_streams(monkeypatch):
+    """The pruned siblings' streams are never decompressed: with
+    columns=["s.inner.y"], preorder column ids for a/b/x (3, 4, 6) must
+    never be requested from the stripe."""
+    from orc_format_spark.sources import orc_read as mod
+
+    t = _nested_table()
+    bo = io.BytesIO(); write_orc(t, bo, compression="zstd"); data = bo.getvalue()
+    asked = set()
+    orig = mod._Stripe.stream
+
+    def spy(self, col, kind):
+        asked.add(col)
+        return orig(self, col, kind)
+
+    monkeypatch.setattr(mod._Stripe, "stream", spy)
+    got = read_orc(data, columns=["s.inner.y"])
+    assert got.num_rows == t.num_rows
+    # preorder: 0 root, 1 k, 2 s, 3 a, 4 b, 5 inner, 6 x, 7 y
+    assert asked & {1, 3, 4, 6} == set(), asked
+    assert {2, 5, 7} <= asked
+
+
+def test_nested_projection_errors():
+    t = _nested_table()
+    bo = io.BytesIO(); write_orc(t, bo); data = bo.getvalue()
+    with pytest.raises(KeyError, match="no such field s.zz"):
+        read_orc(data, columns=["s.zz"])
+    with pytest.raises(KeyError, match="non-struct"):
+        read_orc(data, columns=["k.a"])
+    with pytest.raises(KeyError, match="no such columns"):
+        read_orc(data, columns=["nope.a"])
