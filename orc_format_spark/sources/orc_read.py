@@ -702,17 +702,33 @@ def _stripe_row_index(st: "_Stripe", cid: int, cache: dict):
     return cache[cid]
 
 
-def _build_seeks(st: "_Stripe", types: list[_OrcType], cids: list[int],
+def _proj_cids(types: list[_OrcType], cid: int, proj):
+    """Column ids actually decoded for a (possibly projected) subtree:
+    the whole subtree when ``proj`` is None, else the struct node (its
+    PRESENT stream is still read) plus only the selected children."""
+    if proj is None:
+        yield from _subtree_cids(types, cid)
+        return
+    yield cid
+    t = types[cid]
+    for nm, sub in proj.items():
+        yield from _proj_cids(types, t.subtypes[t.names.index(nm)], sub)
+
+
+def _build_seeks(st: "_Stripe", types: list[_OrcType],
+                 cids: list[tuple[int, object]],
                  group: int, compressed: bool,
                  idx_cache: dict) -> dict | None:
     """Seek state for decoding a stripe from row group ``group``: for
-    every column in the subtrees of ``cids``, unpack that column's
-    RowIndexEntry positions. None when any required column lacks an
-    index / has an unseekable kind / mismatched arity — the caller
-    falls back to full-stripe decode (always sound)."""
+    every column a ``(top_cid, proj)`` pair will decode, unpack that
+    column's RowIndexEntry positions. Projection-pruned children need
+    no positions (their streams are never read). None when any
+    required column lacks an index / has an unseekable kind /
+    mismatched arity — the caller falls back to full-stripe decode
+    (always sound)."""
     seeks: dict[tuple[int, int], tuple] = {}
-    for top in cids:
-        for cid in _subtree_cids(types, top):
+    for top, proj in cids:
+        for cid in _proj_cids(types, top, proj):
             entries = _stripe_row_index(st, cid, idx_cache)
             if entries is None:
                 return None
@@ -1313,7 +1329,9 @@ def read_orc(source, columns: list[str] | None = None,
                 rows_hi = min(info["n_rows"], g_hi * stride)
                 if rows_lo > 0:
                     seeks = _build_seeks(
-                        st, types, [root.subtypes[i] for i in sel],
+                        st, types,
+                        [(root.subtypes[i], proj)
+                         for i, proj in zip(sel, projs)],
                         g_lo, comp != "none", idx_cache,
                     )
                     if seeks is None:

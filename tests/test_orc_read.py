@@ -1089,3 +1089,33 @@ def test_nested_projection_errors():
         read_orc(data, columns=["k.a"])
     with pytest.raises(KeyError, match="no such columns"):
         read_orc(data, columns=["nope.a"])
+
+
+def test_nested_projection_with_row_group_seek():
+    """Dotted projection composes with row-group elimination: a point
+    predicate on a strided Apache file decodes only the covering group
+    AND only the projected subtree; values match pyarrow's view."""
+    n = 20_000
+    inner = pa.struct([("x", pa.int64()), ("y", pa.string())])
+    outer = pa.struct([("a", pa.int64()), ("b", pa.string()),
+                       ("inner", inner)])
+    t = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "s": pa.array(
+            [{"a": i, "b": f"b{i}",
+              "inner": {"x": i * 2, "y": f"y{i}"}} for i in range(n)],
+            outer),
+    })
+    buf = io.BytesIO()
+    po.write_table(t, buf, row_index_stride=2_000,
+                   stripe_size=64 * 1024 * 1024)
+    data = buf.getvalue()
+
+    got = read_orc(data, columns=["s.inner.y", "k"],
+                   predicate=[("k", ">=", 6_000), ("k", "<", 7_000)])
+    assert got.num_rows == 2_000  # exactly one covering group
+    ks = got.column("k").to_pylist()
+    assert ks[0] == 6_000 and ks[-1] == 7_999
+    assert got.column("s").to_pylist() == [
+        {"inner": {"y": f"y{i}"}} for i in ks
+    ]
