@@ -48,6 +48,7 @@ from .selector import (
     _encode_int,
     _encode_str,
     select_float_codec,
+    select_and_encode_str,
     select_int_codec,
     select_str_codec,
 )
@@ -299,8 +300,13 @@ def encode_column(
         data, off = _flat_binary(vals)
         use = _pick(("raw_str", "dict_str", "fsst"), "raw_str")
         if not use:
-            use, est = select_str_codec(data, off)
-        streams.append((DATA, _encode_str_values(use, data, off)))
+            # fused select+encode: skips fsst training on clearly-dict
+            # samples, reuses the selection-trained symbol table (and,
+            # for sample-covered columns, the candidate bytes outright)
+            use, est, wire = select_and_encode_str(data, off)
+            streams.append((DATA, wire))
+        else:
+            streams.append((DATA, _encode_str_values(use, data, off)))
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         use = "list"
         lv = _combine(vals.cast(pa.large_list(t.value_type)))
