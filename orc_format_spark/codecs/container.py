@@ -47,10 +47,9 @@ from .selector import (
     _encode_float,
     _encode_int,
     _encode_str,
-    select_float_codec,
+    select_and_encode_int,
     select_and_encode_str,
-    select_int_codec,
-    select_str_codec,
+    select_float_codec,
 )
 from .varint import decode_varint_one, encode_varint_one
 
@@ -255,8 +254,10 @@ def encode_column(
             v = v.astype(np.int64)  # date32 -> days
         use = _pick(("rle_v1", "rle_v2", "for_bitpack", "dict_int"), "rle_v1")
         if not use:
-            use, est = select_int_codec(v, signed=True)
-        streams.append((DATA, _encode_int_values(use, v, True)))
+            use, est, wire = select_and_encode_int(v, signed=True)
+            streams.append((DATA, wire))
+        else:
+            streams.append((DATA, _encode_int_values(use, v, True)))
     elif pa.types.is_boolean(t):
         use = "bool_rle"
         v = vals.to_numpy(zero_copy_only=False)
@@ -294,8 +295,10 @@ def encode_column(
             v = _decimal_unscaled_i64(vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals)
             use = _pick(("rle_v1", "rle_v2", "for_bitpack", "dict_int"), "rle_v1")
             if not use:
-                use, est = select_int_codec(v, signed=True)
-            streams.append((DATA, _encode_int_values(use, v, True)))
+                use, est, wire = select_and_encode_int(v, signed=True)
+                streams.append((DATA, wire))
+            else:
+                streams.append((DATA, _encode_int_values(use, v, True)))
     elif pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(t) or pa.types.is_large_binary(t):
         data, off = _flat_binary(vals)
         use = _pick(("raw_str", "dict_str", "fsst"), "raw_str")

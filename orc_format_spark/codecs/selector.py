@@ -63,9 +63,21 @@ def select_int_codec(
     v: np.ndarray, signed: bool = True, sample: int = SAMPLE_VALUES
 ) -> tuple[str, dict[str, float]]:
     """Returns (codec, {codec: est_bytes_per_value}) for an int column."""
+    best, est, _wire = select_and_encode_int(v, signed, sample)
+    return best, est
+
+
+def select_and_encode_int(
+    v: np.ndarray, signed: bool = True, sample: int = SAMPLE_VALUES
+) -> tuple[str, dict[str, float], bytes]:
+    """Selection + final encode fused: returns (codec, estimates, wire
+    bytes). When the sample covered the whole column (the common case
+    for every column except long token lists), the winning candidate's
+    bytes ARE the final bytes — one encode instead of two, bit-identical
+    (every int codec is deterministic)."""
     n = v.size
     if n == 0:
-        return "rle_v1", {}
+        return "rle_v1", {}, _encode_int("rle_v1", v, signed)
     s = v[: min(n, sample)]
     # cheap stats to prune candidates
     uniq = np.unique(s[: 4096])
@@ -74,13 +86,17 @@ def select_int_codec(
     if card_ratio < 0.5:
         cands.append("dict_int")
     est: dict[str, float] = {}
+    enc: dict[str, bytes] = {}
     for c in cands:
         try:
-            est[c] = len(_encode_int(c, s, signed)) / len(s)
+            enc[c] = _encode_int(c, s, signed)
+            est[c] = len(enc[c]) / len(s)
         except Exception:
             continue
     best = min(est, key=est.get)
-    return best, est
+    if n <= sample:
+        return best, est, enc[best]
+    return best, est, _encode_int(best, v, signed)
 
 
 def select_str_codec(
