@@ -47,9 +47,9 @@ from .selector import (
     _encode_float,
     _encode_int,
     _encode_str,
+    select_and_encode_float,
     select_and_encode_int,
     select_and_encode_str,
-    select_float_codec,
 )
 from .varint import decode_varint_one, encode_varint_one
 
@@ -273,8 +273,10 @@ def encode_column(
         v = vals.to_numpy(zero_copy_only=False)
         use = _pick((raw_name, "float_split", "dict_float", "alp"), raw_name)
         if not use:
-            use, est = select_float_codec(v, dbl, compression)
-        streams.append((DATA, _encode_float(use, v, dbl)))
+            use, est, wire = select_and_encode_float(v, dbl, compression)
+            streams.append((DATA, wire))
+        else:
+            streams.append((DATA, _encode_float(use, v, dbl)))
     elif pa.types.is_timestamp(t):
         use = "timestamp"
         v = vals.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)

@@ -202,19 +202,38 @@ def select_float_codec(
     split 177.0 KB / dict 26.1 KB; l_extendedprice 250 KB / 333 KB /
     382 KB — no single choice is ever right, so each candidate's sample
     is actually compressed (bounded: <= sample values per candidate)."""
+    best, est, _wire = select_and_encode_float(v, double, compression, sample)
+    return best, est
+
+
+def select_and_encode_float(
+    v: np.ndarray,
+    double: bool = True,
+    compression: str = "zstd",
+    sample: int = SAMPLE_VALUES,
+) -> tuple[str, dict[str, float], bytes]:
+    """Selection + final encode fused (see :func:`select_float_codec`
+    for the post-compression estimation rationale): when the sample
+    covered the whole column, the winning candidate's PRE-compression
+    bytes are the final stream bytes — one encode instead of two,
+    bit-identical (the block codec is applied downstream either way)."""
     from .blocks import compress_stream
 
+    raw_name = "raw_double" if double else "raw_float"
     n = v.size
     if n == 0:
-        return "raw_double" if double else "raw_float", {}
+        return raw_name, {}, _encode_float(raw_name, v, double)
     s = v[: min(n, sample)]
     est: dict[str, float] = {}
+    enc: dict[str, bytes] = {}
     for c in FLOAT_CANDIDATES:
         try:
-            est[c] = len(compress_stream(_encode_float(c, s, double), compression)) / len(s)
+            enc[c] = _encode_float(c, s, double)
+            est[c] = len(compress_stream(enc[c], compression)) / len(s)
         except Exception:
             continue
     best = min(est, key=est.get)
+    wire = enc[best] if n <= sample else _encode_float(best, v, double)
     if best == "raw":
-        best = "raw_double" if double else "raw_float"
-    return best, est
+        best = raw_name
+    return best, est, wire
