@@ -715,10 +715,20 @@ def _rebuild_with_nulls(values: pa.Array, has_null, n_rows, present_stream) -> p
     return values.take(take)
 
 
-def decode_entries(entries: list[ColumnEntry], start: int = 0) -> tuple[str, pa.Array, int]:
-    """Decode the column at ``entries[start]`` (consuming child entries)."""
+def decode_entries(entries: list[ColumnEntry], start: int = 0,
+                   proj: dict | None = None) -> tuple[str, pa.Array, int]:
+    """Decode the column at ``entries[start]`` (consuming child entries).
+
+    ``proj`` prunes struct subtrees (same tree shape as the ORC
+    reader's dotted projection: ``{child_name: sub_proj | None}``) —
+    skipped children's streams are never decompressed."""
     e = entries[start]
     t = _parse_type(e.type)
+    if proj is not None and not pa.types.is_struct(t):
+        raise KeyError(
+            f"decode_table: cannot project into non-struct column "
+            f"{e.name!r}"
+        )
     raw_streams = {k: decompress_stream(s, e.comp) for k, s in e.streams}
     present = raw_streams.get(PRESENT, b"")
     nxt = start + 1
@@ -729,14 +739,36 @@ def decode_entries(entries: list[ColumnEntry], start: int = 0) -> tuple[str, pa.
         np.cumsum(lengths, out=off[1:])
         values = pa.LargeListArray.from_arrays(pa.array(off, pa.int64()), child).cast(t)
     elif pa.types.is_struct(t):
+        field_names = [t.field(i).name for i in range(t.num_fields)]
+        if proj is not None:
+            unknown = [nm for nm in proj if nm not in field_names]
+            if unknown:
+                raise KeyError(
+                    f"decode_table: no such fields {unknown} in struct "
+                    f"{e.name!r}"
+                )
         children = []
+        kept_names = []
         nxt = start + 1
-        for _ in range(t.num_fields):
-            _, child, nxt = decode_entries(entries, nxt)
+        for i in range(t.num_fields):
+            nm = field_names[i]
+            if proj is not None and nm not in proj:
+                nxt = _skip_entries(entries, nxt)
+                continue
+            _, child, nxt = decode_entries(
+                entries, nxt, proj[nm] if proj is not None else None
+            )
             children.append(child)
-        values = pa.StructArray.from_arrays(
-            children, names=[t.field(i).name for i in range(t.num_fields)]
-        )
+            kept_names.append(nm)
+        if proj is not None:
+            # selection order, matching the ORC reader's dotted
+            # projection (entries decode in file order; reorder after)
+            korder = {nm: k for k, nm in enumerate(proj)}
+            pairs = sorted(zip(kept_names, children),
+                           key=lambda p: korder[p[0]])
+            kept_names = [nm for nm, _ in pairs]
+            children = [c for _, c in pairs]
+        values = pa.StructArray.from_arrays(children, names=kept_names)
     elif pa.types.is_union(t):
         tags = rle_v1.decode_byte_rle(raw_streams[DATA]).view(np.int8)
         children = []
@@ -987,28 +1019,55 @@ def encode_table(
     return b"".join(parts), out_lineage
 
 
+def _proj_tree(columns: list[str]) -> dict:
+    """Dotted projection paths -> nested tree (same contract as the ORC
+    reader's): ``None`` leaf = whole subtree, dict = recurse into a
+    struct; ``"s"`` absorbs a later ``"s.a"`` and widens one."""
+    tree: dict = {}
+    for path in columns:
+        parts = path.split(".")
+        node = tree
+        for i, p in enumerate(parts):
+            if i == len(parts) - 1:
+                node[p] = None
+            else:
+                nxt = node.get(p, _MISSING_PROJ)
+                if nxt is None:
+                    break  # whole subtree already selected
+                if nxt is _MISSING_PROJ:
+                    nxt = node[p] = {}
+                node = nxt
+    return tree
+
+
+_MISSING_PROJ = object()
+
+
 def _decode_body(blob: bytes, columns: list[str] | None = None) -> pa.Table:
     entries = deserialize_blob(blob)
+    proj = _proj_tree(columns) if columns is not None else None
     cols = []
     names = []
     i = 0
     while i < len(entries):
         top = entries[i].name
-        if columns is not None and top not in columns:
+        if proj is not None and top not in proj:
             i = _skip_entries(entries, i)
             continue
-        name, arr, i = decode_entries(entries, i)
+        name, arr, i = decode_entries(
+            entries, i, proj[top] if proj is not None else None
+        )
         names.append(name)
         cols.append(arr)
-    if columns is not None:
+    if proj is not None:
         # a typo'd projection must be loud, not a silently narrower
         # table (checked in the same entry walk — no second header
         # parse; evolution decode resolves missing columns itself and
         # never reaches here)
-        missing = [c for c in columns if c not in names]
+        missing = [c for c in proj if c not in names]
         if missing:
             raise KeyError(f"decode_table: no such columns {missing}")
-        order = {c: k for k, c in enumerate(columns)}
+        order = {c: k for k, c in enumerate(proj)}
         pairs = sorted(zip(names, cols), key=lambda nc: order[nc[0]])
         names = [n for n, _ in pairs]
         cols = [c for _, c in pairs]
@@ -1180,7 +1239,11 @@ def decode_table(
     predicate: tuple | list[tuple] | None = None,
 ) -> pa.Table:
     """Decode a blob; ``columns`` projects at the blob level (unwanted
-    columns' streams are skipped without decompression), ``rows=(a, b)``
+    columns' streams are skipped without decompression) — dotted paths
+    (``"s.inner.y"``) prune INSIDE struct columns at any depth, the
+    same nested schema pruning as the ORC reader's ``read_orc``
+    (pruned children's streams never decompress; ``"s"`` alongside
+    ``"s.a"`` widens to the whole struct) — and ``rows=(a, b)``
     decodes the half-open row slice — on a chunked (v2) blob only the
     covering chunks are decompressed (the ORC row-index point-read path);
     on a v1 blob the slice is applied after a full decode.

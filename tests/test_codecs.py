@@ -863,3 +863,58 @@ def test_projection_typo_is_loud():
     blob, _ = encode_table(pa.table({"a": pa.array([1, 2], pa.int64())}))
     with pytest.raises(KeyError, match="no such columns"):
         decode_table(blob, columns=["nope"])
+
+
+def test_nested_struct_projection_blob():
+    """Dotted columns= paths prune struct subtrees inside blobs at any
+    depth (both v1 and chunked v2 bodies); pruned children's streams
+    are never decompressed and errors are loud."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from orc_format_spark.codecs.container import decode_table, encode_table
+
+    inner = pa.struct([("x", pa.int64()), ("y", pa.string())])
+    outer = pa.struct([("a", pa.int64()), ("b", pa.string()),
+                       ("inner", inner)])
+    n = 25_000
+    t = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "s": pa.array(
+            [None if i % 11 == 0 else
+             {"a": i, "b": f"b{i}",
+              "inner": None if i % 7 == 0 else {"x": i * 2, "y": f"y{i}"}}
+             for i in range(n)], outer),
+    })
+    blob, _ = encode_table(t, codec="auto", compression="zstd", stride=10_000)
+    want = [None if r is None else
+            {"inner": None if r["inner"] is None else {"y": r["inner"]["y"]}}
+            for r in t.column("s").to_pylist()]
+
+    got = decode_table(blob, columns=["s.inner.y", "k"])
+    assert got.column_names == ["s", "k"]
+    assert got.column("s").to_pylist() == want
+    assert got.column("k").to_pylist() == t.column("k").to_pylist()
+
+    # "s" alongside "s.a" widens; sibling selection keeps request order
+    whole = decode_table(blob, columns=["s.a", "s"])
+    assert whole.column("s").to_pylist() == t.column("s").to_pylist()
+    two = decode_table(blob, columns=["s.b", "s.a"])
+    assert [f.name for f in two.schema.field("s").type] == ["b", "a"]
+
+    # row slices through the chunked path compose with nested proj
+    sl = decode_table(blob, columns=["s.inner.x"], rows=(9_995, 10_005))
+    assert sl.num_rows == 10
+
+    with pytest.raises(KeyError, match="no such fields"):
+        decode_table(blob, columns=["s.zz"])
+    with pytest.raises(KeyError, match="non-struct"):
+        decode_table(blob, columns=["k.a"])
+    with pytest.raises(KeyError, match="no such columns"):
+        decode_table(blob, columns=["zz.a"])
+
+    # v1 (unchunked) body takes the same path
+    blob1, _ = encode_table(t.slice(0, 500), codec="auto", compression="zstd")
+    g1 = decode_table(blob1, columns=["s.inner.y"])
+    assert g1.column("s").to_pylist() == want[:500]
