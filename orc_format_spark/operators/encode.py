@@ -822,6 +822,10 @@ def decode_blobs(
     ``columns`` projects at the blob level: unwanted columns' streams are
     skipped without decompression (the ORC reader-side column-pruning
     analog — at 100 TB a 2-column projection reads 2 columns' bytes).
+    Dotted paths (``"s.inner.y"``) prune INSIDE struct columns at any
+    depth — declare ``schema`` with the pruned struct shape (e.g.
+    ``"s struct<inner:struct<y:string>>"``); pruned siblings' streams
+    never decompress.
     ``rows=(a, b)`` decodes only that per-blob row slice; on chunked
     blobs only covering row-group chunks are decompressed (F3).
     ``predicate=(col, op, value)`` returns exactly the matching rows,

@@ -762,3 +762,25 @@ def test_dedup_keep_first_null_text_not_merged(spark):
     )
     out = dedup_keep_first(df)
     assert sorted(r.doc_id for r in out.collect()) == [1, 2, 3, 5]
+
+
+def test_decode_blobs_nested_projection(spark):
+    """Dotted columns= through the Spark-level decode: declare the
+    pruned struct shape in the DDL schema; pruned siblings never
+    decode."""
+    from orc_format_spark import decode_blobs, encode_groups
+
+    rows = [(i, {"a": i, "inner": {"x": i * 2, "y": f"y{i}"}})
+            for i in range(1000)]
+    df = spark.createDataFrame(
+        rows, "k long, s struct<a:long, inner:struct<x:long, y:string>>"
+    )
+    blobs = encode_groups(
+        df.withColumn("group_id", (df.k / 250).cast("long")), key_col="k"
+    )
+    out = decode_blobs(
+        blobs, "s struct<inner:struct<y:string>>, k bigint",
+        columns=["s.inner.y", "k"],
+    )
+    got = sorted((r.k, r.s.inner.y) for r in out.collect())
+    assert got == [(i, f"y{i}") for i in range(1000)]
