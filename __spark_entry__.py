@@ -928,6 +928,22 @@ def q_ivf_pq_ann(spark, sf_dir):
     )
 
 
+def q_ivf_pq_rerank(spark, sf_dir):
+    """IVF-PQ + exact rerank (faiss IndexRefineFlat stage): the
+    composed index shortlists k*refine candidates via ADC codes, then
+    the shortlist is re-scored against exact quantized vectors — the
+    rerank is pure Catalyst (broadcast shortlist + broadcast query
+    vectors, zip_with/aggregate integer L2, whole-stage codegen), no
+    Python. Oracle wraps the full ivf_pq oracle as a candidate CTE."""
+    from orc_format_spark.functions.pq import ivf_pq_rerank_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_pq_rerank_topk(
+        emb, k_nn=5, refine=4, n_queries=10, m=8, k=16, pq_stride=31,
+        centroid_stride=37, nprobe=4,
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Char-4-gram Jaccard near-dup pairs (first 80 docs) with the
     document-frequency ceiling active (the stop-gram safety valve the
@@ -2224,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_rowgroup_prune": q_orc_rowgroup_prune,
         "sq8_roundtrip": q_sq8_roundtrip,
         "sq8_ann": q_sq8_ann,
+        "ivf_pq_rerank": q_ivf_pq_rerank,
         # -- r04-green whose code changed this round, plus flagship --
         "tokens_roundtrip": q_tokens_roundtrip,
         # clustered_encode and curation_pipeline moved below the
@@ -2243,8 +2260,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_variants": q_compression_variants,
         "compact_roundtrip": q_compact_roundtrip,
         "schema_evolution": q_schema_evolution,
-        "sink_encode_roundtrip": q_sink_encode_roundtrip,
+        # sink_encode_roundtrip moved below the boundary to make room
+        # for ivf_pq_rerank (late round-5 feature, never
+        # driver-verified); its r04-green datasource sink path stays
+        # covered in-window by datasource-backed schema_evolution +
+        # pytest + scripts/check_oracles.py
         # ---- driver window boundary (50) — below: r04 driver-green ----
+        "sink_encode_roundtrip": q_sink_encode_roundtrip,
         # token_contains moved below the boundary to make room for
         # orc_rowgroup_prune (late round-5 feature, never
         # driver-verified); its changed stats-prune keep-condition
@@ -2306,6 +2328,7 @@ def oracle_sql() -> dict[str, str]:
         resize_payload_sql,
     )
     from orc_format_spark.functions.pq import (
+        ivf_pq_rerank_topk_sql,
         ivf_pq_topk_sql,
         pq_encode_sql,
         pq_topk_sql,
@@ -2653,6 +2676,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sq8_roundtrip": sq8_encode_sql(),
         "sq8_ann": sq8_topk_sql(k_nn=5, n_queries=10),
+        "ivf_pq_rerank": ivf_pq_rerank_topk_sql(
+            k_nn=5, refine=4, n_queries=10, m=8, k=16, pq_stride=31,
+            centroid_stride=37, nprobe=4,
+        ),
         "ann_lsh": lsh_bucketed_topk_sql(k=5, n_queries=10, sign_dims=8, n_tables=4),
         "ann_ivf": ivf_topk_sql(k=5, n_queries=10, centroid_stride=59, nprobe=3),
         "multimodal_features": extract_features_sql(),

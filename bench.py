@@ -85,6 +85,7 @@ HEADLINE = [
     "pq_encode",
     "pq_ann",
     "ivf_pq_ann",
+    "ivf_pq_rerank",
     "sq8_roundtrip",
     "sq8_ann",
     "orc_file_roundtrip",

@@ -606,3 +606,120 @@ SELECT query_id, neighbor_id, rank, adc_dist FROM (
   FROM adc
 ) WHERE rank <= {k_nn}
 """
+
+
+def ivf_pq_rerank_topk(
+    emb: DataFrame,
+    k_nn: int = 5,
+    refine: int = 4,
+    n_queries: int = 10,
+    m: int = 8,
+    k: int = 16,
+    pq_stride: int = 31,
+    centroid_stride: int = 37,
+    nprobe: int = 4,
+    codebooks=None,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ + exact rerank — the faiss ``IndexRefineFlat`` refine
+    stage: the composed IVF-ADC index shortlists ``k_nn * refine``
+    candidates per query (approximate, m-byte codes), then the
+    shortlist is re-scored against the EXACT quantized vectors and cut
+    to ``k_nn``. Recovers ADC's quantization-error misrankings at the
+    cost of re-reading only the shortlist's full vectors.
+
+    Scale shape — no new scan pattern and no Python in the rerank:
+    the shortlist (<= Q*k_nn*refine id pairs, metadata-sized) and the
+    Q query vectors are both broadcast; the corpus scan joins them
+    map-side and the exact integer distance
+    ``qn2 + norm2 - 2*dot(q_query, q_vec)`` is a pure Catalyst
+    aggregate over the zipped arrays (JVM-side, whole-stage codegen).
+    The final window ranks <= Q*k_nn*refine rows. Deterministic
+    end-to-end -> reproduced bit-for-bit by
+    :func:`ivf_pq_rerank_topk_sql`."""
+    from .similarity import dot
+
+    cand = ivf_pq_topk(
+        emb, k_nn=k_nn * refine, n_queries=n_queries, m=m, k=k,
+        pq_stride=pq_stride, centroid_stride=centroid_stride,
+        nprobe=nprobe, codebooks=codebooks, centroids=centroids,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    corpus = _with_quant(emb, id_col, vec_col)
+    qdf = (
+        corpus.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("q").alias("qq"),
+            F.col("norm2").alias("qn2"),
+        )
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(cand), F.col(id_col) == F.col("neighbor_id")
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                F.col("qn2")
+                + F.col("norm2")
+                - F.lit(2) * dot(F.col("qq"), F.col("q"))
+            ).alias("exact_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_nn)
+        .select("query_id", "neighbor_id", "rank", "exact_dist")
+    )
+
+
+def ivf_pq_rerank_topk_sql(
+    k_nn: int = 5,
+    refine: int = 4,
+    n_queries: int = 10,
+    m: int = 8,
+    k: int = 16,
+    pq_stride: int = 31,
+    centroid_stride: int = 37,
+    nprobe: int = 4,
+    table: str = "embeddings",
+) -> str:
+    """DuckDB oracle for :func:`ivf_pq_rerank_topk` — the full
+    ivf_pq_topk oracle (at k_nn*refine) as a candidate CTE, re-scored
+    with exact integer L2 over the quantized vectors, same tie rules."""
+    inner = ivf_pq_topk_sql(
+        k_nn=k_nn * refine, n_queries=n_queries, m=m, k=k,
+        pq_stride=pq_stride, centroid_stride=centroid_stride,
+        nprobe=nprobe, table=table,
+    ).strip()
+    d2 = (
+        "list_sum(list_transform(range(1, len(a.qv) + 1), "
+        "i -> (a.qv[CAST(i AS INT)] - b.qv[CAST(i AS INT)]) * "
+        "(a.qv[CAST(i AS INT)] - b.qv[CAST(i AS INT)])))"
+    )
+    return f"""
+WITH cand AS (
+{inner}
+), q2 AS (
+  SELECT vec_id, {QUANT_SQL} AS qv FROM {table}
+), exact AS (
+  SELECT c.query_id, c.neighbor_id, CAST({d2} AS BIGINT) AS exact_dist
+  FROM cand c
+  JOIN q2 a ON a.vec_id = c.query_id
+  JOIN q2 b ON b.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, exact_dist FROM (
+  SELECT query_id, neighbor_id, exact_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY exact_dist, neighbor_id) AS rank
+  FROM exact
+) WHERE rank <= {k_nn}
+"""

@@ -468,3 +468,52 @@ def test_sq8_constant_dimension_and_empty(spark):
     empty = df.filter("vec_id < 0")
     with _pytest.raises(ValueError, match="empty corpus"):
         sq8_encode(empty).collect()
+
+
+def test_ivf_pq_rerank_orders_by_exact_distance(spark):
+    """The refine stage re-scores the ADC shortlist with exact
+    quantized-integer L2: every returned pair is in the k*refine
+    shortlist, ranks are dense and ordered by exact distance, and
+    recall@5 of the exact top-1 is at least the unrefined index's."""
+    import numpy as np
+
+    from orc_format_spark.functions.pq import ivf_pq_rerank_topk, ivf_pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kwargs = dict(n_queries=12, m=8, k=16, pq_stride=31,
+                  centroid_stride=37, nprobe=6)
+    short = ivf_pq_topk(emb, k_nn=20, **kwargs).collect()
+    shortlist = {}
+    for r in short:
+        shortlist.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rer = ivf_pq_rerank_topk(emb, k_nn=5, refine=4, **kwargs).collect()
+    per_q = {}
+    for r in rer:
+        assert r.neighbor_id in shortlist[r.query_id]
+        per_q.setdefault(r.query_id, []).append((r.rank, r.exact_dist, r.neighbor_id))
+    vecs = {r.vec_id: np.floor(np.array(r.embedding, np.float64) * 1000.0)
+            for r in emb.collect()}
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        dists = [r[1] for r in rows]
+        assert dists == sorted(dists)
+        for _rank, d, nb in rows:
+            assert d == int(((vecs[q] - vecs[nb]) ** 2).sum())
+
+    # exact ground truth: rerank recall >= plain ADC recall
+    ids = np.array(sorted(vecs), np.int64)
+    mat = np.stack([vecs[i] for i in ids])
+    top1 = {}
+    for qi in range(12):
+        qpos = int(np.searchsorted(ids, qi))
+        d2 = ((mat - mat[qpos]) ** 2).sum(axis=1)
+        d2[qpos] = np.iinfo(np.int64).max
+        top1[qi] = int(ids[np.lexsort((ids, d2))[0]])
+    adc5 = {}
+    for r in ivf_pq_topk(emb, k_nn=5, **kwargs).collect():
+        adc5.setdefault(r.query_id, set()).add(r.neighbor_id)
+    rer5 = {q: {nb for _rk, _d, nb in rows} for q, rows in per_q.items()}
+    hits_adc = sum(1 for q, nb in top1.items() if nb in adc5.get(q, set()))
+    hits_rer = sum(1 for q, nb in top1.items() if nb in rer5.get(q, set()))
+    assert hits_rer >= hits_adc, (hits_rer, hits_adc)
