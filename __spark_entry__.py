@@ -2272,7 +2272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-verified); its changed stats-prune keep-condition
         # branch stays covered in-window by the identical branch in
         # the encode/decode queries plus pytest +
-        # scripts/check_oracles.py (91/91 green this round)
+        # scripts/check_oracles.py (92/92 green this round)
         "token_contains": q_token_contains,
         "clustered_encode": q_clustered_encode,
         "curation_pipeline": q_curation_pipeline,
