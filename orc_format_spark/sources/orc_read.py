@@ -421,6 +421,7 @@ def _parse_footer(buf) -> dict:
     n_rows = 0
     stride = 0
     stats_blobs: list = []
+    writer = None
     for fno, _wt, v in _proto_fields(buf):
         if fno == 3:  # StripeInformation
             si = {"offset": 0, "index_len": 0, "data_len": 0,
@@ -445,8 +446,10 @@ def _parse_footer(buf) -> dict:
             stats_blobs.append(v)
         elif fno == 8:  # rowIndexStride (0 = no row-group indexes)
             stride = v
+        elif fno == 9:  # writer implementation id (0 Java, 1 C++, ...)
+            writer = v
     return {"stripes": stripes, "types": types, "n_rows": n_rows,
-            "stats": stats_blobs, "stride": stride}
+            "stats": stats_blobs, "stride": stride, "writer": writer}
 
 
 def _parse_stripe_footer(buf) -> dict:
@@ -789,8 +792,10 @@ class _Stripe:
 
     def __init__(self, raw: bytes | memoryview, footer: dict, compression: str,
                  block_size: int, n_rows: int,
-                 seeks: dict[tuple[int, int], tuple] | None = None):
+                 seeks: dict[tuple[int, int], tuple] | None = None,
+                 writer: int | None = None):
         self.raw = raw
+        self.writer = writer  # Footer.writer implementation id
         self.compression = compression
         self.block_size = block_size
         self.n_rows = n_rows
@@ -1291,7 +1296,7 @@ def read_orc(source, columns: list[str] | None = None,
         # stripe's index+data region (~2x file size peak); stream()
         # only ever re-slices, so a memoryview suffices
         st = _Stripe(memoryview(data)[start:end], sf, comp, bs,
-                     info["n_rows"])
+                     info["n_rows"], writer=footer.get("writer"))
         bloom_pruned = False
         for tcol, top, tlit in terms:
             if top not in ("==", "in"):
@@ -1338,7 +1343,8 @@ def read_orc(source, columns: list[str] | None = None,
                         rows_lo = 0  # can't seek: decode from start
                     else:
                         st = _Stripe(memoryview(data)[start:end], sf,
-                                     comp, bs, info["n_rows"], seeks)
+                                     comp, bs, info["n_rows"], seeks,
+                                     writer=footer.get("writer"))
                 n_dec = rows_hi - rows_lo
                 if not all(gkeep[rows_lo // stride : g_hi]):
                     # interior gaps: drop rows of eliminated groups
@@ -1433,6 +1439,19 @@ def _bloom_entry_hits(st: "_Stripe", cid: int, kind: int,
     from ..codecs.orc_bloom import OrcBloomFilter
 
     if kind not in _K_BLOOM_OK:
+        return None
+    if kind == _K_BYTE and st.writer == 1:
+        # MEASURED upstream bug (fuzz seed 47 / trial 93, reproduced
+        # minimally): the ORC C++ writer (Footer.writer == 1, e.g.
+        # pyarrow) omits from a TINYINT column's bloom filter any value
+        # whose only occurrences fall in the stripe's first ~128 rows
+        # (the ByteRLE literal-buffer window); Spark's own Java reader
+        # loses the same rows when its pushdown consumes these blooms.
+        # Every other probed kind measured complete (int16/32/64,
+        # date, string, binary — dense, null-heavy, and run-shaped
+        # distributions). Trusting such a filter turns a prune into
+        # data loss, so BYTE blooms from writer 1 never prune; min/max
+        # statistics still apply.
         return None
     raw = st.stream(cid, 8)  # Stream.Kind BLOOM_FILTER_UTF8
     if raw is None:

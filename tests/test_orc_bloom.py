@@ -350,3 +350,48 @@ def test_pyarrow_still_reads_files_with_bloom_streams(tmp_path):
     back = po.ORCFile(path).read()
     assert back.num_rows == tbl.num_rows
     assert back.column("s").combine_chunks() == tbl.column("s").combine_chunks()
+
+
+def test_cpp_writer_tinyint_bloom_distrusted():
+    """MEASURED upstream bug: the ORC C++ writer (Footer.writer == 1,
+    pyarrow's vendored writer) omits from a TINYINT bloom filter any
+    value whose only occurrences fall in a stripe's first ~128 rows
+    (the ByteRLE literal-buffer window) — Spark's own Java reader loses
+    rows when its pushdown consumes these blooms. Our reader must
+    refuse to prune on BYTE blooms from writer 1: the needle row below
+    is provably absent from stripe 0's bloom, and the read must still
+    return it."""
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.orc as po
+
+    from orc_format_spark.sources.orc_read import read_orc
+
+    n = 2048
+    v = np.ones(n, np.int8)
+    v[5] = 99  # only occurrence: row 5 of stripe 0 (inside the window)
+    v[1024 + 500] = 98  # control: past row 128 of stripe 1
+    buf = io.BytesIO()
+    po.write_table(pa.table({"c": pa.array(v)}), buf, stripe_size=1024,
+                   bloom_filter_columns=[1], compression="uncompressed")
+    data = buf.getvalue()
+
+    got = read_orc(data, predicate=("c", "==", 99))
+    assert got.filter(pc.equal(got.column("c"), 99)).num_rows == 1
+    got98 = read_orc(data, predicate=("c", "==", 98))
+    assert got98.filter(pc.equal(got98.column("c"), 98)).num_rows == 1
+
+    # our own writer's BYTE blooms stay trusted (no writer id stamped,
+    # direction-A fuzz proves them complete): same data through
+    # write_orc still prunes and still returns the needle
+    from orc_format_spark.sources.orc_file import write_orc
+
+    bo = io.BytesIO()
+    write_orc(pa.table({"c": pa.array(v)}), bo, stripe_rows=1024,
+              bloom_columns=["c"])
+    ours = bo.getvalue()
+    g2 = read_orc(ours, predicate=("c", "==", 99))
+    assert g2.filter(pc.equal(g2.column("c"), 99)).num_rows == 1

@@ -183,6 +183,38 @@ def test_orc_interop_fuzz(trial):
             (trial, "A-apache", rle, comp)
         assert read_orc(pth).cast(t.schema).equals(t), \
             (trial, "A-native", rle, comp)
+
+        # nested projection rides the same random matrix: one random
+        # struct leaf path per eligible trial, pruned read == full
+        # table pruned python-side (floats here are finite, so pylist
+        # equality is exact)
+        def _leaf_paths(prefix, typ):
+            if pa.types.is_struct(typ):
+                out = []
+                for f in typ:
+                    out += _leaf_paths(f"{prefix}.{f.name}", f.type)
+                return out
+            return [prefix]
+
+        nested = []
+        for f in t.schema:
+            if pa.types.is_struct(f.type):
+                nested += [p for p in _leaf_paths(f.name, f.type)
+                           if "." in p]
+        if nested and n:
+            path = nested[int(rng.integers(0, len(nested)))]
+            parts = path.split(".")
+
+            def _prune(v, ps):
+                if not ps or v is None:
+                    return v
+                return {ps[0]: _prune(v[ps[0]], ps[1:])}
+
+            gotp = read_orc(pth, columns=[path])
+            want = [_prune(r, parts[1:])
+                    for r in t.column(parts[0]).to_pylist()]
+            assert gotp.column(parts[0]).to_pylist() == want, \
+                (trial, "A-proj", path)
         # bloom-pruned point read must not LOSE rows: for one sampled
         # needle per int/string bloom column, the exact filter over the
         # pruned superset matches the exact filter over the full table
