@@ -781,10 +781,14 @@ def _decode_one_evolved(
         # A declared field the blob DOES store must be projected, or the
         # null-fill below would silently fabricate data the blob has
         # (mirrors the strict path's _check_decoded_names loud failure).
+        # Dotted paths ("s.inner.y") project their TOP-LEVEL column for
+        # this resolution; the sub-struct pruning happens inside
+        # decode_table.
+        kept_tops = {c.split(".", 1)[0] for c in columns}
         shadowed = [
             f.name
             for f in target
-            if f.name in have and f.name not in columns
+            if f.name in have and f.name not in kept_tops
         ]
         if shadowed:
             raise ValueError(
@@ -792,7 +796,7 @@ def _decode_one_evolved(
                 f"stores but `columns` excludes: {shadowed}; project them "
                 "or narrow the declared schema to the projection"
             )
-        keep = [c for c in columns if c in have]
+        keep = [c for c in columns if c.split(".", 1)[0] in have]
         if preds_eff:  # decode_table requires predicate cols projected
             keep += [p[0] for p in preds_eff if p[0] not in keep]
         cols_eff = keep or None  # no overlap: full decode for row count

@@ -784,3 +784,26 @@ def test_decode_blobs_nested_projection(spark):
     )
     got = sorted((r.k, r.s.inner.y) for r in out.collect())
     assert got == [(i, f"y{i}") for i in range(1000)]
+
+
+def test_decode_blobs_nested_projection_evolution(spark):
+    """Dotted projection composes with evolution=True: the top-level
+    column resolves the shadow/keep logic, the sub-struct pruning
+    happens in decode_table, and a declared-but-unstored scalar still
+    null-fills alongside."""
+    from orc_format_spark import decode_blobs, encode_groups
+
+    rows = [(i, {"a": i, "inner": {"x": i * 2, "y": f"y{i}"}})
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "k long, s struct<a:long, inner:struct<x:long, y:string>>"
+    )
+    blobs = encode_groups(
+        df.withColumn("group_id", (df.k / 50).cast("long")), key_col="k"
+    )
+    out = decode_blobs(
+        blobs, "s struct<inner:struct<y:string>>, k bigint, extra int",
+        columns=["s.inner.y", "k", "extra"], evolution=True,
+    )
+    got = sorted((r.k, r.s.inner.y, r.extra) for r in out.collect())
+    assert got == [(i, f"y{i}", None) for i in range(200)]
