@@ -724,7 +724,10 @@ def decode_entries(entries: list[ColumnEntry], start: int = 0,
     skipped children's streams are never decompressed."""
     e = entries[start]
     t = _parse_type(e.type)
-    if proj is not None and not pa.types.is_struct(t):
+    if proj is not None and not (
+        pa.types.is_struct(t) or pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+    ):
         raise KeyError(
             f"decode_table: cannot project into non-struct column "
             f"{e.name!r}"
@@ -733,11 +736,20 @@ def decode_entries(entries: list[ColumnEntry], start: int = 0,
     present = raw_streams.get(PRESENT, b"")
     nxt = start + 1
     if pa.types.is_list(t) or pa.types.is_large_list(t):
+        # lists are transparent to dotted projection: proj applies to
+        # the element (a list<struct> prunes its element's fields)
         lengths = rle_v1.decode_int_rle_v1(raw_streams[LENGTH], signed=False).astype(np.int64)
-        child_name, child, nxt = decode_entries(entries, start + 1)
+        child_name, child, nxt = decode_entries(entries, start + 1, proj)
         off = np.zeros(e.n_present + 1, np.int64)
         np.cumsum(lengths, out=off[1:])
-        values = pa.LargeListArray.from_arrays(pa.array(off, pa.int64()), child).cast(t)
+        arr = pa.LargeListArray.from_arrays(pa.array(off, pa.int64()), child)
+        if proj is None:
+            values = arr.cast(t)
+        else:  # pruned element type: keep the list kind, drop the cast
+            values = arr.cast(
+                pa.list_(child.type) if pa.types.is_list(t)
+                else pa.large_list(child.type)
+            )
     elif pa.types.is_struct(t):
         field_names = [t.field(i).name for i in range(t.num_fields)]
         if proj is not None:
@@ -1240,7 +1252,9 @@ def decode_table(
 ) -> pa.Table:
     """Decode a blob; ``columns`` projects at the blob level (unwanted
     columns' streams are skipped without decompression) — dotted paths
-    (``"s.inner.y"``) prune INSIDE struct columns at any depth, the
+    (``"s.inner.y"``) prune INSIDE struct columns at any depth, with
+    lists transparent to them (``"evs.id"`` prunes a ``list<struct>``
+    element's fields), the
     same nested schema pruning as the ORC reader's ``read_orc``
     (pruned children's streams never decompress; ``"s"`` alongside
     ``"s.a"`` widens to the whole struct) — and ``rows=(a, b)``

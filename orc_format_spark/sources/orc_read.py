@@ -37,7 +37,9 @@ Scope (matches + exceeds the writer):
   touched). Dotted paths project INTO structs at any depth
   (``"s.inner.a"`` decodes only that leaf plus the enclosing structs'
   PRESENT streams — nested schema pruning, the wide-struct scan
-  saver); ``"s"`` alongside ``"s.a"`` widens to the whole struct;
+  saver), and lists are transparent to them (``"evs.id"`` prunes the
+  element fields of a ``list<struct>`` — Spark's nested-pruning
+  convention); ``"s"`` alongside ``"s.a"`` widens to the whole struct;
 - stripe pruning: ``predicate=(col, op, literal)`` or an AND-list of
   triples (SearchArgument conjunction), op in <,<=,==,!=,>=,>,in,
   isnull,notnull, over every min/max-carrying ColumnStatistics kind
@@ -714,6 +716,9 @@ def _proj_cids(types: list[_OrcType], cid: int, proj):
         return
     yield cid
     t = types[cid]
+    if t.kind == _K_LIST:  # transparent: proj applies to the element
+        yield from _proj_cids(types, t.subtypes[0], proj)
+        return
     for nm, sub in proj.items():
         yield from _proj_cids(types, t.subtypes[t.names.index(nm)], sub)
 
@@ -921,6 +926,11 @@ def _validate_proj(types: list["_OrcType"], cid: int, proj,
     if proj is None:
         return
     t = types[cid]
+    if t.kind == _K_LIST:
+        # lists are transparent to dotted paths: "l.a" projects field a
+        # of a list<struct> element (Spark's nested-pruning convention)
+        _validate_proj(types, t.subtypes[0], proj, path)
+        return
     if t.kind != _K_STRUCT:
         raise KeyError(
             f"orc_read: cannot project into non-struct column {path!r}"
@@ -943,6 +953,9 @@ def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
         nv = int(mask.sum())
     k = t.kind
 
+    if proj is not None and k not in (_K_STRUCT, _K_LIST):
+        raise KeyError("orc_read: projection descended into a "
+                       f"non-struct, non-list column (kind {k})")
     if k == _K_STRUCT:
         # proj: {child_name: sub_proj} — only selected subtrees are
         # decoded (their streams are the only ones decompressed; the
@@ -976,7 +989,7 @@ def _read_column(st: _Stripe, types: list[_OrcType], cid: int,
         offsets = np.cumsum(full)
         validity = None if mask.all() else _validity_buffer(mask)
         if k == _K_LIST:
-            child = _read_column(st, types, t.subtypes[0], n_child)
+            child = _read_column(st, types, t.subtypes[0], n_child, proj)
             typ = pa.large_list(child.type)
             return pa.Array.from_buffers(
                 typ, n,
@@ -1394,7 +1407,7 @@ def _arrow_type(types: list[_OrcType], cid: int,
     if k == _K_DECIMAL:
         return pa.decimal128(t.precision or 38, t.scale)
     if k == _K_LIST:
-        return pa.list_(_arrow_type(types, t.subtypes[0]))
+        return pa.list_(_arrow_type(types, t.subtypes[0], proj))
     if k == _K_MAP:
         return pa.map_(_arrow_type(types, t.subtypes[0]),
                        _arrow_type(types, t.subtypes[1]))

@@ -918,3 +918,33 @@ def test_nested_struct_projection_blob():
     blob1, _ = encode_table(t.slice(0, 500), codec="auto", compression="zstd")
     g1 = decode_table(blob1, columns=["s.inner.y"])
     assert g1.column("s").to_pylist() == want[:500]
+
+
+def test_list_transparent_projection_blob():
+    """Lists are transparent to dotted blob projection: "evs.id" prunes
+    a list<struct> element's fields through both v1 and chunked v2."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    from orc_format_spark.codecs.container import decode_table, encode_table
+
+    elem = pa.struct([("id", pa.int64()), ("txt", pa.string())])
+    n = 20_000
+    t = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "evs": pa.array(
+            [None if i % 13 == 0 else
+             [{"id": i * 10 + j, "txt": f"t{i}_{j}"} for j in range(i % 4)]
+             for i in range(n)], pa.list_(elem)),
+    })
+    want = [None if r is None else [{"id": e["id"]} for e in r]
+            for r in t.column("evs").to_pylist()]
+    blob, _ = encode_table(t, codec="auto", compression="zstd", stride=10_000)
+    got = decode_table(blob, columns=["evs.id", "k"])
+    assert got.column("evs").to_pylist() == want
+    blob1, _ = encode_table(t.slice(0, 300), codec="auto", compression="zstd")
+    assert (decode_table(blob1, columns=["evs.id"])
+            .column("evs").to_pylist() == want[:300])
+    with pytest.raises(KeyError, match="non-struct"):
+        decode_table(blob, columns=["k.x"])

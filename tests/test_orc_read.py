@@ -1119,3 +1119,35 @@ def test_nested_projection_with_row_group_seek():
     assert got.column("s").to_pylist() == [
         {"inner": {"y": f"y{i}"}} for i in ks
     ]
+
+
+@pytest.mark.parametrize("writer", ["apache", "ours"])
+def test_list_transparent_projection(writer):
+    """Lists are transparent to dotted paths: "evs.id" prunes the
+    element fields of a list<struct> (both writer legs); descending
+    into a list of non-structs is a loud error."""
+    elem = pa.struct([("id", pa.int64()), ("txt", pa.string())])
+    n = 2000
+    t = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "evs": pa.array(
+            [None if i % 13 == 0 else
+             [{"id": i * 10 + j, "txt": f"t{i}_{j}"} for j in range(i % 4)]
+             for i in range(n)], pa.list_(elem)),
+    })
+    if writer == "apache":
+        buf = io.BytesIO()
+        po.write_table(t, buf)
+        data = buf.getvalue()
+    else:
+        bo = io.BytesIO(); write_orc(t, bo, compression="zstd"); data = bo.getvalue()
+    got = read_orc(data, columns=["evs.id", "k"])
+    want = [None if r is None else [{"id": e["id"]} for e in r]
+            for r in t.column("evs").to_pylist()]
+    assert got.column("evs").to_pylist() == want
+    assert got.column("k").to_pylist() == list(range(n))
+
+    t2 = pa.table({"l": pa.array([["a", "b"]], pa.list_(pa.string()))})
+    bo = io.BytesIO(); write_orc(t2, bo); d2 = bo.getvalue()
+    with pytest.raises(KeyError, match="non-struct"):
+        read_orc(d2, columns=["l.x"])
