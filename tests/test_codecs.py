@@ -948,3 +948,83 @@ def test_list_transparent_projection_blob():
             .column("evs").to_pylist() == want[:300])
     with pytest.raises(KeyError, match="non-struct"):
         decode_table(blob, columns=["k.x"])
+
+
+@pytest.mark.parametrize("trial", range(40))
+def test_nested_projection_fuzz_blob(trial):
+    """Randomized nested projection over the blob container: random
+    column trees (the ORC interop fuzz's generator), a random dotted
+    struct-leaf path (lists transparent), pruned decode == full decode
+    pruned python-side. Both container body versions and three block
+    codecs ride the matrix."""
+    import random
+
+    import numpy as np
+    import pyarrow as pa
+
+    from test_orc_interop_fuzz import _gen_column
+
+    from orc_format_spark.codecs.container import decode_table, encode_table
+
+    import pyarrow.compute as pc
+
+    rng = np.random.default_rng(5000 + trial)
+    random.seed(trial * 11 + 1)
+    n = int(rng.integers(0, 3000))
+
+    def _us(typ):  # container contract: microsecond timestamps
+        if pa.types.is_timestamp(typ):
+            return pa.timestamp("us")
+        if pa.types.is_list(typ):
+            return pa.list_(_us(typ.value_type))
+        if pa.types.is_large_list(typ):
+            return pa.large_list(_us(typ.value_type))
+        if pa.types.is_struct(typ):
+            return pa.struct([(f.name, _us(f.type)) for f in typ])
+        if pa.types.is_map(typ):
+            return pa.map_(_us(typ.key_type), _us(typ.item_type))
+        return typ
+
+    def paths0(prefix, typ):
+        if pa.types.is_struct(typ):
+            out = []
+            for f in typ:
+                out += paths0(f"{prefix}.{f.name}", f.type)
+            return out
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            return paths0(prefix, typ.value_type)
+        return [prefix]
+
+    # redraw until the random tree holds a nested struct leaf (the
+    # generator draws structs ~1/6 of the time per column)
+    for _redraw in range(25):
+        cols = {}
+        for i in range(int(rng.integers(1, 4))):
+            arr, _typ = _gen_column(rng, n)
+            cols[f"c{i}"] = pc.cast(arr, _us(arr.type), safe=False)
+        t = pa.table(cols)
+        if any("." in p for f in t.schema for p in paths0(f.name, f.type)):
+            break
+    else:
+        pytest.skip("no nested struct drawn in 25 redraws")
+    stride = random.choice([None, 500])
+    comp = random.choice(["zstd", "none", "lz4"])
+    blob, _ = encode_table(t, codec="auto", compression=comp, stride=stride)
+    full = decode_table(blob)
+
+    cand = []
+    for f in t.schema:
+        cand += [p for p in paths0(f.name, f.type) if "." in p]
+    path = cand[int(rng.integers(0, len(cand)))]
+    parts = path.split(".")
+    got = decode_table(blob, columns=[path])
+
+    def prune(v, ps):
+        if not ps or v is None:
+            return v
+        if isinstance(v, list):
+            return [prune(e, ps) for e in v]
+        return {ps[0]: prune(v[ps[0]], ps[1:])}
+
+    want = [prune(r, parts[1:]) for r in full.column(parts[0]).to_pylist()]
+    assert got.column(parts[0]).to_pylist() == want, (trial, path, comp)
