@@ -42,7 +42,12 @@ Scope (matches + exceeds the writer):
   convention); ``"s"`` alongside ``"s.a"`` widens to the whole struct;
 - stripe pruning: ``predicate=(col, op, literal)`` or an AND-list of
   triples (SearchArgument conjunction), op in <,<=,==,!=,>=,>,in,
-  isnull,notnull, over every min/max-carrying ColumnStatistics kind
+  isnull,notnull — ``col`` may be a dotted nested leaf
+  (``"s.inner.x"``, lists transparent): Apache files carry statistics
+  and blooms for every column id, so nested leaves prune exactly like
+  top-level columns (``isnull`` on a nested leaf never prunes —
+  ancestor nulls are invisible to the leaf's hasNull) — over every
+  min/max-carrying ColumnStatistics kind
   (Integer, Double, String, Decimal, Date, Timestamp — the UTC ms
   pair only, widened 1 ms per side) plus hasNull/numberOfValues for
   the null ops — the read side of the writer's stripe-elimination
@@ -767,7 +772,9 @@ def _select_row_groups(st: "_Stripe", types, root: _OrcType,
     keep = [True] * n_groups
     any_info = False
     for col_name, op, lit in terms:
-        cid = root.subtypes[root.names.index(col_name)]
+        if "." in col_name and op == "isnull":
+            continue  # ancestor nulls invisible to the leaf's hasNull
+        cid = _pred_cid(types, root, col_name)
         entries = _stripe_row_index(st, cid, idx_cache)
         if entries is not None:
             if len(entries) == n_groups:
@@ -1272,7 +1279,7 @@ def read_orc(source, columns: list[str] | None = None,
     keep = None
     terms: list[tuple] = []
     if predicate is not None:
-        terms = _normalize_predicate(predicate, root)
+        terms = _normalize_predicate(predicate, root, types)
         # writerTimezone lives in the stripe footers (constant per
         # writer process): peek stripe 0's before stats pruning so
         # wall-vs-instant skew on foreign-timezone files can't
@@ -1282,7 +1289,7 @@ def read_orc(source, columns: list[str] | None = None,
         # touches a (non-instant) TIMESTAMP column.
         ts_slack = 0
         ts_terms = any(
-            types[root.subtypes[root.names.index(tc)]].kind == _K_TIMESTAMP
+            types[_pred_cid(types, root, tc)].kind == _K_TIMESTAMP
             for tc, _op, _lit in terms
         )
         if ts_terms and footer["stripes"]:
@@ -1294,7 +1301,7 @@ def read_orc(source, columns: list[str] | None = None,
             if tz0 not in _UTC_NAMES:
                 ts_slack = 15 * 3600 * 1_000_000_000
         keep = _prune_stripes(meta_raw, root, terms,
-                              len(footer["stripes"]), ts_slack)
+                              len(footer["stripes"]), ts_slack, types)
 
     tables = []
     for si, info in enumerate(footer["stripes"]):
@@ -1314,7 +1321,7 @@ def read_orc(source, columns: list[str] | None = None,
         for tcol, top, tlit in terms:
             if top not in ("==", "in"):
                 continue
-            pcid = root.subtypes[root.names.index(tcol)]
+            pcid = _pred_cid(types, root, tcol)
             lits = [tlit] if top == "==" else tlit
             if not _bloom_may_match(st, pcid, types[pcid].kind, lits):
                 bloom_pruned = True
@@ -1525,7 +1532,32 @@ def _bloom_may_match(st: "_Stripe", cid: int, kind: int, lits) -> bool:
     return hits is None or any(hits)
 
 
-def _normalize_predicate(predicate, root: _OrcType) -> list[tuple]:
+def _pred_cid(types: list[_OrcType], root: _OrcType, path: str) -> int:
+    """Resolve a (possibly dotted) predicate column to its column id:
+    struct fields by name, lists transparent — the same path language
+    as ``columns=`` projection. Apache files carry ColumnStatistics,
+    RowIndexEntry stats, and bloom streams for EVERY column id, so
+    nested leaves prune exactly like top-level columns."""
+    parts = path.split(".")
+    if parts[0] not in root.names:
+        raise KeyError(f"orc_read: predicate column {path!r}")
+    cid = root.subtypes[root.names.index(parts[0])]
+    for part in parts[1:]:
+        t = types[cid]
+        while t.kind == _K_LIST:
+            cid = t.subtypes[0]
+            t = types[cid]
+        if t.kind != _K_STRUCT or part not in t.names:
+            raise KeyError(f"orc_read: predicate column {path!r}")
+        cid = t.subtypes[t.names.index(part)]
+    # a path may END on a list-of-scalar: descend to the scalar leaf
+    while types[cid].kind == _K_LIST:
+        cid = types[cid].subtypes[0]
+    return cid
+
+
+def _normalize_predicate(predicate, root: _OrcType,
+                         types: list[_OrcType] | None = None) -> list[tuple]:
     """Accept one ``(col, op, literal)`` triple or a list/tuple of
     triples (implicit AND — the ORC SearchArgument conjunction shape);
     return a validated list with every ``in`` literal materialized
@@ -1546,14 +1578,17 @@ def _normalize_predicate(predicate, root: _OrcType) -> list[tuple]:
         if op not in ("<", "<=", "==", "!=", ">=", ">", "in",
                       "isnull", "notnull"):
             raise ValueError(f"orc_read: predicate op {op!r}")
-        if col_name not in root.names:
+        if types is not None:
+            _pred_cid(types, root, col_name)  # loud on a bad path
+        elif col_name.split(".", 1)[0] not in root.names:
             raise KeyError(f"orc_read: predicate column {col_name!r}")
         out.append((col_name, op, list(lit) if op == "in" else lit))
     return out
 
 
 def _prune_stripes(meta_raw, root: _OrcType, terms: list[tuple],
-                   n_stripes: int, ts_slack_ns: int = 0) -> list[bool]:
+                   n_stripes: int, ts_slack_ns: int = 0,
+                   types: list[_OrcType] | None = None) -> list[bool]:
     """True = must read. Uses StripeStatistics from the Metadata
     section (same exact-or-wider contract the writer emits); a stripe
     without usable min/max stays selected. ``terms`` AND together: a
@@ -1565,9 +1600,12 @@ def _prune_stripes(meta_raw, root: _OrcType, terms: list[tuple],
     clocks while minimumUtc/maximumUtc are instants, so a wall-clock
     literal may sit up to |zone offset| (+1h DST fold) away from the
     instant range — slack keeps elimination a sound superset there."""
-    cids = sorted(
-        {root.subtypes[root.names.index(t[0])] for t in terms}
-    )
+    def _cid(name):
+        if types is not None:
+            return _pred_cid(types, root, name)
+        return root.subtypes[root.names.index(name)]
+
+    cids = sorted({_cid(t[0]) for t in terms})
     # one Metadata pass gathers every predicate column's per-stripe stats
     per_stripe: dict[int, list[dict | None]] = {
         c: [None] * n_stripes for c in cids
@@ -1586,7 +1624,12 @@ def _prune_stripes(meta_raw, root: _OrcType, terms: list[tuple],
     for col_name, op, lit in terms:
         if op == "in" and not lit:
             return [False] * n_stripes  # IN () matches nothing
-        cid = root.subtypes[root.names.index(col_name)]
+        if "." in col_name and op == "isnull":
+            # a nested leaf is also null wherever an ANCESTOR is null,
+            # which its own hasNull does not cover — pruning on it
+            # could drop matching rows; never prune isnull-on-nested
+            continue
+        cid = _cid(col_name)
         for si, stt in enumerate(per_stripe[cid]):
             if not keep[si] or stt is None:
                 continue

@@ -1151,3 +1151,52 @@ def test_list_transparent_projection(writer):
     bo = io.BytesIO(); write_orc(t2, bo); d2 = bo.getvalue()
     with pytest.raises(KeyError, match="non-struct"):
         read_orc(d2, columns=["l.x"])
+
+
+def test_nested_predicate_pruning():
+    """Predicates on dotted nested leaves (struct fields; lists
+    transparent) prune stripes and row groups from the leaf's own
+    ColumnStatistics, compose with nested projection, and never lose
+    rows — including isnull on a leaf whose ancestors carry the nulls
+    (the one case leaf stats cannot see, so it never prunes)."""
+    n = 20_000
+    inner = pa.struct([("x", pa.int64()), ("y", pa.string())])
+    outer = pa.struct([("a", pa.int64()), ("inner", inner)])
+    t = pa.table({
+        "k": pa.array(np.arange(n), pa.int64()),
+        "s": pa.array([{"a": i, "inner": {"x": i * 2, "y": f"y{i}"}}
+                       for i in range(n)], outer),
+    })
+    buf = io.BytesIO()
+    po.write_table(t, buf, row_index_stride=2_000,
+                   stripe_size=64 * 1024 * 1024)
+    data = buf.getvalue()
+
+    got = read_orc(data, predicate=[("s.inner.x", ">=", 12_000),
+                                    ("s.inner.x", "<", 14_000)])
+    assert got.num_rows == 2_000  # exactly the covering group
+    xs = [r["inner"]["x"] for r in got.column("s").to_pylist()]
+    assert 12_000 in xs and 13_998 in xs
+
+    got2 = read_orc(data, columns=["s.inner.y", "k"],
+                    predicate=("s.inner.x", "==", 9_000))
+    assert got2.num_rows == 2_000
+    assert "y4500" in [r["inner"]["y"]
+                       for r in got2.column("s").to_pylist()]
+
+    # isnull soundness: ancestor-null rows survive even though the
+    # leaf's own hasNull is false in every stripe
+    t2 = pa.table({
+        "s": pa.array(
+            [None if i % 7 == 0 else {"a": i, "inner": {"x": i, "y": "q"}}
+             for i in range(n)], outer),
+    })
+    b2 = io.BytesIO()
+    po.write_table(t2, b2, row_index_stride=2_000,
+                   stripe_size=64 * 1024 * 1024)
+    g3 = read_orc(b2.getvalue(), predicate=("s.inner.x", "isnull", None))
+    n_null = sum(1 for r in g3.column("s").to_pylist() if r is None)
+    assert n_null == sum(1 for i in range(n) if i % 7 == 0)
+
+    with pytest.raises(KeyError, match="predicate column"):
+        read_orc(data, predicate=("s.nope", "==", 1))
