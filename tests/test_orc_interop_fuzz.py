@@ -215,6 +215,41 @@ def test_orc_interop_fuzz(trial):
                     for r in t.column(parts[0]).to_pylist()]
             assert gotp.column(parts[0]).to_pylist() == want, \
                 (trial, "A-proj", path)
+
+            # nested-predicate leg: a sampled needle on an int/string
+            # struct leaf must survive the stats/bloom pruning (the
+            # pruned read is a row superset of the exact matches)
+            def _leaf_vals(v, ps):
+                if v is None:
+                    return []
+                if isinstance(v, list):
+                    out = []
+                    for e in v:
+                        out += _leaf_vals(e, ps)
+                    return out
+                if not ps:
+                    return [v] if v is not None else []
+                return _leaf_vals(v.get(ps[0]), ps[1:])
+
+            leafvals = []
+            for r in t.column(parts[0]).to_pylist():
+                leafvals += _leaf_vals(r, parts[1:])
+            leafvals = [v for v in leafvals
+                        if isinstance(v, (int, str))
+                        and not isinstance(v, bool)]
+            if leafvals:
+                needle = leafvals[int(rng.integers(0, len(leafvals)))]
+                gp = read_orc(pth, predicate=(path, "==", needle))
+                n_got = sum(
+                    1 for r in gp.column(parts[0]).to_pylist()
+                    if needle in _leaf_vals(r, parts[1:])
+                )
+                n_want = sum(
+                    1 for r in t.column(parts[0]).to_pylist()
+                    if needle in _leaf_vals(r, parts[1:])
+                )
+                assert n_got == n_want, (trial, "A-nested-pred", path,
+                                         needle)
         # bloom-pruned point read must not LOSE rows: for one sampled
         # needle per int/string bloom column, the exact filter over the
         # pruned superset matches the exact filter over the full table
